@@ -1,0 +1,176 @@
+"""Content extraction — the processor pipeline (SURVEY §2.8, C4/C5/C6/C8).
+
+Semantics re-implemented from the reference's processors:
+  - hash:     app/processors/hash_file_processor.py:35-51 (chunked digest ==
+              whole-bytes digest; we use Spark's built-in ``F.md5`` /
+              ``F.sha2`` / ``F.xxhash64`` — JVM-side, no UDF)
+  - text:     app/processors/text_extractor_file_processor.py:20-55 with the
+              10 MB size cap (:27,:37); the extractor itself is this
+              engine's own deterministic HTML->text pipeline
+  - keywords: app/processors/metadata_extractor/keywords_file_processor.py:37-81
+  - rating:   app/processors/metadata_extractor/rating_file_processor.py:22-39
+
+**Byte-identical invariant**: the pandas UDFs and the scalar oracle both
+execute the same regex step table (``_TEXT_STEPS``) through Python's
+``re`` engine, so per-URL output is identical by construction — the
+single-code-path rule of SURVEY §7.4.  Per-row Python appears only
+inside Arrow-batched pandas UDFs (never Spark row-at-a-time UDFs),
+matching the input_hint's "vectorized pandas/Arrow UDFs only".
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# Reference caps extraction at 10 MB (text_extractor_file_processor.py:27,37).
+MAX_TEXT_EXTRACT_BYTES = 10 * 1024 * 1024
+
+# Ordered (pattern, replacement) regex steps; flags baked into patterns so
+# the scalar and vectorized paths cannot drift.
+_TEXT_STEPS: list[tuple[str, str]] = [
+    (r"(?is)<script\b.*?</script\s*>", " "),
+    (r"(?is)<style\b.*?</style\s*>", " "),
+    (r"(?is)<!--.*?-->", " "),
+    (r"(?s)<[^>]*>", " "),
+    (r"&amp;", "&"),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", '"'),
+    (r"&#39;", "'"),
+    (r"&nbsp;", " "),
+    (r"\s+", " "),
+]
+
+_HREF_RE = r"""(?is)<a\s[^>]*?href\s*=\s*["']([^"']*)["']"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar core — the oracle code path (also used by the frontier simulator).
+
+def extract_text_py(html: bytes | None) -> str | None:
+    if html is None or len(html) >= MAX_TEXT_EXTRACT_BYTES:
+        return None
+    s = html.decode("utf-8", errors="replace")
+    for pat, rep in _TEXT_STEPS:
+        s = re.sub(pat, rep, s)
+    return s.strip()
+
+
+def extract_hrefs_py(html: bytes | None) -> list[str]:
+    if html is None:
+        return []
+    s = html.decode("utf-8", errors="replace")
+    return re.findall(_HREF_RE, s)
+
+
+def md5_hex_py(data: bytes | None) -> str | None:
+    return hashlib.md5(data).hexdigest() if data is not None else None
+
+
+def _split_words_py(part: str) -> list[str] | None:
+    # keywords_file_processor.py:75-81: '.'/'_' -> ', '; reject parts with
+    # chars outside [a-zA-Z0-9,\s\]]; split on ', ', strip each.
+    part = part.replace(".", ", ").replace("_", ", ")
+    if ", " in part:
+        if re.findall(r"[^a-zA-Z0-9,\s\]]+", part):
+            return None
+        return [k.strip() for k in part.split(", ")]
+    return None
+
+
+def keywords_py(name: str | None) -> list[str] | None:
+    """Naming-convention keywords (keywords_file_processor.py:39-56).
+
+    If '- ' occurs in the name: scan name.split('-') from the END, first
+    part whose word-split succeeds wins.  Else scan name.split('[') from
+    the end with ']' removed.  None when nothing matches.
+    """
+    if not name:
+        return None
+    keywords: list[str] | None = None
+    if "- " in name:
+        for part in reversed(name.split("-")):
+            keywords = _split_words_py(part)
+            if keywords:
+                break
+    if not keywords:
+        for part in reversed(name.split("[")):
+            keywords = _split_words_py(part.replace("]", ""))
+            if keywords:
+                break
+    return keywords if keywords else None
+
+
+def rating_py(name: str | None, full: str | None = None) -> int | None:
+    """First run of '+' in the name (else the full path), capped at 5
+    (rating_file_processor.py:34-39, cap = Rating.EXCELLENT.value)."""
+    for s in (name, full):
+        if not s:
+            continue
+        m = re.search(r"(\++)", s)
+        if m:
+            return min(len(m.group(1)), 5)
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Vectorized pandas UDFs — Arrow-batched, same regex table.
+
+@pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    s = html.str.decode("utf-8", errors="replace")
+    # pandas .str.replace(regex=True) uses the same `re` engine as the
+    # scalar path — identical semantics, vectorized over the Arrow batch.
+    for pat, rep in _TEXT_STEPS:
+        s = s.str.replace(pat, rep, regex=True)
+    s = s.str.strip()
+    over_cap = html.map(lambda b: b is not None and len(b) >= MAX_TEXT_EXTRACT_BYTES)
+    return s.mask(over_cap, None)
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def extract_hrefs_udf(html: pd.Series) -> pd.Series:
+    s = html.str.decode("utf-8", errors="replace")
+    return s.str.findall(_HREF_RE).map(
+        lambda v: v if isinstance(v, list) else []
+    )
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def keywords_udf(name: pd.Series) -> pd.Series:
+    return name.map(keywords_py)
+
+
+@pandas_udf(T.IntegerType())
+def rating_udf(name: pd.Series, full: pd.Series) -> pd.Series:
+    out = pd.Series(
+        [rating_py(n, f) for n, f in zip(name, full)], index=name.index, dtype="object"
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Column-level (JVM-side) pieces.
+
+def md5_hex(html: Column) -> Column:
+    """RFC-1321 MD5 of the raw bytes — digest-equivalent to the reference's
+    chunked update loop (hash_file_processor.py:36-42)."""
+    return F.md5(html)
+
+
+def content_rating(name: Column, full: Column) -> Column:
+    """Native-Column twin of ``rating_py`` — preferred in the hot path
+    (rating_file_processor.py:34-39 as a regexp_extract)."""
+    first_run = F.regexp_extract(name, r"(\++)", 1)
+    fallback = F.regexp_extract(full, r"(\++)", 1)
+    run = F.when(first_run != "", first_run).otherwise(fallback)
+    return F.when(run == "", F.lit(None).cast("int")).otherwise(
+        F.least(F.length(run), F.lit(5))
+    )

@@ -1,0 +1,153 @@
+"""URL parsing as native Column expressions (JVM-side, codegen'd).
+
+Mirrors the reference's path-string helpers — extension normalization
+(app/models/path.py:108-133), relative-path stripping (path.py:39-47),
+name/stem parsing (path.py:65,84-86) — re-targeted from filesystem paths
+to URLs.  Everything here is a pure ``Column -> Column`` function; no
+Python executes per row.
+
+Scalar twins (``*_py``) implement identical semantics for the
+single-threaded frontier simulator (SURVEY §7.3) and unit tests.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_SCHEME_RE = r"^[a-z][a-z0-9+.-]*://"
+
+
+def url_host(url: Column) -> Column:
+    """Host part of an absolute URL ('' if relative)."""
+    return F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+
+
+def url_path(url: Column) -> Column:
+    """Path part including leading '/' ('' for bare host)."""
+    return F.regexp_replace(url, r"^[a-z][a-z0-9+.-]*://[^/]+", "")
+
+
+def url_depth(url: Column) -> Column:
+    """Number of non-empty path segments; bare host -> 0.
+
+    The URL analog of DepthFilter's parts-count
+    (app/filters/depth_filter.py:28-30, len of relative parts).
+    """
+    p = F.regexp_replace(url_path(url), r"^/+|/+$", "")
+    return F.when(p == "", F.lit(0)).otherwise(F.size(F.split(p, "/+")))
+
+
+def url_name(url: Column) -> Column:
+    """Final path segment (the analog of Path.name, path.py:65)."""
+    stripped = F.regexp_replace(url, r"/+$", "")
+    return F.element_at(F.split(stripped, "/"), -1)
+
+
+def url_extension(url: Column) -> Column:
+    """Lowercased extension of the final segment, no dot; null when the
+    segment has no dot or the candidate exceeds 12 chars — the exact
+    length-cap-12 rule of ExtensionFilter (app/filters/extension_filter.py:46-49).
+    """
+    ext = F.regexp_extract(url_name(url), r"\.([A-Za-z0-9_]{1,12})$", 1)
+    return F.when(ext == "", F.lit(None).cast("string")).otherwise(F.lower(ext))
+
+
+def url_parent(url: Column) -> Column:
+    """Parent URL (one path level up); host root is its own parent stop."""
+    return F.regexp_replace(url, r"/[^/]+/?$", "")
+
+
+def url_normalize(url: Column) -> Column:
+    """Canonical form used for frontier identity: lowercase scheme+host,
+    strip fragment, strip trailing slash (except bare host kept bare),
+    collapse duplicate slashes in the path.
+
+    Identity normalization is what makes the seen-set (J2) exact; the
+    reference normalizes with Path.resolve (file_system_crawler.py:411-415).
+    """
+    u = F.regexp_replace(url, r"#.*$", "")  # fragment
+    # lowercase scheme://host
+    head = F.lower(F.regexp_extract(u, r"^([a-z][a-z0-9+.-]*://[^/]+)", 1))
+    tail = F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://[^/]+", "")
+    tail = F.regexp_replace(tail, r"/{2,}", "/")
+    tail = F.regexp_replace(tail, r"/+$", "")
+    return F.when(head == "", u).otherwise(F.concat(head, tail))
+
+
+def url_resolve(base: Column, href: Column) -> Column:
+    """Resolve an href against a base page URL (subset of RFC 3986 the
+    link extractor needs): absolute http(s) hrefs pass through;
+    host-relative '/x' joins scheme+host; relative 'x' joins the base's
+    parent directory.  Other schemes -> null (dropped by the caller)."""
+    scheme_host = F.regexp_extract(base, r"^([a-z][a-z0-9+.-]*://[^/]+)", 1)
+    base_dir = F.regexp_replace(base, r"[^/]*$", "")  # up to last '/'
+    base_dir = F.when(
+        F.regexp_count(base_dir, F.lit("/")) < F.lit(3), F.concat(scheme_host, F.lit("/"))
+    ).otherwise(base_dir)
+    return (
+        F.when(href.rlike(r"^https?://"), href)
+        .when(href.startswith("//"), F.concat(F.lit("http:"), href))
+        .when(href.startswith("/"), F.concat(scheme_host, href))
+        .when(href.rlike(r"^[a-z][a-z0-9+.-]*:"), F.lit(None).cast("string"))
+        .when(href == "", F.lit(None).cast("string"))
+        .otherwise(F.concat(base_dir, href))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar twins (oracle/simulator code path) — semantics must match the
+# Column versions bit-for-bit; unit-tested against each other.
+
+def url_host_py(url: str) -> str:
+    m = re.match(r"^[a-z][a-z0-9+.-]*://([^/]+)", url)
+    return m.group(1) if m else ""
+
+
+def url_path_py(url: str) -> str:
+    return re.sub(r"^[a-z][a-z0-9+.-]*://[^/]+", "", url)
+
+
+def url_depth_py(url: str) -> int:
+    p = re.sub(r"^/+|/+$", "", url_path_py(url))
+    return 0 if p == "" else len(re.split(r"/+", p))
+
+
+def url_name_py(url: str) -> str:
+    return re.sub(r"/+$", "", url).split("/")[-1]
+
+
+def url_extension_py(url: str) -> str | None:
+    m = re.search(r"\.([A-Za-z0-9_]{1,12})$", url_name_py(url))
+    return m.group(1).lower() if m else None
+
+
+def url_normalize_py(url: str) -> str:
+    u = re.sub(r"#.*$", "", url)
+    m = re.match(r"^([a-z][a-z0-9+.-]*://[^/]+)", u)
+    if not m:
+        return u
+    head = m.group(1).lower()
+    tail = re.sub(r"^[a-z][a-z0-9+.-]*://[^/]+", "", u)
+    tail = re.sub(r"/{2,}", "/", tail)
+    tail = re.sub(r"/+$", "", tail)
+    return head + tail
+
+
+def url_resolve_py(base: str, href: str) -> str | None:
+    if re.match(r"^https?://", href):
+        return href
+    if href.startswith("//"):
+        return "http:" + href
+    m = re.match(r"^([a-z][a-z0-9+.-]*://[^/]+)", base)
+    scheme_host = m.group(1) if m else ""
+    if href.startswith("/"):
+        return scheme_host + href
+    if re.match(r"^[a-z][a-z0-9+.-]*:", href) or href == "":
+        return None
+    base_dir = re.sub(r"[^/]*$", "", base)
+    if base_dir.count("/") < 3:
+        base_dir = scheme_host + "/"
+    return base_dir + href

@@ -1,0 +1,102 @@
+"""Per-host politeness / priority window (SURVEY §2.5).
+
+The reference serializes work through a bounded queue + thread throttle
+(app/observers/queue_observer.py:33-42 backpressure;
+app/crawling_queue_consumer.py:174-178 in-flight cap).  The Spark-native
+equivalent is a rank-and-budget window: take the k highest-priority URLs
+per host per wave; the rest stay QUEUED and compete next wave.
+
+Skew: one hot host can hold ~30% of the frontier (fixtures model this),
+so a naive ``row_number().over(partitionBy(host))`` funnels that host
+into a single task.  We pre-truncate with a salted two-phase top-k:
+rank within (host, salt) keeping <=budget rows per salt bucket, THEN
+rank within host.  Phase 1 spreads the hot host over S tasks and caps
+phase 2's input at S*budget rows per host — exact, not approximate
+(each salt bucket keeps its own k smallest keys, which is a superset
+of the global k smallest).  This is the "explicit salting of hot
+hosts" clause of the north rule.
+
+Determinism: rank key is (priority, url) — a total order, no ties —
+so the scheduled set is identical at any parallelism (SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_SALT_BUCKETS = 32
+
+
+def politeness_take(
+    frontier: DataFrame,
+    default_budget: int,
+    host_budgets: DataFrame | None = None,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    global_cap: int | None = None,
+) -> DataFrame:
+    """Mark each row scheduled (rank <= per-host budget) or deferred.
+
+    frontier: rows with (url, host, priority, ...).
+    host_budgets: optional small dim (host, tokens) overriding the
+    default — broadcast-joined (robots crawl_delay_tokens analog).
+    Returns the input plus ``host_rank`` and ``scheduled`` columns.
+    """
+    df = frontier
+    if host_budgets is not None:
+        df = df.join(
+            F.broadcast(host_budgets.select("host", "tokens")), "host", "left"
+        )
+        budget_col = F.coalesce(F.col("tokens"), F.lit(default_budget))
+    else:
+        budget_col = F.lit(default_budget)
+    df = df.withColumn("_budget", budget_col).drop("tokens")
+
+    # Phase 1 — salted partial top-k: cap each (host, salt) bucket.
+    salt = F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
+    w1 = Window.partitionBy("host", "_salt").orderBy("priority", "url")
+    df = (
+        df.withColumn("_salt", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= F.col("_budget"))
+        .drop("_r1", "_salt")
+    )
+
+    # Phase 2 — exact per-host rank over the pre-truncated set.
+    w2 = Window.partitionBy("host").orderBy("priority", "url")
+    df = df.withColumn("host_rank", F.row_number().over(w2))
+    df = df.withColumn("scheduled", F.col("host_rank") <= F.col("_budget")).drop(
+        "_budget"
+    )
+
+    if global_cap is not None:
+        # Global wave cap (bounded-queue maxsize analog, config.py:129-131):
+        # rank the scheduled set by (priority, host, url) — distributed via
+        # range partitioning, never a single-task global window — and keep
+        # the first global_cap rows.
+        from fscrawler_spark.operators.topk import global_row_number
+
+        capped = global_row_number(
+            df.where("scheduled"), ["priority", "host", "url"], "_g"
+        )
+        df = (
+            df.where(~F.col("scheduled"))
+            .unionByName(
+                capped.withColumn("scheduled", F.col("_g") <= F.lit(global_cap)).drop(
+                    "_g"
+                )
+            )
+        )
+    return df
+
+
+def wave_rank(scheduled: DataFrame) -> DataFrame:
+    """Global deterministic rank of the scheduled set within a wave:
+    (priority, host, url) lexicographic — the ordering contract the
+    crawl-order test asserts (SURVEY §7.3).  Distributed rank
+    (range-partitioned), not a bare global window."""
+    from fscrawler_spark.operators.topk import global_row_number
+
+    return global_row_number(
+        scheduled, ["priority", "host", "url"], "rank_in_wave"
+    )

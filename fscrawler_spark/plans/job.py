@@ -1,0 +1,61 @@
+"""CrawlJob — the declarative crawl plan (SURVEY §3.1 stage 1).
+
+The reference's "planning" is constructing a live object graph of
+crawler + filters + observers + processors (app/crawler_entry_point.py:
+56-128).  Here the plan is a frozen config dataclass; the wave loop
+interprets it and Catalyst owns the physical plan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from fscrawler_spark.filters.builders import FilterSpec
+
+
+@dataclass(frozen=True)
+class CrawlJob:
+    """Everything that defines a crawl run.
+
+    skip_filters — AND chain, deny prunes the subtree (no link expansion
+        from a denied URL): file_system_crawler.py:447-460 semantics.
+    notify_filters — OR chain deciding which fetched pages land in
+        results; empty = all (file_system_crawler.py:462-468).
+    invert — select only filtered-out paths (fast_crawler.py:96-113).
+    politeness_budget — default max fetches per host per wave; robots
+        crawl_delay_tokens overrides per host.
+    wave_cap — optional global scheduled-URL cap per wave (bounded
+        queue maxsize analog, app/config/config.py:129-131).
+    use_bloom — two-tier seen-set probe (operators/dedup.py).
+    respect_robots — apply robots deny prefixes before scheduling.
+    """
+
+    politeness_budget: int = 8
+    max_waves: int = 50
+    wave_cap: int | None = None
+    skip_filters: tuple[FilterSpec, ...] = field(default_factory=tuple)
+    notify_filters: tuple[FilterSpec, ...] = field(default_factory=tuple)
+    invert: bool = False
+    use_bloom: bool = False
+    bloom_fpp: float = 0.01
+    respect_robots: bool = True
+    salt_buckets: int = 32
+
+
+def accept_seeds(seed_rows: list[dict]) -> list[dict]:
+    """Sequential root-overlap dedup (S4): iterate seeds in seed_id
+    order; reject any seed that is a URL-prefix of, or prefixed by, an
+    already-accepted seed (file_system_crawler.py:203-228, prefix test
+    both directions at :212-218).  Seeds are config-scale (a handful of
+    rows — the reference holds them in a dict), so this runs driver-side;
+    the engine and the simulator share this exact function.
+    """
+    accepted: list[dict] = []
+    for row in sorted(seed_rows, key=lambda r: r["seed_id"]):
+        url = row["url"]
+        if any(
+            url.startswith(a["url"]) or a["url"].startswith(url) for a in accepted
+        ):
+            continue
+        accepted.append(row)
+    return accepted

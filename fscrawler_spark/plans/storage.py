@@ -1,0 +1,93 @@
+"""Checkpoint store — per-wave atomic commit + resume (SURVEY §7.4).
+
+Contract (Iceberg-shaped, Parquet-directory implementation since the
+sandbox ships no Iceberg runtime jars):
+
+  {root}/results/wave=K/   — extracted rows appended by wave K
+  {root}/seen/wave=K/      — URLs first examined in wave K (append-only)
+  {root}/frontier/wave=K/  — the full pending frontier AFTER wave K
+  {root}/metrics/wave=K/   — counter rows for wave K
+  {root}/_commits/wave_K.json — commit marker, written LAST
+
+A wave is all-or-nothing: readers only trust directories whose marker
+exists, so a run killed mid-wave resumes from the last marker — the
+wave boundary is the only commit point, and replaying a wave is
+idempotent because wave membership is deterministic (the analog of the
+reference's upsert idempotence, app/database/data_manager.py:400-411).
+On Iceberg this maps 1:1 to one snapshot per wave with the same
+wave partition column; MERGE INTO replaces the directory append.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class CheckpointStore:
+    root: str
+
+    def _dir(self, table: str, wave: int) -> str:
+        return os.path.join(self.root, table, f"wave={wave}")
+
+    def _marker(self, wave: int) -> str:
+        return os.path.join(self.root, "_commits", f"wave_{wave}.json")
+
+    def write_wave(
+        self,
+        wave: int,
+        *,
+        results: DataFrame,
+        seen_delta: DataFrame,
+        frontier: DataFrame,
+        metrics: DataFrame,
+        stats: dict | None = None,
+    ) -> None:
+        """Write all wave-K outputs, then the commit marker (last)."""
+        results.write.mode("overwrite").parquet(self._dir("results", wave))
+        seen_delta.write.mode("overwrite").parquet(self._dir("seen", wave))
+        frontier.write.mode("overwrite").parquet(self._dir("frontier", wave))
+        metrics.write.mode("overwrite").parquet(self._dir("metrics", wave))
+        os.makedirs(os.path.join(self.root, "_commits"), exist_ok=True)
+        tmp = self._marker(wave) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"wave": wave, "stats": stats or {}}, fh)
+        os.replace(tmp, self._marker(wave))  # atomic rename = commit
+
+    def committed_waves(self) -> list[int]:
+        d = os.path.join(self.root, "_commits")
+        if not os.path.isdir(d):
+            return []
+        waves = []
+        for name in os.listdir(d):
+            if name.startswith("wave_") and name.endswith(".json"):
+                waves.append(int(name[5:-5]))
+        return sorted(waves)
+
+    def last_wave(self) -> int | None:
+        waves = self.committed_waves()
+        return waves[-1] if waves else None
+
+    def _read_committed(self, spark: SparkSession, table: str) -> DataFrame | None:
+        waves = self.committed_waves()
+        paths = [self._dir(table, w) for w in waves if os.path.isdir(self._dir(table, w))]
+        paths = [p for p in paths if any(f.endswith(".parquet") for f in os.listdir(p))]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def read_results(self, spark: SparkSession) -> DataFrame | None:
+        return self._read_committed(spark, "results")
+
+    def read_seen(self, spark: SparkSession) -> DataFrame | None:
+        return self._read_committed(spark, "seen")
+
+    def read_metrics(self, spark: SparkSession) -> DataFrame | None:
+        return self._read_committed(spark, "metrics")
+
+    def read_frontier(self, spark: SparkSession, wave: int) -> DataFrame:
+        return spark.read.parquet(self._dir("frontier", wave))

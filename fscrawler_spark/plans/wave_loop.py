@@ -1,0 +1,320 @@
+"""The wave loop — the crawl driver program (SURVEY §3.1 translation).
+
+FsCrawler's recursive DFS + producer/consumer threads collapse into an
+iterative sequence of declarative DataFrame passes; one wave =
+
+  frontier (QUEUED)
+    -> seen anti-join                 (J2 — skip already-examined)
+    -> stat join vs pages             (the os.scandir/stat analog)
+    -> missing -> ERROR               (error containment, D4)
+    -> skip-filter AND chain          (F1..F11; deny prunes the subtree)
+    -> robots deny prefixes           (.crawlerignore analog)
+    -> politeness window              (salted per-host top-k budget)
+    -> fetch join (html) + extract    (C4/C5/C6/C8 processors)
+    -> notify-filter OR gate -> results
+    -> link expansion -> next frontier (merged with deferred rows)
+    -> checkpoint commit (wave = the only commit point)
+
+Everything except the loop control runs JVM-side / Arrow-batched; the
+driver never touches row data (no collect in the data path — the only
+driver materializations are per-wave counter rows and the config-scale
+seed list).
+
+Determinism (SURVEY §7.3): wave membership and ranks depend only on
+total-order sort keys (priority, host, url) — identical at any
+parallelism, which is what the two-cluster-size scaling check relies on.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fscrawler_spark.filters.builders import and_all, or_any
+from fscrawler_spark.functions.extract import (
+    extract_text_udf,
+    keywords_udf,
+    content_rating,
+)
+from fscrawler_spark.functions.urls import (
+    url_depth,
+    url_extension,
+    url_host,
+    url_name,
+    url_normalize,
+    url_path,
+)
+from fscrawler_spark.functions.extract import extract_hrefs_udf
+from fscrawler_spark.operators.dedup import anti_join_seen, build_bloom
+from fscrawler_spark.operators.links import expand_from_hrefs
+from fscrawler_spark.operators.politeness import politeness_take, wave_rank
+from fscrawler_spark.plans.job import CrawlJob, accept_seeds
+from fscrawler_spark.plans.storage import CheckpointStore
+
+_FRONTIER_COLS = ["url", "host", "depth", "priority", "seed_id"]
+
+
+@dataclass
+class CrawlResult:
+    store: CheckpointStore
+    waves_run: int
+    stats: dict = field(default_factory=dict)
+
+    def results(self, spark: SparkSession) -> DataFrame | None:
+        return self.store.read_results(spark)
+
+    def seen(self, spark: SparkSession) -> DataFrame | None:
+        return self.store.read_seen(spark)
+
+    def metrics(self, spark: SparkSession) -> DataFrame | None:
+        return self.store.read_metrics(spark)
+
+
+def seeds_to_frontier(spark: SparkSession, seed_rows: list[dict]) -> DataFrame:
+    """Wave-0 frontier from the accepted seed list (driver-side config)."""
+    accepted = accept_seeds(seed_rows)
+    df = spark.createDataFrame(
+        [(r["url"], r["seed_id"]) for r in accepted], "url string, seed_id int"
+    )
+    return df.select(
+        url_normalize(F.col("url")).alias("url"),
+        url_host(url_normalize(F.col("url"))).alias("host"),
+        url_depth(F.col("url")).alias("depth"),
+        url_depth(F.col("url")).alias("priority"),
+        "seed_id",
+    )
+
+
+def _stat_join(queued: DataFrame, pages_meta: DataFrame) -> DataFrame:
+    """Left join against page metadata — the scandir/stat analog.  A miss
+    (dangling link) is the web analog of a scan error (D4)."""
+    return queued.join(pages_meta, "url", "left").withColumn(
+        "is_missing", F.col("size").isNull() & F.col("warc_ts").isNull()
+    )
+
+
+def run_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    seed_rows: list[dict],
+    job: CrawlJob,
+    robots: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
+    seed_dim: DataFrame | None = None,
+    resume: bool = False,
+) -> CrawlResult:
+    """Run (or resume) a crawl; state lives in the CheckpointStore."""
+    store = CheckpointStore(checkpoint_dir or tempfile.mkdtemp(prefix="fsc_ckpt_"))
+
+    # Page metadata view (no html) — Catalyst prunes the binary column out
+    # of every pass except the fetch join.  `size` must still read html
+    # (schema has no length column); a production pages table would carry
+    # a size column / Iceberg column stats to make this a metadata scan.
+    pages_meta = pages.select(
+        "url", "warc_ts", F.length("html").cast("long").alias("size")
+    )
+    deny_rules = None
+    host_budgets = None
+    if robots is not None and job.respect_robots:
+        deny_rules = robots.where(~F.col("allow")).select("host", "path_prefix")
+        host_budgets = (
+            robots.where(F.col("allow") & F.col("crawl_delay_tokens").isNotNull())
+            .groupBy("host")
+            .agg(F.min("crawl_delay_tokens").alias("tokens"))
+        )
+
+    skip_pred = and_all(list(job.skip_filters))
+    if job.invert:
+        skip_pred = ~F.coalesce(skip_pred, F.lit(False))
+    notify_pred = or_any(list(job.notify_filters))
+
+    start_wave = 0
+    seen_count = 0
+    if resume and store.last_wave() is not None:
+        start_wave = store.last_wave() + 1
+        frontier = store.read_frontier(spark, store.last_wave())
+        seen_df = store.read_seen(spark)
+        seen_count = seen_df.count() if seen_df is not None else 0
+    else:
+        frontier = seeds_to_frontier(spark, seed_rows)
+        seen_df = None
+
+    waves_run = start_wave
+    for wave in range(start_wave, job.max_waves):
+        if frontier.isEmpty():
+            break
+        waves_run = wave + 1
+
+        queued = frontier.select(*_FRONTIER_COLS)
+
+        # --- seen anti-join (J2): two-tier when bloom enabled ------------
+        if seen_df is not None:
+            bloom = (
+                build_bloom(seen_df, "url", max(seen_count, 1), job.bloom_fpp)
+                if job.use_bloom
+                else None
+            )
+            new = anti_join_seen(queued, seen_df, "url", bloom)
+        else:
+            new = queued
+
+        # --- stat join + classification ----------------------------------
+        # persisted: consumed by missing/skipped/authorized branches, the
+        # seen delta and the metrics aggregate (one compute, many readers).
+        stat = _stat_join(new, pages_meta).persist()
+        missing = stat.where(F.col("is_missing"))
+        present = stat.where(~F.col("is_missing")).drop("is_missing")
+
+        authorized = present.where(F.coalesce(skip_pred, F.lit(False)))
+        skipped = present.where(~F.coalesce(skip_pred, F.lit(False)))
+
+        robots_denied = None
+        if deny_rules is not None:
+            hit = (
+                authorized.join(F.broadcast(deny_rules), "host")
+                .where(url_path(F.col("url")).startswith(F.col("path_prefix")))
+                .select("url")
+                .distinct()
+            )
+            robots_denied = authorized.join(hit, "url", "left_semi")
+            authorized = authorized.join(hit, "url", "left_anti")
+
+        # --- politeness window -------------------------------------------
+        ranked = politeness_take(
+            authorized,
+            job.politeness_budget,
+            host_budgets,
+            job.salt_buckets,
+            job.wave_cap,
+        ).persist()
+        scheduled = ranked.where(F.col("scheduled")).drop("scheduled", "host_rank")
+        deferred = ranked.where(~F.col("scheduled")).select(*_FRONTIER_COLS)
+
+        # --- fetch join + extraction (the only pass that reads html) -----
+        # The scheduled set is bounded by (hosts x budget) — typically far
+        # smaller than pages — so Catalyst/AQE turns this into a
+        # broadcast/shuffle-hash join probing the big pages scan once.
+        fetched = scheduled.drop("warc_ts", "size").join(pages, "url", "inner")
+        name = url_name(F.col("url"))
+        extracted = (
+            fetched.withColumn("size", F.length("html").cast("long"))
+            .withColumn("md5_hex", F.md5("html"))
+            .withColumn("xxhash", F.xxhash64("html"))
+            .withColumn("text", extract_text_udf(F.col("html")))
+            .withColumn("hrefs", extract_hrefs_udf(F.col("html")))
+            .withColumn("extension", url_extension(F.col("url")))
+            .withColumn("keywords", keywords_udf(name))
+            .withColumn("rating", content_rating(name, F.col("url")))
+            .drop("html")  # the binary never crosses a shuffle
+        )
+        # persisted BEFORE ranking: results write, link expansion, metrics
+        # and wave_rank's two passes all read the extracted set; the html
+        # scan + UDFs must run exactly once per wave.
+        pre_rank = extracted.persist()
+        extracted = (
+            wave_rank(pre_rank)
+            .withColumn("wave", F.lit(wave))
+            .withColumn("n_links", F.size("hrefs"))
+            .persist()
+        )
+
+        results_wave = extracted.where(
+            F.coalesce(notify_pred, F.lit(True))
+        ).withColumn("stage", F.lit("EXTRACTED"))
+        if seed_dim is not None:
+            results_wave = results_wave.join(
+                F.broadcast(seed_dim.select("seed_id", "target_table")),
+                "seed_id",
+                "left",
+            )
+        else:
+            results_wave = results_wave.withColumn(
+                "target_table", F.lit(None).cast("string")
+            )
+        error_rows = missing.select(
+            "url", "host", "depth", F.lit(wave).alias("wave"),
+            F.lit("ERROR").alias("stage"),
+        )
+
+        # --- link expansion + next frontier -------------------------------
+        children = expand_from_hrefs(
+            extracted.select("url", "hrefs", "depth", "seed_id")
+        )
+        merged = (
+            children.unionByName(
+                deferred.select("url", "host", "depth", "priority", "seed_id")
+            )
+            .groupBy("url", "host")
+            .agg(F.min(F.struct("depth", "priority", "seed_id")).alias("_m"))
+            .select(
+                "url", "host",
+                F.col("_m.depth").alias("depth"),
+                F.col("_m.priority").alias("priority"),
+                F.col("_m.seed_id").alias("seed_id"),
+            )
+        )
+
+        # --- commit wave ---------------------------------------------------
+        seen_delta_parts = [scheduled.select("url"), skipped.select("url"),
+                            missing.select("url")]
+        if robots_denied is not None:
+            seen_delta_parts.append(robots_denied.select("url"))
+        seen_delta = seen_delta_parts[0]
+        for p in seen_delta_parts[1:]:
+            seen_delta = seen_delta.unionByName(p)
+        seen_delta = seen_delta.distinct().withColumn("wave", F.lit(wave))
+
+        results_out = results_wave.select(
+            "url", "host", "depth", "wave", "rank_in_wave", "warc_ts", "size",
+            "md5_hex", "xxhash", "text", "lang", "extension", "keywords",
+            "rating", "n_links", "stage", "target_table",
+        ).unionByName(error_rows, allowMissingColumns=True)
+
+        # One aggregation action yields every wave counter (A2 analog).
+        status_counts = (
+            scheduled.select(F.lit("scheduled").alias("s"), "size")
+            .unionByName(skipped.select(F.lit("skipped").alias("s"), "size"))
+            .unionByName(missing.select(F.lit("missing").alias("s"), "size"))
+            .unionByName(
+                robots_denied.select(F.lit("robots_denied").alias("s"), "size")
+                if robots_denied is not None
+                else spark.createDataFrame([], "s string, size long")
+            )
+            .unionByName(deferred.select(F.lit("deferred").alias("s"),
+                                         F.lit(None).cast("long").alias("size")))
+            .groupBy("s")
+            .agg(F.count("*").alias("n"), F.sum("size").alias("bytes"))
+            .collect()
+        )
+        stats = {r["s"]: {"n": r["n"], "bytes": r["bytes"] or 0} for r in status_counts}
+        metrics_rows = [
+            (wave, f"{k}_{m}", int(v[m])) for k, v in stats.items() for m in ("n", "bytes")
+        ]
+        metrics_df = spark.createDataFrame(
+            metrics_rows or [(wave, "empty", 0)], "wave int, metric string, value long"
+        )
+
+        store.write_wave(
+            wave,
+            results=results_out,
+            seen_delta=seen_delta,
+            frontier=merged,
+            metrics=metrics_df,
+            stats=stats,
+        )
+
+        for cached in (stat, ranked, pre_rank, extracted):
+            cached.unpersist()
+
+        # Re-read committed state — truncates lineage (no exponential plan
+        # growth across waves) and makes resume path == normal path.
+        frontier = store.read_frontier(spark, wave)
+        seen_df = store.read_seen(spark)
+        seen_count += sum(v["n"] for v in stats.values() if v) - stats.get(
+            "deferred", {"n": 0}
+        )["n"]
+
+    return CrawlResult(store=store, waves_run=waves_run)

@@ -1,0 +1,69 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local-mode testing stands in for a multi-executor cluster; every config
+here is chosen to behave identically when the same job ships via
+``spark-submit --py-files`` to a real cluster (AQE on, adaptive skew
+join on, Arrow on, UTC timezone pinned so timestamp semantics are
+machine-independent).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "fscrawler_spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    cores: int N -> local[N]; "*" -> local[*]; None -> $SPARK_GRAFT_CPUS
+    or local[*].  shuffle_partitions defaults to the core count — on a
+    real cluster you would size this to total executor cores instead
+    (the wave loop re-partitions per wave anyway, so the global default
+    only shapes the analytic queries).
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = f"local[{cores}]"
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = max(int(cores), 8)
+        except (TypeError, ValueError):
+            shuffle_partitions = 32
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    """Tear down the active session/context (needed between two-parallelism
+    bench runs, which must each get a fresh local[N] JVM-side context)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    # SparkSession.builder caches the session; clear so a new master takes.
+    SparkSession.builder._options = {}
