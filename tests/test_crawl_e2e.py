@@ -1,0 +1,143 @@
+"""End-to-end crawl equivalence (SURVEY §5.3): the Spark wave loop must
+reproduce the scalar simulator's URL-seen set, (wave, rank_in_wave)
+scheduling order, and per-URL extraction bit-for-bit, under the same
+seeds + filters + politeness budget — the executable form of matching
+FsCrawler's deterministic traversal of a known tree."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fscrawler_spark.filters import DepthFilter, ExtensionFilter, SizeFilter
+from fscrawler_spark.functions.extract import keywords_py, rating_py
+from fscrawler_spark.functions.urls import url_name_py
+from fscrawler_spark.plans.job import CrawlJob, accept_seeds
+from fscrawler_spark.plans.simulator import simulate_crawl
+from fscrawler_spark.plans.wave_loop import run_crawl
+
+JOB = CrawlJob(
+    politeness_budget=4,
+    max_waves=5,
+    skip_filters=(
+        DepthFilter(4),
+        ExtensionFilter(excluded=frozenset({"tmp", "log", "bak", "pyc"})),
+        SizeFilter(1, 150_000),
+    ),
+)
+
+
+@pytest.fixture(scope="module")
+def sim(tiny):
+    return simulate_crawl(tiny["pages"], tiny["seeds"], JOB, tiny["robots"])
+
+
+@pytest.fixture(scope="module")
+def engine(spark, pages_df, robots_df, tiny, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("ckpt_main"))
+    return run_crawl(
+        spark, pages_df, tiny["seeds"], JOB, robots=robots_df, checkpoint_dir=ckpt
+    )
+
+
+def test_seed_overlap_dedup(tiny):
+    accepted = accept_seeds(tiny["seeds"])
+    urls = [s["url"] for s in accepted]
+    # the overlapping seed (subpath of h1's root) must be rejected (S4)
+    assert "http://h1.example/s1" not in urls
+    assert "http://h1.example" in urls
+
+
+def test_order_and_seen_set(spark, engine, sim):
+    results = engine.results(spark)
+    eng_order = {
+        r["url"]: (r["wave"], r["rank_in_wave"])
+        for r in results.where("stage = 'EXTRACTED'").collect()
+    }
+    assert eng_order == sim.order
+    eng_seen = {r["url"] for r in engine.seen(spark).collect()}
+    assert eng_seen == sim.seen
+    assert engine.waves_run == sim.waves_run
+
+
+def test_extraction_matches_oracle(spark, engine, sim):
+    rows = engine.results(spark).where("stage = 'EXTRACTED'").collect()
+    expect = {x["url"]: x for x in sim.results if x["stage"] == "EXTRACTED"}
+    assert {r["url"] for r in rows} == set(expect)
+    for r in rows:
+        e = expect[r["url"]]
+        assert r["md5_hex"] == e["md5_hex"], r["url"]
+        assert r["text"] == e["text"], r["url"]  # byte-identical invariant
+        assert r["size"] == e["size"]
+        assert r["extension"] == e["extension"]
+        assert (r["keywords"] or None) == e["keywords"], r["url"]
+        assert r["rating"] == e["rating"], r["url"]
+
+
+def test_error_rows_for_dangling_links(spark, engine, sim):
+    eng_err = {
+        r["url"]
+        for r in engine.results(spark).where("stage = 'ERROR'").collect()
+    }
+    sim_err = {u for u, s in sim.statuses.items() if s == "ERROR"}
+    assert eng_err == sim_err
+    assert eng_err, "fixture must contain dangling links (D4 targets)"
+
+
+def test_robots_subtree_denied(sim):
+    denied = {u for u, s in sim.statuses.items() if s == "ROBOTS_DENIED"}
+    assert any(u.startswith("http://h1.example/s1") for u in denied)
+    # denied URLs never scheduled, and their subtrees never expanded
+    assert not any(u in sim.order for u in denied)
+
+
+def test_politeness_budget_respected(spark, engine, tiny):
+    per = (
+        engine.results(spark)
+        .where("stage = 'EXTRACTED'")
+        .groupBy("wave", "host")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    tokens = {
+        r["host"]: r["crawl_delay_tokens"]
+        for r in tiny["robots"]
+        if r["allow"] and r.get("crawl_delay_tokens") is not None
+    }
+    for r in per:
+        budget = tokens.get(r["host"], JOB.politeness_budget)
+        assert r["n"] <= budget, (r["host"], r["wave"])
+
+
+def test_metrics_match_simulator(spark, engine, sim):
+    eng = {
+        (r["wave"], r["metric"]): r["value"]
+        for r in engine.metrics(spark).collect()
+    }
+    for m in sim.metrics:
+        w = m["wave"]
+        for key, simkey in [
+            ("scheduled_n", "scheduled_n"),
+            ("skipped_n", "skipped_n"),
+            ("missing_n", "missing_n"),
+            ("deferred_n", "deferred_n"),
+        ]:
+            eng_v = eng.get((w, key.replace("_n", "") + "_n"), 0)
+            assert eng_v == m[simkey], (w, key)
+        assert eng.get((w, "scheduled_bytes"), 0) == m["scheduled_bytes"], w
+
+
+def test_bloom_mode_identical(spark, pages_df, robots_df, tiny, sim, tmp_path_factory):
+    """Two-tier bloom+anti-join must change nothing observable (J2 — the
+    bloom is a pre-filter, never a decider)."""
+    job = CrawlJob(**{**JOB.__dict__, "use_bloom": True})
+    ckpt = str(tmp_path_factory.mktemp("ckpt_bloom"))
+    res = run_crawl(
+        spark, pages_df, tiny["seeds"], job, robots=robots_df, checkpoint_dir=ckpt
+    )
+    order = {
+        r["url"]: (r["wave"], r["rank_in_wave"])
+        for r in res.results(spark).where("stage = 'EXTRACTED'").collect()
+    }
+    assert order == sim.order
+    assert {r["url"] for r in res.seen(spark).collect()} == sim.seen

@@ -1,0 +1,123 @@
+"""Operator unit tests: politeness window, bloom/anti-join dedup,
+global rank, top-k (SURVEY §2.3-§2.6)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from fscrawler_spark.operators.dedup import (
+    NumpyBloom,
+    anti_join_seen,
+    build_bloom,
+    exact_duplicate_groups,
+)
+from fscrawler_spark.operators.politeness import politeness_take
+from fscrawler_spark.operators.topk import global_row_number, top_k_per_group
+
+
+def _frontier(spark, n_hosts=5, per_host=20, hot=200):
+    rows = []
+    for h in range(n_hosts):
+        n = hot if h == 0 else per_host
+        for i in range(n):
+            rows.append((f"http://h{h}.x/p{i:04d}", f"h{h}.x", i % 3, i % 3))
+    return spark.createDataFrame(
+        rows, "url string, host string, depth int, priority int"
+    )
+
+
+def test_politeness_budget_and_determinism(spark):
+    df = _frontier(spark)
+    out = politeness_take(df, default_budget=4, salt_buckets=8)
+    sched = out.where("scheduled")
+    per_host = {r["host"]: r["n"] for r in sched.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 4 for v in per_host.values())
+    # deterministic: same call twice -> identical scheduled set
+    a = {r["url"] for r in sched.collect()}
+    b = {r["url"] for r in politeness_take(df, 4, salt_buckets=8).where("scheduled").collect()}
+    assert a == b
+    # salting must not change the selection (exactness of two-phase top-k)
+    c = {r["url"] for r in politeness_take(df, 4, salt_buckets=1).where("scheduled").collect()}
+    assert a == c
+    # and equals the brute-force per-host (priority, url) top-4
+    rows = df.collect()
+    expect = set()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    for host, hrows in by_host.items():
+        hrows.sort(key=lambda r: (r["priority"], r["url"]))
+        expect |= {r["url"] for r in hrows[:4]}
+    assert a == expect
+
+
+def test_politeness_host_budget_override(spark):
+    df = _frontier(spark)
+    budgets = spark.createDataFrame([("h0.x", 1)], "host string, tokens int")
+    out = politeness_take(df, default_budget=3, host_budgets=budgets)
+    got = {r["host"]: r["n"] for r in out.where("scheduled").groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert got["h0.x"] == 1
+    assert got["h1.x"] == 3
+
+
+def test_numpy_bloom_no_false_negatives():
+    rng = np.random.default_rng(7)
+    h1 = rng.integers(-(2**62), 2**62, 5000)
+    h2 = rng.integers(-(2**31), 2**31, 5000)
+    b = NumpyBloom.sized_for(5000, 0.01)
+    b.add_hashes(h1, h2)
+    assert b.might_contain(h1, h2).all()  # zero false negatives, ever
+    # false-positive rate near spec on fresh hashes
+    q1 = rng.integers(-(2**62), 2**62, 20000)
+    q2 = rng.integers(-(2**31), 2**31, 20000)
+    fpp = b.might_contain(q1, q2).mean()
+    assert fpp < 0.05
+
+
+def test_anti_join_with_bloom_equals_exact(spark):
+    cand = spark.createDataFrame(
+        [(f"http://h/{i}",) for i in range(500)], "url string"
+    )
+    seen = spark.createDataFrame(
+        [(f"http://h/{i}",) for i in range(0, 500, 3)], "url string"
+    )
+    exact = {r["url"] for r in anti_join_seen(cand, seen).collect()}
+    bloom = build_bloom(seen, "url", 200)
+    two_tier = {r["url"] for r in anti_join_seen(cand, seen, bloom=bloom).collect()}
+    assert two_tier == exact
+    assert len(exact) == 333
+
+
+def test_global_row_number(spark):
+    df = spark.createDataFrame(
+        [(i % 7, f"u{i:04d}") for i in range(1000)], "priority int, url string"
+    )
+    out = global_row_number(df, ["priority", "url"], "rk", num_partitions=8)
+    rows = out.collect()
+    rows.sort(key=lambda r: (r["priority"], r["url"]))
+    assert [r["rk"] for r in rows] == list(range(1, 1001))
+
+
+def test_exact_duplicate_groups(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 1), ("b", 2), ("c", 1), ("c", 9)],
+        "hash string, size long",
+    )
+    got = {
+        (r["hash"], r["size"]): r["dup_count"]
+        for r in exact_duplicate_groups(df, "hash", "size").collect()
+    }
+    assert got == {("a", 1): 3}
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [(g, v) for g in "ab" for v in range(10)], "g string, v int"
+    )
+    got = top_k_per_group(df, ["g"], [F.desc("v")], 3).collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r["g"], []).append(r["v"])
+    assert sorted(by_g["a"], reverse=True) == [9, 8, 7]
+    assert sorted(by_g["b"], reverse=True) == [9, 8, 7]

@@ -1,0 +1,84 @@
+"""Column vs scalar parity for every URL helper (functions/urls.py).
+
+The scalar twins drive the simulator oracle, so any drift between the
+two renderings silently breaks the e2e contract — this test pins them
+together on an adversarial URL corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fscrawler_spark.functions import urls as U
+
+CORPUS = [
+    "http://h0.example",
+    "http://h0.example/",
+    "http://h0.example/a",
+    "http://h0.example/a/b/c.html",
+    "https://H0.EXAMPLE/A/b//c.HTML#frag",
+    "http://h1.example/s1/s4/file.with.dots.tar.gz",
+    "http://h2.example/no-ext-here/",
+    "http://h3.example/x.averylongextension123",  # >12 chars -> null ext
+    "http://h4.example/name.",  # trailing dot, no ext
+    "http://h5.example/a+b/c++.html",
+    "http://h6.example/s2[alpha_beta].htm",
+    "http://h7.example/%20enc/sp%41ce.txt",
+]
+
+
+def test_scalar_column_parity(spark):
+    df = spark.createDataFrame([(u,) for u in CORPUS], "url string")
+    got = df.select(
+        "url",
+        U.url_host(F.col("url")).alias("host"),
+        U.url_path(F.col("url")).alias("path"),
+        U.url_depth(F.col("url")).alias("depth"),
+        U.url_name(F.col("url")).alias("name"),
+        U.url_extension(F.col("url")).alias("ext"),
+        U.url_normalize(F.col("url")).alias("norm"),
+    ).collect()
+    for row in got:
+        u = row["url"]
+        assert row["host"] == U.url_host_py(u), u
+        assert row["path"] == U.url_path_py(u), u
+        assert row["depth"] == U.url_depth_py(u), u
+        assert row["name"] == U.url_name_py(u), u
+        assert row["ext"] == U.url_extension_py(u), u
+        assert row["norm"] == U.url_normalize_py(u), u
+
+
+def test_resolve_parity(spark):
+    cases = [
+        ("http://h0.example/a/b/page.html", "http://x.example/abs.html"),
+        ("http://h0.example/a/b/page.html", "/rooted/x.html"),
+        ("http://h0.example/a/b/page.html", "relative.html"),
+        ("http://h0.example/a/b/page.html", "//proto.example/rel"),
+        ("http://h0.example/a/b/page.html", "mailto:x@example.com"),
+        ("http://h0.example/a/b/page.html", ""),
+        ("http://h0.example", "child.html"),
+    ]
+    df = spark.createDataFrame(cases, "base string, href string")
+    got = df.select(
+        "base", "href", U.url_resolve(F.col("base"), F.col("href")).alias("out")
+    ).collect()
+    for row in got:
+        assert row["out"] == U.url_resolve_py(row["base"], row["href"]), (
+            row["base"],
+            row["href"],
+        )
+
+
+def test_extension_semantics():
+    # length-cap 12 and no-dot => None (extension_filter.py:46-49 analog)
+    assert U.url_extension_py("http://h/x.averylongextension123") is None
+    assert U.url_extension_py("http://h/noext") is None
+    assert U.url_extension_py("http://h/x.HTML") == "html"
+    assert U.url_extension_py("http://h/a.tar.gz") == "gz"
+
+
+def test_depth_semantics():
+    assert U.url_depth_py("http://h0.example") == 0
+    assert U.url_depth_py("http://h0.example/") == 0
+    assert U.url_depth_py("http://h0.example/a") == 1
+    assert U.url_depth_py("http://h0.example/a/b/") == 2
