@@ -1,0 +1,364 @@
+"""Near-duplicate detection + similarity search for training-data
+pipelines (per the build brief these are first-class engine components
+alongside the crawl operators).
+
+All-Spark implementations:
+  - MinHash + LSH banding (shingle -> k min-hashes -> b bands ->
+    bucket self-join -> exact-Jaccard verification of candidates)
+  - SimHash (64-bit, token-hash majority vote) via a vectorized
+    pandas/numpy UDF + banded hamming candidate join
+  - exact n-gram Jaccard (the small-scale oracle / verifier)
+  - embedding cosine top-k: brute-force (exact baseline) and an
+    LSH-bucketed variant (random-hyperplane signs) as the scale path
+
+Scale shape: LSH turns the O(n^2) all-pairs comparison into
+groupBy(bucket) + within-bucket joins — shuffle keyed on band hashes,
+so skewed buckets (giant near-dup clusters) are the hot spot; the
+band hash includes the band index, spreading each doc over `b`
+independent shuffles.  Verification joins fetch shingle sets by id —
+broadcast when the candidate set is small, sort-merge otherwise (AQE
+decides).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from fscrawler_spark.functions.textstats import shingles
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def _min_hash_i(shingle_col, i: int):
+    # NB: the transform lambda must be single-arg — a two-arg lambda would
+    # receive the ARRAY INDEX as its second argument and shadow the
+    # hash-function index, silently collapsing all k functions into one.
+    return F.array_min(
+        F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i)))
+    )
+
+
+def minhash_signature(shingle_col, k: int = 64):
+    """k min-hash values: sig[i] = min over shingles of xxhash64(s, i).
+    Pure Column expression — one pass, no UDF."""
+    return F.array(
+        *[
+            F.coalesce(_min_hash_i(shingle_col, i), F.lit(None).cast("long"))
+            for i in range(k)
+        ]
+    )
+
+
+def lsh_bands(shingle_col, bands: int, rows: int):
+    """Band hashes computed straight from the shingle set:
+    band j = xxhash64(j, minhash_{j*r} .. minhash_{j*r+r-1}).
+
+    Deliberately NOT factored through a signature-array column: Catalyst
+    inlines (no CSE across projections), so referencing a k-wide
+    signature array from every band re-evaluates all k min-hash
+    traversals per band — O(bands*k) array scans per row instead of
+    O(k).  Building each band from its own r min-hash expressions keeps
+    every min-hash evaluated exactly once (measured 122s -> ~2s on the
+    sf0.01 documents table)."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(j),
+                *[_min_hash_i(shingle_col, j * rows + i) for i in range(rows)],
+            )
+            for j in range(bands)
+        ]
+    )
+
+
+def exact_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float, k_shingle: int = 3
+) -> DataFrame:
+    """All-pairs exact Jaccard >= threshold over word-k-shingle sets.
+    O(n^2) cross join — the correctness baseline / oracle twin for the
+    LSH path; use only on small (or pre-bucketed) inputs."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), k_shingle).alias("sh")
+    ).where(F.size("sh") > 0)
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.size(F.array_union("a.sh", "b.sh"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    k_shingle: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-dup pairs via MinHash-LSH with exact-Jaccard verification.
+
+    With b=32, r=4: P(candidate | j=0.8) = 1-(1-0.8^4)^32 ≈ 1 - 4.6e-8,
+    so at `threshold`>=0.8 the candidate set contains every true pair
+    with near-certainty and the verified output equals the exact
+    all-pairs result — deterministically (hash seeds are fixed).
+    """
+    rows = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), k_shingle).alias("sh")
+    ).where(F.size("sh") > 0)
+    sh = sh.persist()
+    banded = sh.select(
+        "id",
+        F.posexplode(lsh_bands(F.col("sh"), bands, rows)).alias("band", "bh"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return cand
+    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    out = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def _stable_token_hash(arr: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit token hash (FNV-1a over utf-8 bytes) —
+    process-independent (unlike Python's salted hash())."""
+    out = np.empty(len(arr), dtype=np.uint64)
+    for i, tok in enumerate(arr):
+        h = np.uint64(0xCBF29CE484222325)
+        for byt in tok.encode("utf-8"):
+            h = np.uint64((int(h) ^ byt) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+        out[i] = h
+    return out
+
+
+@pandas_udf(T.LongType())
+def simhash64_udf(tokens_col: pd.Series) -> pd.Series:
+    """64-bit SimHash of a token array: per-bit majority vote of token
+    hashes.  numpy-vectorized across the bit dimension per doc."""
+    bit_idx = np.arange(64, dtype=np.uint64)
+    out = np.zeros(len(tokens_col), dtype=np.uint64)
+    for i, toks in enumerate(tokens_col):
+        if toks is None or len(toks) == 0:
+            continue
+        hs = _stable_token_hash(np.asarray(toks))
+        bits = (hs[:, None] >> bit_idx[None, :]) & np.uint64(1)  # (n_tok, 64)
+        votes = bits.sum(axis=0) * 2 - len(hs)  # positive -> bit set
+        out[i] = ((votes > 0).astype(np.uint64) << bit_idx).sum(dtype=np.uint64)
+    # reinterpret the uint64 hash as int64 (LongType) without overflow
+    return pd.Series(out.view(np.int64))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    tokens_col,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Pigeonhole banding: split the 64-bit hash into `chunks` blocks; any
+    pair within hamming<=chunks-1 shares at least one identical block,
+    so an equi-join per block finds all candidates (exact for
+    max_hamming <= chunks-1), then the popcount verifies.
+    """
+    width = 64 // chunks
+    sh = df.select(F.col(id_col).alias("id"), simhash64_udf(tokens_col).alias("sh"))
+    blocks = sh.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sh"), i * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("blk", "bv"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+
+
+def cosine_sim(a, b):
+    """Cosine similarity of two float-array Columns — F.aggregate fold,
+    JVM-side, double precision."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k neighbors per query (self-match excluded).
+    Broadcast the query side (small by construction); the corpus scan
+    is one pass — O(|Q| * |C| * d) FLOPs distributed over partitions."""
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
+        .select("qid", "cid", cosine_sim(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    from fscrawler_spark.operators.topk import top_k_per_group
+
+    ranked = top_k_per_group(
+        scored, ["qid"], [F.desc("sim"), F.asc("cid")], k, rank_col="rk"
+    )
+    # re-derive rank deterministically for output
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    return ranked.withColumn("rank", F.row_number().over(w))
+
+
+def hyperplane_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate cosine top-k: random-hyperplane sign LSH.
+
+    Each of `n_tables` tables hashes a vector to an n_planes-bit
+    bucket (sign of dot with seeded random hyperplanes); candidates =
+    corpus vectors sharing a bucket with the query in ANY table; exact
+    cosine re-rank of candidates.  At 10^10 scale this replaces the
+    full corpus scan with |bucket| * n_tables probes; recall grows
+    with n_tables.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+
+    def bucket_cols(vec):
+        out = []
+        for t in range(n_tables):
+            bits = [
+                F.when(
+                    F.aggregate(
+                        F.zip_with(
+                            vec,
+                            F.array(*[F.lit(float(w)) for w in planes[t, p]]),
+                            lambda x, y: x.cast("double") * y,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                    >= 0,
+                    F.lit(1 << p),
+                ).otherwise(F.lit(0))
+                for p in range(n_planes)
+            ]
+            out.append(sum(bits[1:], bits[0]).alias(f"b{t}"))
+        return out
+
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
+                       *bucket_cols(F.col(vec_col)))
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
+                      *bucket_cols(F.col(vec_col)))
+    q_b = q.select(
+        "qid", "qv", F.posexplode(F.array(*[F.col(f"b{t}") for t in range(n_tables)])).alias("t", "bkt")
+    )
+    c_b = c.select(
+        "cid", "cv", F.posexplode(F.array(*[F.col(f"b{t}") for t in range(n_tables)])).alias("t", "bkt")
+    )
+    cand = (
+        q_b.join(c_b, ["t", "bkt"])
+        .where(F.col("qid") != F.col("cid"))
+        .select("qid", "qv", "cid", "cv")
+        .distinct()
+    )
+    scored = cand.select("qid", "cid", cosine_sim(F.col("qv"), F.col("cv")).alias("sim"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    )
