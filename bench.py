@@ -1,0 +1,154 @@
+"""Benchmark harness (driver contract, run per-round).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line:  {"metric": ..., "value": <total sec>, "unit": "sec",
+        "queries": {name: sec, ...}, "sf": ...}
+
+The crawl benchmark runs the full wave loop on the deterministic
+"small" synthetic pages fixture (60k pages / 50 hosts + hot host) and
+reports urls_per_sec = scheduled+extracted URLs / crawl seconds — the
+BASELINE.json target metric.  The two-parallelism scaling evidence
+(local[8] vs local[32]) lives in BENCH/scaling.py -> BENCH/BASELINE.md.
+
+Analytic queries are timed with a noop-format write so every output
+column is computed (a bare count() would let Catalyst prune the work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from fscrawler_spark import schemas  # noqa: E402
+from fscrawler_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+FIXTURE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q02_count_by_type",
+    "q04_dup_groups",
+    "q05_dup_selfjoin",
+    "q06_topk_per_group",
+    "q11_politeness_window",
+    "q13_exact_dedup",
+    "q16_text_stats",
+    "q17_lang_quality_agg",
+    "q18_cosine_topk",
+]
+
+
+def _noop_write(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_minhash(spark, sf_dir):
+    """MinHash-LSH near-dup at scale config (b=32, r=4, t>=0.8 —
+    selective bands so candidate volume stays ~linear)."""
+    from fscrawler_spark.operators.similarity import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs, "doc_id", "text", 0.8, num_hashes=128, bands=32)
+
+
+def bench_simhash(spark, sf_dir):
+    from fscrawler_spark.functions.textstats import tokens
+    from fscrawler_spark.operators.similarity import simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("tk"))
+    return simhash_pairs(toks, "doc_id", F.col("tk"), max_hamming=1, chunks=2)
+
+
+def crawl_bench(spark, scale: str = "small") -> tuple[float, int]:
+    """Full wave-loop crawl on the synthetic fixture; returns
+    (seconds, scheduled_urls)."""
+    from fscrawler_spark.datagen import generate_pages, write_fixture
+    from fscrawler_spark.filters import DepthFilter, ExtensionFilter
+    from fscrawler_spark.plans.job import CrawlJob
+    from fscrawler_spark.plans.wave_loop import run_crawl
+
+    fix_dir = write_fixture(os.path.join(FIXTURE_CACHE, scale), scale)
+    pages = spark.read.schema(schemas.PAGES).parquet(f"{fix_dir}/pages.parquet")
+    robots = spark.read.schema(schemas.ROBOTS).parquet(f"{fix_dir}/robots.parquet")
+    seed_rows = [
+        r.asDict() for r in spark.read.parquet(f"{fix_dir}/seeds.parquet").collect()
+    ]
+    job = CrawlJob(
+        politeness_budget=200,
+        max_waves=3,
+        skip_filters=(
+            DepthFilter(6),
+            ExtensionFilter(excluded=frozenset({"tmp", "log", "bak", "pyc"})),
+        ),
+    )
+    ckpt = tempfile.mkdtemp(prefix="fsc_bench_")
+    t0 = time.time()
+    res = run_crawl(spark, pages, seed_rows, job, robots=robots, checkpoint_dir=ckpt)
+    secs = time.time() - t0
+    scheduled = (
+        res.metrics(spark)
+        .where(F.col("metric") == "scheduled_n")
+        .agg(F.sum("value"))
+        .collect()[0][0]
+        or 0
+    )
+    return secs, int(scheduled)
+
+
+def main() -> None:
+    spark = get_spark(app_name="fscrawler_bench", cores=CPUS)
+    # warmup: JVM + codegen paths
+    spark.range(1000).agg(F.sum("id")).collect()
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    timings: dict[str, float] = {}
+    all_q = entrymod.queries()
+
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _noop_write(all_q[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    _noop_write(bench_minhash(spark, SF_DIR))
+    timings["q15_minhash_lsh_b32"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    _noop_write(bench_simhash(spark, SF_DIR))
+    timings["q20_simhash_h1"] = round(time.time() - t0, 3)
+
+    crawl_secs, scheduled = crawl_bench(spark, "small")
+    timings["crawl_small"] = round(crawl_secs, 3)
+    urls_per_sec = round(scheduled / crawl_secs, 1) if crawl_secs else 0.0
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline queries + wave-loop crawl wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "crawl_urls_per_sec": urls_per_sec,
+                "crawl_scheduled_urls": scheduled,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

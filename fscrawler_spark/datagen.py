@@ -40,9 +40,11 @@ _JUNK_EXTS = ["tmp", "log", "bak", "pyc"]
 
 SCALES = {
     # name: (n_hosts, pages_per_cold_host).  Hot host 0 gets ~30% of total.
+    # tiny ~0.5k pages (unit/ordering tests), small ~60k (correctness +
+    # single-node bench), bench ~600k (two-parallelism scaling run).
     "tiny": (5, 80),
-    "small": (50, 250),
-    "bench": (500, 250),
+    "small": (50, 840),
+    "bench": (500, 840),
 }
 
 

@@ -53,14 +53,17 @@ def politeness_take(
     df = df.withColumn("_budget", budget_col).drop("tokens")
 
     # Phase 1 — salted partial top-k: cap each (host, salt) bucket.
-    salt = F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
-    w1 = Window.partitionBy("host", "_salt").orderBy("priority", "url")
-    df = (
-        df.withColumn("_salt", salt)
-        .withColumn("_r1", F.row_number().over(w1))
-        .where(F.col("_r1") <= F.col("_budget"))
-        .drop("_r1", "_salt")
-    )
+    # Skipped when salt_buckets<=1 (adaptive small-wave path: the extra
+    # shuffle costs more than the skew it prevents).
+    if salt_buckets > 1:
+        salt = F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
+        w1 = Window.partitionBy("host", "_salt").orderBy("priority", "url")
+        df = (
+            df.withColumn("_salt", salt)
+            .withColumn("_r1", F.row_number().over(w1))
+            .where(F.col("_r1") <= F.col("_budget"))
+            .drop("_r1", "_salt")
+        )
 
     # Phase 2 — exact per-host rank over the pre-truncated set.
     w2 = Window.partitionBy("host").orderBy("priority", "url")
@@ -90,13 +93,18 @@ def politeness_take(
     return df
 
 
-def wave_rank(scheduled: DataFrame) -> DataFrame:
+def wave_rank(scheduled: DataFrame, small: bool = False) -> DataFrame:
     """Global deterministic rank of the scheduled set within a wave:
     (priority, host, url) lexicographic — the ordering contract the
-    crawl-order test asserts (SURVEY §7.3).  Distributed rank
-    (range-partitioned), not a bare global window."""
+    crawl-order test asserts (SURVEY §7.3).
+
+    small=False: distributed range-partitioned rank (scale path).
+    small=True: single-partition window (adaptive path for waves known
+    to be small — one task, but skips the sampling + count jobs).
+    Both produce identical output (same total-order key)."""
+    if small:
+        w = Window.partitionBy(F.lit(0)).orderBy("priority", "host", "url")
+        return scheduled.withColumn("rank_in_wave", F.row_number().over(w))
     from fscrawler_spark.operators.topk import global_row_number
 
-    return global_row_number(
-        scheduled, ["priority", "host", "url"], "rank_in_wave"
-    )
+    return global_row_number(scheduled, ["priority", "host", "url"], "rank_in_wave")

@@ -40,6 +40,11 @@ class CrawlJob:
     bloom_fpp: float = 0.01
     respect_robots: bool = True
     salt_buckets: int = 32
+    # Waves whose pending frontier is below this row count take the
+    # small-wave physical path (no salt phase, single-window rank) —
+    # identical results, fewer shuffles.  At cluster scale leave as is;
+    # the crossover only matters for job-overhead-dominated waves.
+    small_wave_threshold: int = 100_000
 
 
 def accept_seeds(seed_rows: list[dict]) -> list[dict]:

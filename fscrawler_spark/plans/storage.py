@@ -37,21 +37,56 @@ class CheckpointStore:
     def _marker(self, wave: int) -> str:
         return os.path.join(self.root, "_commits", f"wave_{wave}.json")
 
-    def write_wave(
+    def write_wave_data(
         self,
         wave: int,
         *,
         results: DataFrame,
         seen_delta: DataFrame,
         frontier: DataFrame,
-        metrics: DataFrame,
-        stats: dict | None = None,
+    ) -> dict[str, float]:
+        """Write the wave's three data tables concurrently (independent
+        Spark jobs; shared cached stages are computed once under the
+        block manager's per-partition locks).  Returns per-write wall
+        seconds.  NOT a commit — commit_wave() writes the marker."""
+        import time as _time
+        from concurrent.futures import ThreadPoolExecutor
+
+        timings: dict[str, float] = {}
+
+        def _write(name_df):
+            name, df = name_df
+            t0 = _time.time()
+            df.write.mode("overwrite").parquet(self._dir(name, wave))
+            return f"write_{name}", round(_time.time() - t0, 3)
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            for key, secs in pool.map(
+                _write,
+                [("results", results), ("seen", seen_delta), ("frontier", frontier)],
+            ):
+                timings[key] = secs
+        return timings
+
+    def commit_wave(
+        self, wave: int, metrics_rows: list[tuple], stats: dict | None = None
     ) -> None:
-        """Write all wave-K outputs, then the commit marker (last)."""
-        results.write.mode("overwrite").parquet(self._dir("results", wave))
-        seen_delta.write.mode("overwrite").parquet(self._dir("seen", wave))
-        frontier.write.mode("overwrite").parquet(self._dir("frontier", wave))
-        metrics.write.mode("overwrite").parquet(self._dir("metrics", wave))
+        """Write the metrics table (driver-side counters -> pyarrow, no
+        Spark job) and then the commit marker — strictly LAST, so readers
+        never see a partially written wave."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        mdir = self._dir("metrics", wave)
+        os.makedirs(mdir, exist_ok=True)
+        table = pa.Table.from_pydict(
+            {
+                "wave": pa.array([r[0] for r in metrics_rows], pa.int32()),
+                "metric": pa.array([r[1] for r in metrics_rows], pa.string()),
+                "value": pa.array([r[2] for r in metrics_rows], pa.int64()),
+            }
+        )
+        pq.write_table(table, os.path.join(mdir, "part-0.parquet"))
         os.makedirs(os.path.join(self.root, "_commits"), exist_ok=True)
         tmp = self._marker(wave) + ".tmp"
         with open(tmp, "w") as fh:

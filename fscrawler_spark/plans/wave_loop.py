@@ -62,6 +62,8 @@ class CrawlResult:
     store: CheckpointStore
     waves_run: int
     stats: dict = field(default_factory=dict)
+    # per-wave engine self-metrics: phase -> wall seconds
+    timings: list[dict] = field(default_factory=list)
 
     def results(self, spark: SparkSession) -> DataFrame | None:
         return self.store.read_results(spark)
@@ -111,11 +113,13 @@ def run_crawl(
 
     # Page metadata view (no html) — Catalyst prunes the binary column out
     # of every pass except the fetch join.  `size` must still read html
-    # (schema has no length column); a production pages table would carry
-    # a size column / Iceberg column stats to make this a metadata scan.
+    # (schema has no length column), so the metadata view is persisted
+    # ONCE: one html scan for the whole crawl instead of one per wave.
+    # A production pages table would carry a size column / Iceberg column
+    # stats and make this a pure metadata scan.
     pages_meta = pages.select(
         "url", "warc_ts", F.length("html").cast("long").alias("size")
-    )
+    ).persist()
     deny_rules = None
     host_budgets = None
     if robots is not None and job.respect_robots:
@@ -136,17 +140,24 @@ def run_crawl(
     if resume and store.last_wave() is not None:
         start_wave = store.last_wave() + 1
         frontier = store.read_frontier(spark, store.last_wave())
+        frontier_n = frontier.count()  # parquet-footer count, cheap
         seen_df = store.read_seen(spark)
         seen_count = seen_df.count() if seen_df is not None else 0
     else:
         frontier = seeds_to_frontier(spark, seed_rows)
+        frontier_n = len(accept_seeds(seed_rows))
         seen_df = None
 
     waves_run = start_wave
+    all_timings: list[dict] = []
     for wave in range(start_wave, job.max_waves):
-        if frontier.isEmpty():
+        if frontier_n == 0:
             break
         waves_run = wave + 1
+        # Adaptive physical path: small pending frontiers skip the salt
+        # phase and use the single-window rank (same results, fewer jobs).
+        small = frontier_n < job.small_wave_threshold
+        salt_buckets = 1 if small else job.salt_buckets
 
         queued = frontier.select(*_FRONTIER_COLS)
 
@@ -187,7 +198,7 @@ def run_crawl(
             authorized,
             job.politeness_budget,
             host_budgets,
-            job.salt_buckets,
+            salt_buckets,
             job.wave_cap,
         ).persist()
         scheduled = ranked.where(F.col("scheduled")).drop("scheduled", "host_rank")
@@ -195,9 +206,11 @@ def run_crawl(
 
         # --- fetch join + extraction (the only pass that reads html) -----
         # The scheduled set is bounded by (hosts x budget) — typically far
-        # smaller than pages — so Catalyst/AQE turns this into a
-        # broadcast/shuffle-hash join probing the big pages scan once.
-        fetched = scheduled.drop("warc_ts", "size").join(pages, "url", "inner")
+        # smaller than pages — broadcast it so the big pages scan is
+        # probed in place with no shuffle of the html bytes.
+        fetched = pages.join(
+            F.broadcast(scheduled.drop("warc_ts", "size")), "url", "inner"
+        )
         name = url_name(F.col("url"))
         extracted = (
             fetched.withColumn("size", F.length("html").cast("long"))
@@ -215,7 +228,7 @@ def run_crawl(
         # scan + UDFs must run exactly once per wave.
         pre_rank = extracted.persist()
         extracted = (
-            wave_rank(pre_rank)
+            wave_rank(pre_rank, small=small)
             .withColumn("wave", F.lit(wave))
             .withColumn("n_links", F.size("hrefs"))
             .persist()
@@ -274,8 +287,16 @@ def run_crawl(
         ).unionByName(error_rows, allowMissingColumns=True)
 
         # One aggregation action yields every wave counter (A2 analog).
-        status_counts = (
+        # Runs concurrently with the wave writes (independent job over
+        # the same cached intermediates).
+        import time as _time
+
+        status_counts_df = (
             scheduled.select(F.lit("scheduled").alias("s"), "size")
+            # 'fetched' duplicates 'scheduled' informationally, but pulls
+            # the extracted cache (fetch join + UDFs + rank) into this
+            # single warm-up job so the writes below are IO-only.
+            .unionByName(extracted.select(F.lit("fetched").alias("s"), "size"))
             .unionByName(skipped.select(F.lit("skipped").alias("s"), "size"))
             .unionByName(missing.select(F.lit("missing").alias("s"), "size"))
             .unionByName(
@@ -287,34 +308,42 @@ def run_crawl(
                                          F.lit(None).cast("long").alias("size")))
             .groupBy("s")
             .agg(F.count("*").alias("n"), F.sum("size").alias("bytes"))
-            .collect()
         )
-        stats = {r["s"]: {"n": r["n"], "bytes": r["bytes"] or 0} for r in status_counts}
-        metrics_rows = [
-            (wave, f"{k}_{m}", int(v[m])) for k, v in stats.items() for m in ("n", "bytes")
-        ]
-        metrics_df = spark.createDataFrame(
-            metrics_rows or [(wave, "empty", 0)], "wave int, metric string, value long"
-        )
-
-        store.write_wave(
+        # Metrics collect FIRST: one job materializes every persisted
+        # intermediate, so the three concurrent writes that follow all
+        # hit warm caches.  (Overlapping collect with the writes was
+        # measured slower — cache-lock contention on first computation.)
+        t_collect = _time.time()
+        status_counts = status_counts_df.collect()
+        t_collect = round(_time.time() - t_collect, 3)
+        wave_timings = store.write_wave_data(
             wave,
             results=results_out,
             seen_delta=seen_delta,
             frontier=merged,
-            metrics=metrics_df,
-            stats=stats,
         )
+        wave_timings["collect_metrics"] = t_collect
+        wave_timings["wave"] = wave
+        stats = {r["s"]: {"n": r["n"], "bytes": r["bytes"] or 0} for r in status_counts}
+        metrics_rows = [
+            (wave, f"{k}_{m}", int(v[m])) for k, v in stats.items() for m in ("n", "bytes")
+        ] or [(wave, "empty", 0)]
+        store.commit_wave(wave, metrics_rows, stats)
 
         for cached in (stat, ranked, pre_rank, extracted):
             cached.unpersist()
 
         # Re-read committed state — truncates lineage (no exponential plan
         # growth across waves) and makes resume path == normal path.
+        t0 = _time.time()
         frontier = store.read_frontier(spark, wave)
+        frontier_n = frontier.count()  # parquet-footer count, cheap
         seen_df = store.read_seen(spark)
+        wave_timings["reload_state"] = round(_time.time() - t0, 3)
+        all_timings.append(wave_timings)
         seen_count += sum(v["n"] for v in stats.values() if v) - stats.get(
             "deferred", {"n": 0}
         )["n"]
 
-    return CrawlResult(store=store, waves_run=waves_run)
+    pages_meta.unpersist()
+    return CrawlResult(store=store, waves_run=waves_run, timings=all_timings)

@@ -1,0 +1,77 @@
+"""Local replica of the driver's correctness gate: run every
+``queries()`` entry at sf0.01 in Spark AND its ``oracle_sql()`` twin in
+DuckDB; compare row count, column-name schema, and order-insensitive
+values (SURVEY §5.4)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in entrymod._T:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+def _normalize(rows, cols):
+    """Order-insensitive canonical form: sort columns by name, then rows."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def canon(v):
+        if v is None:
+            return ("\x00null",)
+        if isinstance(v, float):
+            if math.isnan(v):
+                return ("\x00nan",)
+            return ("f", repr(v))
+        return (type(v).__name__, str(v))
+
+    out = [tuple(canon(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+ORACLES = entrymod.oracle_sql()
+ALL = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, con, name):
+    df = ALL[name](spark, SF_DIR)
+    sp_cols = df.columns
+    sp_rows = [tuple(r) for r in df.collect()]
+    res = con.execute(ORACLES[name])
+    dd_cols = [d[0] for d in res.description]
+    dd_rows = res.fetchall()
+
+    assert sorted(sp_cols) == sorted(dd_cols), f"{name}: schema mismatch"
+    assert len(sp_rows) == len(dd_rows), f"{name}: rowcount {len(sp_rows)} vs {len(dd_rows)}"
+    _, sp_norm = _normalize(sp_rows, sp_cols)
+    _, dd_norm = _normalize(dd_rows, dd_cols)
+    if sp_norm != dd_norm:
+        diffs = [(a, b) for a, b in zip(sp_norm, dd_norm) if a != b][:3]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+@pytest.mark.parametrize("name", sorted(set(ALL) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = ALL[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert df.columns
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
