@@ -114,7 +114,10 @@ def generate_pages(
             if i > 0:
                 hrefs.append(root + paths[(i - 1) // b])  # back edge
             if i % 7 == 0:
-                hrefs.append(host_root((h + 1) % n_hosts))  # cross-host
+                # cross-host edge; varied targets so host coverage grows
+                # exponentially with BFS depth (a chain h->h+1 would make
+                # reaching H hosts take H waves)
+                hrefs.append(host_root((h + 1 + (i * 13) % 97) % n_hosts))
             if i % 11 == 0:
                 hrefs.append(f"{root}/missing/m{i}.html")  # dangling
             n_words = int(rng.integers(8, 40))
@@ -141,7 +144,9 @@ def generate_pages(
                 }
             )
 
-    n_seeds = min(4, n_hosts)
+    # enough seeds that wave sizes reach compute-dominated scale quickly
+    # on the big fixtures (tiny keeps 4 — the unit tests pin its shape)
+    n_seeds = min(n_hosts, max(4, n_hosts // 10))
     seeds = [
         {
             "url": host_root(h),

@@ -1,0 +1,156 @@
+"""Crawl-results analytics — the reference's SQL stats pack and
+MetricsObserver reports as DataFrame functions (SURVEY §2.4, §2.6).
+
+Ports (semantics, not code) of:
+  - sql/stats.sql:2-6   count by extension        -> count_by_extension
+  - sql/stats.sql:9-13  size sum by extension     -> size_by_extension
+  - sql/stats.sql:16-33 duplicate detection       -> duplicate_url_groups
+  - observers/metrics_observer.py:50-77 top-k dicts (deepest paths,
+    biggest dirs, most files, longest paths)      -> top_* functions
+  - observers/metrics_observer.py:83-112 final report -> crawl_report
+  - observers/empty_directory_observer.py:51-57   -> hosts with nothing
+    fetched (the no-content-host analog)
+
+All are plain Catalyst plans: hash aggregates with partial+final
+(map-side combine) for the groupBys, TakeOrderedAndProject for the
+top-ks — no single-task stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fscrawler_spark.operators.topk import top_k_per_group
+
+
+def count_by_extension(results: DataFrame) -> DataFrame:
+    """GROUP BY extension ORDER BY count DESC (sql/stats.sql:2-6)."""
+    return (
+        results.groupBy("extension")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "extension")
+    )
+
+
+def size_by_extension(results: DataFrame) -> DataFrame:
+    """GROUP BY extension over sum(size) (sql/stats.sql:9-13)."""
+    return (
+        results.groupBy("extension")
+        .agg(
+            F.sum("size").alias("total_bytes"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy(F.desc("total_bytes"), "extension")
+    )
+
+
+def duplicate_url_groups(results: DataFrame) -> DataFrame:
+    """Content-duplicate groups by (md5, size) with members listed —
+    the two-step form of data_manager.py:330-359: group, filter >1,
+    join back for the URLs (sort_array for determinism)."""
+    dups = (
+        results.groupBy("md5_hex", "size")
+        .agg(F.count("*").alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+    )
+    return (
+        results.join(F.broadcast(dups), ["md5_hex", "size"])
+        .groupBy("md5_hex", "size", "dup_count")
+        .agg(F.sort_array(F.collect_list("url")).alias("urls"))
+        .orderBy(F.desc("dup_count"), "md5_hex")
+    )
+
+
+def top_deepest(results: DataFrame, n: int = 10, examples: int = 20) -> DataFrame:
+    """Top-n depths with up to `examples` URLs each
+    (metrics_observer.py:50-53,114-133: depth->examples dict capped)."""
+    per_depth = (
+        results.groupBy("depth")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.slice(F.sort_array(F.collect_list("url")), 1, examples).alias("examples"),
+        )
+        .orderBy(F.desc("depth"))
+        .limit(n)
+    )
+    return per_depth
+
+
+def top_hosts_by_bytes(results: DataFrame, n: int = 10) -> DataFrame:
+    """Biggest hosts (metrics_observer.py:56-59 biggest-dirs analog)."""
+    return (
+        results.groupBy("host")
+        .agg(F.sum("size").alias("total_bytes"), F.count("*").alias("pages"))
+        .orderBy(F.desc("total_bytes"), "host")
+        .limit(n)
+    )
+
+
+def top_hosts_by_pages(results: DataFrame, n: int = 10) -> DataFrame:
+    """Hosts with most pages (metrics_observer.py:62-65 most-files)."""
+    return (
+        results.groupBy("host")
+        .agg(F.count("*").alias("pages"))
+        .orderBy(F.desc("pages"), "host")
+        .limit(n)
+    )
+
+
+def top_longest_urls(results: DataFrame, n: int = 10) -> DataFrame:
+    """Longest URLs (metrics_observer.py:68-71 longest-paths)."""
+    return (
+        results.select("url", F.length("url").alias("url_len"))
+        .orderBy(F.desc("url_len"), "url")
+        .limit(n)
+    )
+
+
+def top_rated_per_host(results: DataFrame, k: int = 3) -> DataFrame:
+    """Best-rated pages per host (top-k window over the rating
+    processor's output, C6)."""
+    return top_k_per_group(
+        results.where(F.col("rating").isNotNull()),
+        ["host"],
+        [F.desc("rating"), F.asc("url")],
+        k,
+    ).select("host", "url", "rating")
+
+
+def extensions_found_not_crawled(
+    frontier_seen: DataFrame, results: DataFrame
+) -> DataFrame:
+    """Set-minus cross-check (metrics_observer.py:85-90): extensions
+    seen in the frontier but never extracted — both directions are one
+    `left_anti` each (U1)."""
+    from fscrawler_spark.functions.urls import url_extension
+
+    seen_ext = (
+        frontier_seen.select(url_extension(F.col("url")).alias("extension"))
+        .where(F.col("extension").isNotNull())
+        .distinct()
+    )
+    crawled_ext = (
+        results.select("extension").where(F.col("extension").isNotNull()).distinct()
+    )
+    return seen_ext.join(crawled_ext, "extension", "left_anti").orderBy("extension")
+
+
+def crawl_report(results: DataFrame, metrics: DataFrame) -> dict:
+    """Final statistics block (metrics_observer.py:83-112 /
+    file_system_crawler.py:390-397): one driver dict, computed in two
+    aggregate jobs."""
+    agg = results.agg(
+        F.count("*").alias("rows"),
+        F.sum(F.when(F.col("stage") == "EXTRACTED", 1).otherwise(0)).alias("extracted"),
+        F.sum(F.when(F.col("stage") == "ERROR", 1).otherwise(0)).alias("errors"),
+        F.sum("size").alias("bytes"),
+        F.countDistinct("host").alias("hosts"),
+        F.max("depth").alias("max_depth"),
+        F.max("wave").alias("waves"),
+    ).collect()[0]
+    by_metric = {
+        r["metric"]: r["total"]
+        for r in metrics.groupBy("metric").agg(F.sum("value").alias("total")).collect()
+    }
+    return {**agg.asDict(), **by_metric}

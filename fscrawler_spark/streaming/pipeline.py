@@ -1,0 +1,114 @@
+"""Structured Streaming extraction pipeline (SURVEY §2.9).
+
+The reference is a bounded producer/consumer micro-batcher (walk thread
+-> bounded queue -> consumer pool, app/crawler_entry_point.py:130-137);
+the wave loop is its deterministic batch translation.  This module is
+the unbounded translation: pages arriving as a stream (new parquet
+files landing in a directory — the web-archive-ingest shape) flow
+through the SAME extraction Columns/UDFs, with
+
+  - backpressure  -> maxFilesPerTrigger (queue maxsize analog,
+    app/config/config.py:129-131)
+  - stateful dedup -> dropDuplicates on url with a watermark
+    (the seen-set J2 under streaming state; state store instead of
+    the exact Iceberg table)
+  - windowed counters -> per-host tumbling-window aggregation with
+    late-data watermark (MetricsObserver A2 under event time)
+
+The batch wave loop remains the correctness anchor (deterministic
+ordering is untestable under streaming); this pipeline shares every
+extraction expression with it, so per-row outputs are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fscrawler_spark import schemas
+from fscrawler_spark.functions.extract import (
+    content_rating,
+    extract_hrefs_udf,
+    extract_text_udf,
+    keywords_udf,
+)
+from fscrawler_spark.functions.urls import url_extension, url_host, url_name
+
+
+def read_pages_stream(
+    spark: SparkSession, pages_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream of pages parquet (new files = newly fetched
+    pages).  maxFilesPerTrigger is the backpressure knob."""
+    return (
+        spark.readStream.schema(schemas.PAGES)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_dir)
+    )
+
+
+def extract_stream(pages: DataFrame) -> DataFrame:
+    """Streaming extraction: same processors as the batch wave loop
+    (C4 hash, C8 text, link scrape, C5 keywords, C6 rating), plus
+    exact url-dedup standing in for the seen-set.
+
+    Deliberately NO watermark on the dedup: web-archive timestamps span
+    years, so an event-time watermark would discard re-ordered files as
+    late data; the seen-set contract is exact (J2), which in streaming
+    means unbounded dedup state (the state store plays the role the
+    seen table + bloom play in the batch engine)."""
+    name = url_name(F.col("url"))
+    return (
+        pages.dropDuplicates(["url"])  # streaming seen-set (state store)
+        .select(
+            "url",
+            url_host(F.col("url")).alias("host"),
+            F.col("warc_ts"),
+            F.length("html").cast("long").alias("size"),
+            F.md5("html").alias("md5_hex"),
+            extract_text_udf(F.col("html")).alias("text"),
+            F.size(extract_hrefs_udf(F.col("html"))).alias("n_links"),
+            url_extension(F.col("url")).alias("extension"),
+            keywords_udf(name).alias("keywords"),
+            content_rating(name, F.col("url")).alias("rating"),
+            "lang",
+        )
+    )
+
+
+def host_window_counts(
+    pages: DataFrame, window: str = "10 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-host tumbling-window page counts + bytes with late-data
+    watermark — the streaming form of the per-wave metrics table (A2)."""
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(
+            F.window("warc_ts", window).alias("win"),
+            url_host(F.col("url")).alias("host"),
+        )
+        .agg(
+            F.count("*").alias("pages"),
+            F.sum(F.length("html")).alias("bytes"),
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    query_name: str,
+    timeout_sec: int = 120,
+    mode: str = "append",
+):
+    """Drain a bounded stream into an in-memory sink (test harness).
+    Use mode='complete' for aggregations whose final windows would
+    otherwise wait on a watermark that never advances past end-of-stream."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return q

@@ -1,0 +1,87 @@
+"""Metrics/analytics pack over crawl results (sql/stats.sql +
+MetricsObserver ports, SURVEY §2.4/§2.6)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fscrawler_spark import metrics as M
+
+
+@pytest.fixture(scope="module")
+def results(spark):
+    rows = [
+        # url, host, depth, wave, size, md5, ext, rating, stage
+        ("http://a.x/p1.html", "a.x", 1, 0, 100, "h1", "html", 3, "EXTRACTED"),
+        ("http://a.x/p2.html", "a.x", 1, 0, 100, "h1", "html", None, "EXTRACTED"),
+        ("http://a.x/d/p3.pdf", "a.x", 2, 1, 300, "h2", "pdf", 5, "EXTRACTED"),
+        ("http://b.x/p4.html", "b.x", 1, 0, 50, "h3", "html", 1, "EXTRACTED"),
+        ("http://b.x/deep/d/e/p5.txt", "b.x", 4, 2, 70, "h1", "txt", None, "EXTRACTED"),
+        ("http://b.x/missing", "b.x", 1, 1, None, None, None, None, "ERROR"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "url string, host string, depth int, wave int, size long, md5_hex string,"
+        " extension string, rating int, stage string",
+    )
+
+
+def test_count_by_extension(results):
+    got = [(r["extension"], r["cnt"]) for r in M.count_by_extension(results).collect()]
+    assert got == [("html", 3), (None, 1), ("pdf", 1), ("txt", 1)]
+
+
+def test_size_by_extension(results):
+    got = {r["extension"]: r["total_bytes"] for r in M.size_by_extension(results).collect()}
+    assert got["html"] == 250 and got["pdf"] == 300
+
+
+def test_duplicate_url_groups(results):
+    got = M.duplicate_url_groups(results).collect()
+    assert len(got) == 1  # h1 appears at sizes 100,100 and 70 — only (h1,100) dups
+    assert got[0]["dup_count"] == 2
+    assert got[0]["urls"] == ["http://a.x/p1.html", "http://a.x/p2.html"]
+
+
+def test_top_deepest(results):
+    got = M.top_deepest(results, n=2).collect()
+    assert [r["depth"] for r in got] == [4, 2]
+    assert got[0]["examples"] == ["http://b.x/deep/d/e/p5.txt"]
+
+
+def test_top_hosts(results):
+    by_bytes = M.top_hosts_by_bytes(results, 1).collect()[0]
+    assert by_bytes["host"] == "a.x" and by_bytes["total_bytes"] == 500
+    by_pages = M.top_hosts_by_pages(results, 1).collect()[0]
+    assert by_pages["host"] == "a.x" and by_pages["pages"] == 3
+
+
+def test_top_rated_per_host(results):
+    got = {(r["host"], r["url"]): r["rating"] for r in M.top_rated_per_host(results, 1).collect()}
+    assert got == {("a.x", "http://a.x/d/p3.pdf"): 5, ("b.x", "http://b.x/p4.html"): 1}
+
+
+def test_extensions_found_not_crawled(spark, results):
+    seen = spark.createDataFrame(
+        [("http://a.x/p1.html",), ("http://a.x/skipped.tmp",), ("http://c.x/x.pdf",)],
+        "url string",
+    )
+    got = [r["extension"] for r in M.extensions_found_not_crawled(seen, results).collect()]
+    assert got == ["tmp"]
+
+
+def test_crawl_report(spark, results):
+    metrics = spark.createDataFrame(
+        [(0, "scheduled_n", 4), (1, "scheduled_n", 1), (0, "skipped_n", 2)],
+        "wave int, metric string, value long",
+    )
+    rep = M.crawl_report(results, metrics)
+    assert rep["rows"] == 6 and rep["extracted"] == 5 and rep["errors"] == 1
+    assert rep["hosts"] == 2 and rep["max_depth"] == 4
+    assert rep["scheduled_n"] == 5 and rep["skipped_n"] == 2
+
+
+def test_longest_urls(results):
+    got = M.top_longest_urls(results, 1).collect()[0]
+    assert got["url"] == "http://b.x/deep/d/e/p5.txt"

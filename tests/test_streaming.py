@@ -1,0 +1,76 @@
+"""Structured Streaming pipeline (SURVEY §2.9): the streaming extraction
+must produce per-row outputs identical to the batch processors (shared
+expressions), dedup duplicate urls via state, and aggregate windowed
+host counts with a watermark."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fscrawler_spark import schemas
+from fscrawler_spark.functions.extract import extract_text_py, md5_hex_py
+from fscrawler_spark.streaming.pipeline import (
+    extract_stream,
+    host_window_counts,
+    read_pages_stream,
+    run_to_memory,
+)
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tiny, tmp_path_factory):
+    """Pages laid out as multiple parquet files (a file-arrival stream),
+    including a duplicated url across files (dedup-state target)."""
+    d = str(tmp_path_factory.mktemp("stream_pages"))
+
+    def _df(slice_):
+        rows = [tuple(r.get(f.name) for f in schemas.PAGES.fields) for r in slice_]
+        return spark.createDataFrame(rows, schemas.PAGES)
+
+    _df(tiny["pages"][:100]).write.mode("overwrite").parquet(os.path.join(d, "batch0"))
+    # second batch re-delivers 20 of the same urls; third delivers 100 new
+    _df(tiny["pages"][:20]).write.mode("overwrite").parquet(os.path.join(d, "batch1"))
+    _df(tiny["pages"][100:200]).write.mode("overwrite").parquet(os.path.join(d, "batch2"))
+    return d
+
+
+def test_streaming_extract_matches_batch(spark, pages_dir, tiny):
+    stream = read_pages_stream(spark, f"{pages_dir}/*", max_files_per_trigger=1)
+    q = run_to_memory(extract_stream(stream), "extracted_stream")
+    out = spark.sql("SELECT * FROM extracted_stream").collect()
+    q.stop()
+
+    by_url = {p["url"]: p for p in tiny["pages"]}
+    # dedup: each url exactly once despite the re-delivered batch
+    urls = [r["url"] for r in out]
+    assert len(urls) == len(set(urls))
+    assert len(urls) == 200  # 100 + 100 new (20 dups dropped)
+    for r in out:
+        page = by_url[r["url"]]
+        assert r["md5_hex"] == md5_hex_py(page["html"])
+        assert r["text"] == extract_text_py(page["html"])  # byte-identical
+        assert r["size"] == len(page["html"])
+
+
+def test_streaming_window_counts(spark, pages_dir, tiny):
+    stream = read_pages_stream(spark, f"{pages_dir}/batch0", max_files_per_trigger=1)
+    q = run_to_memory(
+        host_window_counts(stream, window="1 day", watermark="0 seconds")
+        .select("win", "host", "pages", "bytes"),
+        "host_counts",
+        mode="complete",  # emit full state incl. final un-flushed windows
+    )
+    out = spark.sql("SELECT host, sum(pages) AS p FROM host_counts GROUP BY host").collect()
+    q.stop()
+    got = {r["host"]: r["p"] for r in out}
+    expect: dict[str, int] = {}
+    first100 = tiny["pages"][:100]
+    from fscrawler_spark.functions.urls import url_host_py
+
+    for p in first100:
+        h = url_host_py(p["url"])
+        expect[h] = expect.get(h, 0) + 1
+    assert got == expect
