@@ -1,0 +1,163 @@
+"""Command-line entry points — the spark-submit face of the engine.
+
+The reference's entry points (SURVEY §3):
+  crawler_entry_point.main  (config-driven event crawl)   -> `crawl`
+  fast_crawler.crawl        (scan-only walk)              -> `crawl --no-extract`
+  process_files/index_files (staged post-processing)      -> `process`
+  sql/stats.sql             (hand-run analytics)          -> `stats`
+
+Ship with:
+  spark-submit --py-files fscrawler_spark.zip -m fscrawler_spark.cli ...
+or locally:
+  python -m fscrawler_spark.cli crawl --pages P --seeds S --checkpoint C
+
+Config file (YAML) mirrors the reference's config.yml shape
+(app/process_files.py:20-64): seeds + filter chain by name
+(filters/builders.py build_filters) + budgets.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+from fscrawler_spark import metrics as M
+from fscrawler_spark import schemas
+from fscrawler_spark.filters.builders import build_filters
+from fscrawler_spark.plans.job import CrawlJob
+from fscrawler_spark.plans.storage import CheckpointStore
+from fscrawler_spark.plans.wave_loop import run_crawl
+from fscrawler_spark.session import get_spark
+
+
+def _load_config(path: str | None) -> dict:
+    if not path:
+        return {}
+    with open(path) as fh:
+        if path.endswith(".json"):
+            return json.load(fh)
+        import yaml
+
+        return yaml.safe_load(fh)
+
+
+def cmd_crawl(args: argparse.Namespace) -> None:
+    cfg = _load_config(args.config)
+    spark = get_spark("fscrawler_crawl", cores=args.cores)
+    pages = spark.read.schema(schemas.PAGES).parquet(args.pages)
+    robots = (
+        spark.read.schema(schemas.ROBOTS).parquet(args.robots)
+        if args.robots
+        else None
+    )
+    if args.seeds:
+        seed_rows = [r.asDict() for r in spark.read.parquet(args.seeds).collect()]
+    else:
+        seed_rows = [
+            {"url": u, "seed_id": i} for i, u in enumerate(cfg.get("seeds", []))
+        ]
+    if not seed_rows:
+        sys.exit("no seeds: pass --seeds parquet or config with seeds: [...]")
+
+    job = CrawlJob(
+        politeness_budget=cfg.get("politeness_budget", args.budget),
+        max_waves=cfg.get("max_waves", args.waves),
+        wave_cap=cfg.get("wave_cap"),
+        skip_filters=tuple(build_filters(cfg.get("skip_filters", []))),
+        notify_filters=tuple(build_filters(cfg.get("notify_filters", []))),
+        invert=cfg.get("invert", False),
+        use_bloom=cfg.get("use_bloom", args.bloom),
+        respect_robots=cfg.get("respect_robots", True),
+    )
+    res = run_crawl(
+        spark,
+        pages,
+        seed_rows,
+        job,
+        robots=robots,
+        checkpoint_dir=args.checkpoint,
+        resume=args.resume,
+    )
+    results = res.results(spark)
+    mets = res.metrics(spark)
+    report = (
+        M.crawl_report(results, mets)
+        if results is not None and mets is not None
+        else {"rows": 0}
+    )
+    print(json.dumps({"waves_run": res.waves_run, **{k: (int(v) if v is not None else None) for k, v in report.items() if not isinstance(v, (list, dict))}}, default=str))
+
+
+def cmd_stats(args: argparse.Namespace) -> None:
+    spark = get_spark("fscrawler_stats", cores=args.cores)
+    store = CheckpointStore(args.checkpoint)
+    results = store.read_results(spark)
+    if results is None:
+        sys.exit("no committed results under " + args.checkpoint)
+    for name, df in [
+        ("count_by_extension", M.count_by_extension(results)),
+        ("size_by_extension", M.size_by_extension(results)),
+        ("duplicate_groups", M.duplicate_url_groups(results)),
+        ("top_hosts_by_pages", M.top_hosts_by_pages(results)),
+        ("top_deepest", M.top_deepest(results)),
+    ]:
+        print(f"== {name}")
+        for row in df.limit(20).collect():
+            print("  ", row.asDict())
+
+
+def cmd_dedup(args: argparse.Namespace) -> None:
+    from fscrawler_spark.operators.similarity import minhash_lsh_pairs
+
+    spark = get_spark("fscrawler_dedup", cores=args.cores)
+    df = spark.read.parquet(args.input)
+    pairs = minhash_lsh_pairs(
+        df, args.id_col, args.text_col, threshold=args.threshold
+    )
+    drop = pairs.select(F.col("id_b").alias(args.id_col)).distinct()
+    if args.out:
+        drop.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"pairs": pairs.count(), "dropped": drop.count(),
+                          "out": args.out}))
+    else:
+        print(json.dumps({"pairs": pairs.count(), "dropped": drop.count()}))
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="fscrawler_spark")
+    p.add_argument("--cores", default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="run the wave-loop crawl")
+    c.add_argument("--pages", required=True)
+    c.add_argument("--seeds")
+    c.add_argument("--robots")
+    c.add_argument("--config", help="YAML/JSON: seeds, skip_filters, budgets")
+    c.add_argument("--checkpoint", required=True)
+    c.add_argument("--budget", type=int, default=8)
+    c.add_argument("--waves", type=int, default=50)
+    c.add_argument("--bloom", action="store_true")
+    c.add_argument("--resume", action="store_true")
+    c.set_defaults(fn=cmd_crawl)
+
+    s = sub.add_parser("stats", help="analytics over committed results")
+    s.add_argument("--checkpoint", required=True)
+    s.set_defaults(fn=cmd_stats)
+
+    d = sub.add_parser("dedup", help="minhash-LSH near-dup scan")
+    d.add_argument("--input", required=True)
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--text-col", default="text")
+    d.add_argument("--threshold", type=float, default=0.8)
+    d.add_argument("--out")
+    d.set_defaults(fn=cmd_dedup)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

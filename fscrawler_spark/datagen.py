@@ -74,15 +74,16 @@ def _page_name(rng: np.random.Generator, i: int, is_leaf: bool) -> str:
     return f"{stem}.{ext}"
 
 
-def generate_pages(
-    scale: str = "tiny", seed: int = 42
-) -> tuple[list[dict], list[dict], list[dict]]:
-    """Return (pages, seeds, robots) record lists.
+def iter_host_pages(scale: str = "tiny", seed: int = 42):
+    """Yield one host's page-record list at a time — bounded memory even
+    at the 600k-page bench scale (write_fixture streams these chunks).
 
     Pages per host form a heap-shaped tree with branching factor 2-4;
     node i's parent is (i-1)//b.  Outlinks embedded in html anchor tags:
     children + parent back-edge + duplicate first-child edge + periodic
-    cross-host and dangling links.
+    cross-host and dangling links.  Html weight is log-normal around a
+    few KB with a heavy tail (web-realistic page sizes — this is what
+    makes the extraction stage compute-bound at bench scale).
     """
     n_hosts, per_host = SCALES[scale]
     rng = np.random.Generator(np.random.PCG64(seed))
@@ -90,8 +91,8 @@ def generate_pages(
     # hot host: ~30% of all pages (FIXTURES §1 hot-host clause)
     hot_pages = int(0.3 / 0.7 * total_cold)
 
-    pages: list[dict] = []
     for h in range(n_hosts):
+        pages: list[dict] = []
         n = hot_pages if h == 0 else per_host
         b = int(rng.integers(2, 5))  # branching factor for this host's tree
         root = host_root(h)
@@ -120,10 +121,10 @@ def generate_pages(
                 hrefs.append(host_root((h + 1 + (i * 13) % 97) % n_hosts))
             if i % 11 == 0:
                 hrefs.append(f"{root}/missing/m{i}.html")  # dangling
-            n_words = int(rng.integers(8, 40))
+            n_words = int(rng.integers(40, 400))
             body_words = rng.choice(len(_VOCAB), n_words)
             body = " ".join(_VOCAB[w] for w in body_words)
-            filler = "x" * int(min(np.exp(rng.normal(4.0, 1.5)), 200_000))
+            filler = "x" * int(min(np.exp(rng.normal(7.0, 1.2)), 200_000))
             links_html = "\n".join(f'<a href="{u}">l</a>' for u in hrefs)
             html = (
                 f"<html><head><title>{names[i] or host_name(h)}</title>"
@@ -143,7 +144,21 @@ def generate_pages(
                     "lang": ["en", "fr", "de"][int(rng.integers(0, 3))],
                 }
             )
+        yield pages
 
+
+def generate_pages(
+    scale: str = "tiny", seed: int = 42
+) -> tuple[list[dict], list[dict], list[dict]]:
+    """Materialized (pages, seeds, robots) record lists — for tests and
+    small scales; write_fixture streams iter_host_pages at bench scale."""
+    pages = [p for chunk in iter_host_pages(scale, seed) for p in chunk]
+    seeds, robots = generate_seeds_robots(scale)
+    return pages, seeds, robots
+
+
+def generate_seeds_robots(scale: str) -> tuple[list[dict], list[dict]]:
+    n_hosts, _ = SCALES[scale]
     # enough seeds that wave sizes reach compute-dominated scale quickly
     # on the big fixtures (tiny keeps 4 — the unit tests pin its shape)
     n_seeds = min(n_hosts, max(4, n_hosts // 10))
@@ -189,7 +204,7 @@ def generate_pages(
                 "crawl_delay_tokens": None,
             }
         )
-    return pages, seeds, robots
+    return seeds, robots
 
 
 _PAGES_PA = pa.schema(
@@ -220,24 +235,38 @@ _ROBOTS_PA = pa.schema(
 )
 
 
+def _records_table(records: list[dict], schema: pa.Schema) -> pa.Table:
+    cols = {f.name: [r[f.name] for r in records] for f in schema}
+    return pa.Table.from_pydict(cols, schema=schema)
+
+
 def write_fixture(out_dir: str, scale: str = "tiny", seed: int = 42) -> str:
     """Write pages/seeds/robots parquet under out_dir; idempotent cache —
-    returns out_dir unchanged if the marker file already exists."""
+    returns out_dir unchanged if the marker file already exists.
+
+    Pages are streamed host-by-host through one ParquetWriter in ~20k-row
+    row groups, so peak memory stays bounded at bench scale (600k pages
+    x several KB of html each)."""
     marker = os.path.join(out_dir, f"_fixture_{scale}_{seed}.done")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
-    pages, seeds, robots = generate_pages(scale, seed)
-    for name, records, schema in (
-        ("pages", pages, _PAGES_PA),
-        ("seeds", seeds, _SEEDS_PA),
-        ("robots", robots, _ROBOTS_PA),
-    ):
-        cols = {f.name: [r[f.name] for r in records] for f in schema}
-        pq.write_table(
-            pa.Table.from_pydict(cols, schema=schema),
-            os.path.join(out_dir, f"{name}.parquet"),
-        )
+
+    buf: list[dict] = []
+    with pq.ParquetWriter(os.path.join(out_dir, "pages.parquet"), _PAGES_PA) as w:
+        for host_pages in iter_host_pages(scale, seed):
+            buf.extend(host_pages)
+            if len(buf) >= 20_000:
+                w.write_table(_records_table(buf, _PAGES_PA))
+                buf = []
+        if buf:
+            w.write_table(_records_table(buf, _PAGES_PA))
+
+    seeds, robots = generate_seeds_robots(scale)
+    pq.write_table(_records_table(seeds, _SEEDS_PA),
+                   os.path.join(out_dir, "seeds.parquet"))
+    pq.write_table(_records_table(robots, _ROBOTS_PA),
+                   os.path.join(out_dir, "robots.parquet"))
     with open(marker, "w") as fh:
         fh.write("ok")
     return out_dir

@@ -41,8 +41,11 @@ def url_depth(url: Column) -> Column:
 
 
 def url_name(url: Column) -> Column:
-    """Final path segment (the analog of Path.name, path.py:65)."""
-    stripped = F.regexp_replace(url, r"/+$", "")
+    """Final PATH segment (the analog of Path.name, path.py:65).
+    Bare-host URLs have no path -> '' (like Path('/').name) — the host
+    must never leak in as a pseudo-filename (else 'http://a.example'
+    would grow extension 'example')."""
+    stripped = F.regexp_replace(url_path(url), r"/+$", "")
     return F.element_at(F.split(stripped, "/"), -1)
 
 
@@ -116,7 +119,7 @@ def url_depth_py(url: str) -> int:
 
 
 def url_name_py(url: str) -> str:
-    return re.sub(r"/+$", "", url).split("/")[-1]
+    return re.sub(r"/+$", "", url_path_py(url)).split("/")[-1]
 
 
 def url_extension_py(url: str) -> str | None:
