@@ -37,14 +37,26 @@ from fscrawler_spark.plans.wave_loop import run_crawl  # noqa: E402
 from fscrawler_spark.session import get_spark, stop_spark  # noqa: E402
 
 
-def run_at(cores: int, fix_dir: str, job: CrawlJob) -> dict:
+def run_at(cores: int, fix_dir: str, job: CrawlJob, seed_rows: list | None = None) -> dict:
     stop_spark()
-    spark = get_spark(app_name=f"fsc_scaling_{cores}", cores=cores)
+    # Partition sizing matched to the local data scale so task counts
+    # exceed core counts at BOTH levels (identical config — fair):
+    # default 128MB maxPartitionBytes would carve a ~600MB fixture into
+    # ~5 scan tasks and AQE's 64MB advisory would collapse post-shuffle
+    # stages to 1-2 tasks, capping parallelism below even local[8].
+    # On a real cluster against 100TB the defaults are correct; the
+    # ratio data-size/partition-size >> total-cores is what matters.
+    conf = {
+        "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(4 * 1024 * 1024),
+    }
+    spark = get_spark(app_name=f"fsc_scaling_{cores}", cores=cores, extra_conf=conf)
     pages = spark.read.schema(schemas.PAGES).parquet(f"{fix_dir}/pages.parquet")
     robots = spark.read.schema(schemas.ROBOTS).parquet(f"{fix_dir}/robots.parquet")
-    seed_rows = [
-        r.asDict() for r in spark.read.parquet(f"{fix_dir}/seeds.parquet").collect()
-    ]
+    if seed_rows is None:
+        seed_rows = [
+            r.asDict() for r in spark.read.parquet(f"{fix_dir}/seeds.parquet").collect()
+        ]
     # warmup (JVM, codegen, python workers)
     spark.range(10_000).agg(F.sum("id")).collect()
     t0 = time.time()
@@ -79,8 +91,11 @@ def run_at(cores: int, fix_dir: str, job: CrawlJob) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", default="bench")
-    ap.add_argument("--waves", type=int, default=10)
+    ap.add_argument("--waves", type=int, default=8)
     ap.add_argument("--budget", type=int, default=4000)
+    ap.add_argument("--seed-hosts", type=int, default=0,
+                    help="seed the first N host roots directly (0 = fixture seeds);"
+                         " seeding every host makes waves big and compute-bound")
     args = ap.parse_args()
 
     fix_dir = write_fixture(
@@ -93,9 +108,16 @@ def main() -> None:
             ExtensionFilter(excluded=frozenset({"tmp", "log", "bak", "pyc"})),
         ),
     )
+    seed_rows = None
+    if args.seed_hosts:
+        from fscrawler_spark.datagen import host_root
 
-    r8 = run_at(8, fix_dir, job)
-    r32 = run_at(32, fix_dir, job)
+        seed_rows = [
+            {"url": host_root(h), "seed_id": h} for h in range(args.seed_hosts)
+        ]
+
+    r8 = run_at(8, fix_dir, job, seed_rows)
+    r32 = run_at(32, fix_dir, job, seed_rows)
 
     assert r8["scheduled_urls"] == r32["scheduled_urls"], "nondeterministic schedule!"
     assert r8["seen_urls"] == r32["seen_urls"], "nondeterministic seen set!"

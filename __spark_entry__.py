@@ -429,6 +429,40 @@ def q21_crawl_waves(spark, sf_dir):
     )
 
 
+def q22_prefix_lookup(spark, sf_dir):
+    """J5 — prefix + LIKE + mime-prefix lookup (the playlist query,
+    data_manager.py:278-328: path LIKE 'p%' AND name LIKE '%n%' AND
+    mime LIKE 'text/%') over the synthesized URL view; mime derives
+    from extension (C3 analog)."""
+    from fscrawler_spark.functions.urls import mime_type, url_name
+
+    d = _doc_urls(spark, sf_dir)
+    mime = mime_type(F.col("url"))
+    return (
+        d.where(
+            F.col("url").startswith("http://src0.example/")
+            & url_name(F.col("url")).contains("doc1")
+            & mime.startswith("text/")
+        )
+        .select("doc_id", "url", mime.alias("mime"))
+        .orderBy("doc_id")
+    )
+
+
+def q23_cube_rollup(spark, sf_dir):
+    """Grouping sets — cube over two dims with exact decimal sums
+    (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
+    o = _load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -457,6 +491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_ann_lsh_topk": q19_ann_lsh_topk,
         "q20_simhash_pairs": q20_simhash_pairs,
         "q21_crawl_waves": q21_crawl_waves,
+        "q22_prefix_lookup": q22_prefix_lookup,
+        "q23_cube_rollup": q23_cube_rollup,
     }
 
 
@@ -626,6 +662,26 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY sim DESC, cid) AS rank,
                    round(sim, 6) AS sim6
             FROM s QUALIFY rank <= 5 ORDER BY qid, rank
+        """,
+        "q22_prefix_lookup": f"""
+            WITH u AS ({_DOC_URL_SQL}),
+            m AS (SELECT doc_id, url,
+                    CASE WHEN url LIKE '%.html' THEN 'text/html'
+                         WHEN url LIKE '%.txt' THEN 'text/plain'
+                         ELSE NULL END AS mime
+                  FROM u)
+            SELECT doc_id, url, mime FROM m
+            WHERE url LIKE 'http://src0.example/%'
+              AND regexp_extract(url, '[^/]*$') LIKE '%doc1%'
+              AND mime LIKE 'text/%'
+            ORDER BY doc_id
+        """,
+        "q23_cube_rollup": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+                   sum(o_totalprice::DECIMAL(18,2)) AS sum_price
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus, o_orderpriority
         """,
         # q19 (approximate ANN), q20 (engine-defined simhash) and q21
         # (iterative wave loop) are non-SQL-expressible -> rows-only;

@@ -100,6 +100,54 @@ def url_resolve(base: Column, href: Column) -> Column:
     )
 
 
+_EXT_MIME = {
+    "html": "text/html", "htm": "text/html", "txt": "text/plain",
+    "pdf": "application/pdf", "jpg": "image/jpeg", "png": "image/png",
+    "gif": "image/gif", "mp3": "audio/mpeg", "wav": "audio/wav",
+    "mp4": "video/mp4", "mkv": "video/x-matroska", "zip": "application/zip",
+    "gz": "application/gzip",
+}
+
+
+def mime_type(url: Column) -> Column:
+    """Extension -> MIME (the header-less analog of libmagic sniffing,
+    extended_attributes_file_processor.py:28-45)."""
+    ext = url_extension(url)
+    expr = F.lit(None).cast("string")
+    for e, m in _EXT_MIME.items():
+        expr = F.when(ext == e, F.lit(m)).otherwise(expr)
+    return expr
+
+
+def content_family(mime: Column) -> Column:
+    """C3 — mime -> ContentFamily prefix/substring decision tree
+    (app/models/path.py:171-208): audio/video/image prefixes, pdf and
+    text map to DOCUMENT, archive formats to ARCHIVE, else APPLICATION;
+    unknown mime -> null."""
+    return (
+        F.when(mime.isNull(), F.lit(None).cast("string"))
+        .when(mime.startswith("audio"), F.lit("AUDIO"))
+        .when(mime.startswith("video"), F.lit("VIDEO"))
+        .when(mime.startswith("image"), F.lit("PICTURE"))
+        .when(mime.startswith("text") | mime.contains("pdf"), F.lit("DOCUMENT"))
+        .when(mime.contains("zip") | mime.contains("gzip"), F.lit("ARCHIVE"))
+        .otherwise(F.lit("APPLICATION"))
+    )
+
+
+def format_size(size: Column) -> Column:
+    """C9 — human-readable size at 1000 steps (filesize_helper.py:4-41:
+    o/Ko/Mo/Go/To) — display-only helper."""
+    return (
+        F.when(size.isNull(), F.lit(None).cast("string"))
+        .when(size < 1000, F.concat(size.cast("long").cast("string"), F.lit(" o")))
+        .when(size < 10**6, F.concat(F.round(size / 1e3, 1).cast("string"), F.lit(" Ko")))
+        .when(size < 10**9, F.concat(F.round(size / 1e6, 1).cast("string"), F.lit(" Mo")))
+        .when(size < 10**12, F.concat(F.round(size / 1e9, 1).cast("string"), F.lit(" Go")))
+        .otherwise(F.concat(F.round(size / 1e12, 1).cast("string"), F.lit(" To")))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar twins (oracle/simulator code path) — semantics must match the
 # Column versions bit-for-bit; unit-tested against each other.

@@ -341,9 +341,12 @@ def run_crawl(
         seen_df = store.read_seen(spark)
         wave_timings["reload_state"] = round(_time.time() - t0, 3)
         all_timings.append(wave_timings)
-        seen_count += sum(v["n"] for v in stats.values() if v) - stats.get(
-            "deferred", {"n": 0}
-        )["n"]
+        # bloom sizing: examined-this-wave = everything except deferred
+        # rows (still queued) and the 'fetched' cache-warm duplicate of
+        # 'scheduled'
+        seen_count += sum(
+            v["n"] for k, v in stats.items() if k not in ("deferred", "fetched")
+        )
 
     pages_meta.unpersist()
     return CrawlResult(store=store, waves_run=waves_run, timings=all_timings)
