@@ -45,6 +45,7 @@ SCALES = {
     "tiny": (5, 80),
     "small": (50, 840),
     "bench": (500, 840),
+    "bench2": (2000, 840),
 }
 
 
@@ -86,13 +87,22 @@ def iter_host_pages(scale: str = "tiny", seed: int = 42):
     makes the extraction stage compute-bound at bench scale).
     """
     n_hosts, per_host = SCALES[scale]
-    rng = np.random.Generator(np.random.PCG64(seed))
+    for h in range(n_hosts):
+        yield gen_host(scale, h, seed)
+
+
+def gen_host(scale: str, h: int, seed: int = 42) -> list[dict]:
+    """One host's pages — independently computable (per-host RNG stream
+    seeded as f(seed, host)), so fixture generation parallelizes across
+    processes and any host is reproducible in isolation."""
+    n_hosts, per_host = SCALES[scale]
+    rng = np.random.Generator(np.random.PCG64(seed * 1_000_003 + h))
     total_cold = n_hosts * per_host
     # hot host: ~30% of all pages (FIXTURES §1 hot-host clause)
     hot_pages = int(0.3 / 0.7 * total_cold)
 
-    for h in range(n_hosts):
-        pages: list[dict] = []
+    if True:  # (indentation kept aligned with the historical loop body)
+        pages = []
         n = hot_pages if h == 0 else per_host
         b = int(rng.integers(2, 5))  # branching factor for this host's tree
         root = host_root(h)
@@ -144,7 +154,7 @@ def iter_host_pages(scale: str = "tiny", seed: int = 42):
                     "lang": ["en", "fr", "de"][int(rng.integers(0, 3))],
                 }
             )
-        yield pages
+        return pages
 
 
 def generate_pages(
@@ -240,6 +250,10 @@ def _records_table(records: list[dict], schema: pa.Schema) -> pa.Table:
     return pa.Table.from_pydict(cols, schema=schema)
 
 
+def _gen_host_star(scale: str, seed: int, h: int) -> list[dict]:
+    return gen_host(scale, h, seed)
+
+
 def write_fixture(out_dir: str, scale: str = "tiny", seed: int = 42) -> str:
     """Write pages/seeds/robots parquet under out_dir; idempotent cache —
     returns out_dir unchanged if the marker file already exists.
@@ -252,13 +266,22 @@ def write_fixture(out_dir: str, scale: str = "tiny", seed: int = 42) -> str:
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
 
+    # per-host RNG streams are independent, so generation fans out
+    # across processes; results written in host order (deterministic file)
+    import multiprocessing as mp
+    from functools import partial
+
+    n_hosts, _ = SCALES[scale]
     buf: list[dict] = []
     with pq.ParquetWriter(os.path.join(out_dir, "pages.parquet"), _PAGES_PA) as w:
-        for host_pages in iter_host_pages(scale, seed):
-            buf.extend(host_pages)
-            if len(buf) >= 20_000:
-                w.write_table(_records_table(buf, _PAGES_PA))
-                buf = []
+        with mp.Pool(min(16, max(1, (os.cpu_count() or 2) - 2))) as pool:
+            for host_pages in pool.imap(
+                partial(_gen_host_star, scale, seed), range(n_hosts), chunksize=4
+            ):
+                buf.extend(host_pages)
+                if len(buf) >= 20_000:
+                    w.write_table(_records_table(buf, _PAGES_PA))
+                    buf = []
         if buf:
             w.write_table(_records_table(buf, _PAGES_PA))
 

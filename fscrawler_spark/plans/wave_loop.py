@@ -224,11 +224,22 @@ def run_crawl(
             .drop("html")  # the binary never crosses a shuffle
         )
         # persisted BEFORE ranking: results write, link expansion, metrics
-        # and wave_rank's two passes all read the extracted set; the html
+        # and wave_rank's passes all read the extracted set; the html
         # scan + UDFs must run exactly once per wave.
         pre_rank = extracted.persist()
+        # Rank a SLIM projection and broadcast-join it back: the heavy
+        # text/hrefs columns never pass through the rank exchange (the
+        # single-partition sort at small waves, the range exchange at
+        # large ones), so every downstream consumer keeps the cache's
+        # parallel partitioning.  The rank map is politeness-bounded
+        # (<= hosts x budget slim rows per wave) — broadcastable far
+        # beyond this sandbox; at 10^9-scheduled-per-wave scale the
+        # global rank would move to per-host rank + offset composition.
+        slim_ranked = wave_rank(
+            pre_rank.select("priority", "host", "url"), small=small
+        ).select("url", "rank_in_wave")
         extracted = (
-            wave_rank(pre_rank, small=small)
+            pre_rank.join(F.broadcast(slim_ranked), "url")
             .withColumn("wave", F.lit(wave))
             .withColumn("n_links", F.size("hrefs"))
             .persist()
