@@ -48,9 +48,15 @@ def run_at(cores: int, fix_dir: str, job: CrawlJob, seed_rows: list | None = Non
     # stages to 1-2 tasks, capping parallelism below even local[8].
     # On a real cluster against 100TB the defaults are correct; the
     # ratio data-size/partition-size >> total-cores is what matters.
+    # Shuffle/cache spill and the per-wave checkpoint go to tmpfs: on a
+    # real cluster every executor brings its own disks (storage bandwidth
+    # scales with N), but this box has ONE shared disk — the only
+    # resource that cannot scale between the two runs.  RAM-backed dirs
+    # restore the per-executor-storage assumption for both levels equally.
     conf = {
         "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(4 * 1024 * 1024),
+        "spark.local.dir": f"/dev/shm/fsc_spark_tmp_{cores}",
     }
     spark = get_spark(app_name=f"fsc_scaling_{cores}", cores=cores, extra_conf=conf)
     pages = spark.read.schema(schemas.PAGES).parquet(f"{fix_dir}/pages.parquet")
@@ -64,7 +70,9 @@ def run_at(cores: int, fix_dir: str, job: CrawlJob, seed_rows: list | None = Non
     t0 = time.time()
     res = run_crawl(
         spark, pages, seed_rows, job, robots=robots,
-        checkpoint_dir=tempfile.mkdtemp(prefix=f"fsc_scale_{cores}_"),
+        checkpoint_dir=tempfile.mkdtemp(
+            prefix=f"fsc_scale_{cores}_", dir="/dev/shm"
+        ),
     )
     secs = time.time() - t0
     m = res.metrics(spark)
@@ -87,6 +95,10 @@ def run_at(cores: int, fix_dir: str, job: CrawlJob, seed_rows: list | None = Non
         "waves": res.waves_run,
     }
     stop_spark()
+    import shutil
+
+    shutil.rmtree(res.store.root, ignore_errors=True)
+    shutil.rmtree(f"/dev/shm/fsc_spark_tmp_{cores}", ignore_errors=True)
     return out
 
 

@@ -134,14 +134,22 @@ def gen_host(scale: str, h: int, seed: int = 42) -> list[dict]:
             n_words = int(rng.integers(40, 400))
             body_words = rng.choice(len(_VOCAB), n_words)
             body = " ".join(_VOCAB[w] for w in body_words)
-            filler = "x" * int(min(np.exp(rng.normal(7.0, 1.2)), 200_000))
+            # log-normal page weight with a heavy tail, realized as
+            # TAG-DENSE markup (~1 tag per 30 bytes, like real html) —
+            # not opaque byte runs, so extraction cost is regex work,
+            # not a pure memory copy
+            fill_len = int(min(np.exp(rng.normal(7.0, 1.2)), 200_000))
+            filler = "".join(
+                f'<span class="w{j % 7}">{_VOCAB[j % len(_VOCAB)]}</span> '
+                for j in range(fill_len // 30)
+            )
             links_html = "\n".join(f'<a href="{u}">l</a>' for u in hrefs)
             html = (
                 f"<html><head><title>{names[i] or host_name(h)}</title>"
                 f'<style>p {{ color: red; }}</style></head><body>\n'
                 f'<script>var junk = "<p>not text</p>";</script>\n'
                 f"<p>{body} &amp; more</p>\n{links_html}\n"
-                f"<!-- filler {filler} --></body></html>"
+                f"<div>{filler}</div></body></html>"
             ).encode("utf-8")
             pages.append(
                 {
