@@ -104,12 +104,12 @@ def run_at(cores: int, fix_dir: str, job: CrawlJob, seed_rows: list | None = Non
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scale", default="bench")
+    ap.add_argument("--scale", default="bench2")
     ap.add_argument("--waves", type=int, default=8)
     ap.add_argument("--budget", type=int, default=4000)
-    ap.add_argument("--n-cores", type=int, default=4,
-                    help="N in the N-vs-4N comparison (default local[4] vs local[16])")
-    ap.add_argument("--seed-hosts", type=int, default=0,
+    ap.add_argument("--n-cores", type=int, default=2,
+                    help="N in the N-vs-4N comparison (default local[2] vs local[8] — see BASELINE.md methodology)")
+    ap.add_argument("--seed-hosts", type=int, default=2000,
                     help="seed the first N host roots directly (0 = fixture seeds);"
                          " seeding every host makes waves big and compute-bound")
     args = ap.parse_args()
