@@ -449,6 +449,37 @@ def q22_prefix_lookup(spark, sf_dir):
     )
 
 
+def q24_media_features(spark, sf_dir):
+    """Multimodal columns: deterministic fake media blobs -> mapInPandas
+    decode + feature extraction + frame sampling (the Spark plumbing is
+    real; codecs stubbed — fscrawler_spark/functions/multimodal.py).
+    Engine-defined binary formats — rows-only."""
+    from fscrawler_spark.functions import multimodal as MM
+
+    rows = []
+    for i in range(64):
+        rows.append((i, f"http://m.example/img{i}.png", "image",
+                     MM.encode_fake_image(8 + i % 9, 6, 3, seed=i), {"src": "gen"}))
+    for i in range(64, 80):
+        rows.append((i, f"http://m.example/v{i}.mp4", "video",
+                     MM.encode_fake_video(6 + i % 3, 4, 3, seed=i), {}))
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    info = MM.image_info(media)
+    feats = MM.image_features(media, dim=8).select(
+        "media_id", F.round(F.element_at("features", 1), 6).alias("f0")
+    )
+    frames = (
+        MM.sample_frames(media, every_n=2)
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_frames_sampled"))
+    )
+    return (
+        info.join(feats, "media_id", "left")
+        .join(frames, "media_id", "left")
+        .orderBy("media_id")
+    )
+
+
 def q23_cube_rollup(spark, sf_dir):
     """Grouping sets — cube over two dims with exact decimal sums
     (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
@@ -493,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_crawl_waves": q21_crawl_waves,
         "q22_prefix_lookup": q22_prefix_lookup,
         "q23_cube_rollup": q23_cube_rollup,
+        "q24_media_features": q24_media_features,
     }
 
 

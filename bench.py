@@ -72,10 +72,10 @@ def bench_simhash(spark, sf_dir):
 
 
 def crawl_bench(spark, scale: str = "small") -> tuple[float, int]:
-    """Full wave-loop crawl on the synthetic fixture; returns
-    (seconds, scheduled_urls)."""
-    from fscrawler_spark.datagen import generate_pages, write_fixture
-    from fscrawler_spark.filters import DepthFilter, ExtensionFilter
+    """Full wave-loop crawl on the synthetic fixture (all host roots
+    seeded, 6 waves); returns (seconds, scheduled_urls)."""
+    from fscrawler_spark.datagen import SCALES, host_root, write_fixture
+    from fscrawler_spark.filters import ExtensionFilter
     from fscrawler_spark.plans.job import CrawlJob
     from fscrawler_spark.plans.wave_loop import run_crawl
 
@@ -83,17 +83,16 @@ def crawl_bench(spark, scale: str = "small") -> tuple[float, int]:
     pages = spark.read.schema(schemas.PAGES).parquet(f"{fix_dir}/pages.parquet")
     robots = spark.read.schema(schemas.ROBOTS).parquet(f"{fix_dir}/robots.parquet")
     seed_rows = [
-        r.asDict() for r in spark.read.parquet(f"{fix_dir}/seeds.parquet").collect()
+        {"url": host_root(h), "seed_id": h} for h in range(SCALES[scale][0])
     ]
     job = CrawlJob(
-        politeness_budget=200,
-        max_waves=3,
+        politeness_budget=2000,
+        max_waves=6,
         skip_filters=(
-            DepthFilter(6),
             ExtensionFilter(excluded=frozenset({"tmp", "log", "bak", "pyc"})),
         ),
     )
-    ckpt = tempfile.mkdtemp(prefix="fsc_bench_")
+    ckpt = tempfile.mkdtemp(prefix="fsc_bench_", dir="/dev/shm")
     t0 = time.time()
     res = run_crawl(spark, pages, seed_rows, job, robots=robots, checkpoint_dir=ckpt)
     secs = time.time() - t0
@@ -108,7 +107,17 @@ def crawl_bench(spark, scale: str = "small") -> tuple[float, int]:
 
 
 def main() -> None:
-    spark = get_spark(app_name="fscrawler_bench", cores=CPUS)
+    spark = get_spark(
+        app_name="fscrawler_bench",
+        cores=CPUS,
+        extra_conf={
+            # partition sizing matched to local data scale (see
+            # BENCH/BASELINE.md methodology); spill to tmpfs
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(4 * 1024 * 1024),
+            "spark.local.dir": "/dev/shm/fsc_bench_tmp",
+        },
+    )
     # warmup: JVM + codegen paths
     spark.range(1000).agg(F.sum("id")).collect()
 

@@ -77,6 +77,33 @@ def lsh_bands(shingle_col, bands: int, rows: int):
     )
 
 
+def minhash_bands_agg(
+    df: DataFrame, id_col: str, shingle_col, num_hashes: int, bands: int
+) -> DataFrame:
+    """Band hashes via explode + 128 min-aggregates — the whole-stage-
+    codegen'd minhash shape (the higher-order-function form evaluates
+    interpreted, ~10x slower on long shingle arrays).  One narrow
+    explode, one hash-aggregate with partial/final combine, then the
+    band hashing over the aggregated mins.  Returns (id, band, bh)."""
+    rows = num_hashes // bands
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(shingle_col).alias("sh")
+    )
+    sig = exploded.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    bands_col = F.array(
+        *[
+            F.xxhash64(F.lit(j), *[F.col(f"h{j * rows + i}") for i in range(rows)])
+            for j in range(bands)
+        ]
+    )
+    return sig.select("id", F.posexplode(bands_col).alias("band", "bh"))
+
+
 def exact_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float, k_shingle: int = 3
 ) -> DataFrame:
@@ -123,10 +150,7 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"), shingles(F.col(text_col), k_shingle).alias("sh")
     ).where(F.size("sh") > 0)
     sh = sh.persist()
-    banded = sh.select(
-        "id",
-        F.posexplode(lsh_bands(F.col("sh"), bands, rows)).alias("band", "bh"),
-    )
+    banded = minhash_bands_agg(sh, "id", F.col("sh"), num_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -163,30 +187,43 @@ def minhash_lsh_pairs(
 
 
 def _stable_token_hash(arr: np.ndarray) -> np.ndarray:
-    """Deterministic 64-bit token hash (FNV-1a over utf-8 bytes) —
-    process-independent (unlike Python's salted hash())."""
-    out = np.empty(len(arr), dtype=np.uint64)
-    for i, tok in enumerate(arr):
-        h = np.uint64(0xCBF29CE484222325)
-        for byt in tok.encode("utf-8"):
-            h = np.uint64((int(h) ^ byt) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return out
+    """Deterministic 64-bit token hash — pandas' siphash with its fixed
+    default key: process-independent (unlike Python's salted hash())
+    and C-vectorized across the token array."""
+    return pd.util.hash_array(np.asarray(arr, dtype=object)).astype(np.uint64)
 
 
 @pandas_udf(T.LongType())
 def simhash64_udf(tokens_col: pd.Series) -> pd.Series:
     """64-bit SimHash of a token array: per-bit majority vote of token
-    hashes.  numpy-vectorized across the bit dimension per doc."""
+    hashes.  Vectorized across the WHOLE Arrow batch: all tokens are
+    hashed in one C call and per-doc bit counts come from
+    np.add.reduceat over doc boundaries (per-doc numpy dispatch was
+    ~10ms/doc — 50s for 5k docs; this path is ~100x less overhead)."""
     bit_idx = np.arange(64, dtype=np.uint64)
     out = np.zeros(len(tokens_col), dtype=np.uint64)
-    for i, toks in enumerate(tokens_col):
-        if toks is None or len(toks) == 0:
+    token_lists = list(tokens_col)
+    CHUNK = 512  # bounds the (tokens x 64) bit matrix per slice
+    for s in range(0, len(token_lists), CHUNK):
+        chunk = token_lists[s: s + CHUNK]
+        lens = np.array([0 if t is None else len(t) for t in chunk])
+        if lens.sum() == 0:
             continue
-        hs = _stable_token_hash(np.asarray(toks))
-        bits = (hs[:, None] >> bit_idx[None, :]) & np.uint64(1)  # (n_tok, 64)
-        votes = bits.sum(axis=0) * 2 - len(hs)  # positive -> bit set
-        out[i] = ((votes > 0).astype(np.uint64) << bit_idx).sum(dtype=np.uint64)
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in chunk if t is not None and len(t)]
+        )
+        hs = _stable_token_hash(flat)
+        bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+        nz = lens > 0
+        starts = np.concatenate([[0], np.cumsum(lens[nz])[:-1]]).astype(np.int64)
+        counts = np.add.reduceat(bits, starts, axis=0)  # (n_nonempty, 64)
+        # votes MUST be signed: uint64 arithmetic would wrap negative
+        # majorities to huge positives and set nearly every bit
+        votes = counts * 2 - lens[nz][:, None]
+        sh = ((votes > 0).astype(np.uint64) << bit_idx[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        out[np.nonzero(nz)[0] + s] = sh
     # reinterpret the uint64 hash as int64 (LongType) without overflow
     return pd.Series(out.view(np.int64))
 

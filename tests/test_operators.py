@@ -121,3 +121,38 @@ def test_top_k_per_group(spark):
         by_g.setdefault(r["g"], []).append(r["v"])
     assert sorted(by_g["a"], reverse=True) == [9, 8, 7]
     assert sorted(by_g["b"], reverse=True) == [9, 8, 7]
+
+
+def test_simhash_semantics(spark):
+    """SimHash: identical token sets collide (hamming 0); mostly-shared
+    sets are near (small hamming); disjoint sets are far.  Also guards
+    the signed-vote arithmetic (uint64 wrap would set ~all bits)."""
+    from fscrawler_spark.operators.similarity import simhash64_udf, simhash_pairs
+    from pyspark.sql import functions as F
+
+    base = [f"tok{i}" for i in range(120)]
+    near = base[:115] + [f"alt{i}" for i in range(5)]
+    far = [f"other{i}" for i in range(120)]
+    df = spark.createDataFrame(
+        [(0, base), (1, list(base)), (2, near), (3, far)],
+        "id long, tk array<string>",
+    )
+    hs = {r["id"]: r["sh"] for r in df.select("id", simhash64_udf(F.col("tk")).alias("sh")).collect()}
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert hs[0] == hs[1]
+    assert ham(hs[0], hs[2]) <= 16  # 5/120 tokens changed -> near
+    assert ham(hs[0], hs[3]) > 16  # disjoint -> far
+    # bit balance sanity: a random-ish set should not be all-ones
+    assert bin(hs[3] & ((1 << 64) - 1)).count("1") < 55
+
+    # pigeonhole exactness: with `chunks` blocks the join finds EVERY
+    # pair with hamming <= chunks-1 and verifies the rest away
+    max_h, chunks = 7, 8
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_pairs(df, "id", F.col("tk"),
+                                    max_hamming=max_h, chunks=chunks).collect()}
+    assert pairs.get((0, 1)) == 0
+    for a, b in [(0, 2), (1, 2), (0, 3), (2, 3), (1, 3)]:
+        expected = ham(hs[a], hs[b]) <= max_h
+        assert ((a, b) in pairs) == expected, (a, b)
