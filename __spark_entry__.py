@@ -449,6 +449,18 @@ def q22_prefix_lookup(spark, sf_dir):
     )
 
 
+def q25_subtree_rollup(spark, sf_dir):
+    """A1 — recursive subtree rollup (dir size = sum of children,
+    file_system_crawler.py:486-488), Spark-first: one prefix-explode +
+    hash aggregate computes every subtree total simultaneously."""
+    from fscrawler_spark.operators.rollup import subtree_rollup
+
+    d = _doc_urls(spark, sf_dir).select(
+        "url", F.col("n_chars").cast("long").alias("size")
+    )
+    return subtree_rollup(d, "url", "size").orderBy("prefix")
+
+
 def q24_media_features(spark, sf_dir):
     """Multimodal columns: deterministic fake media blobs -> mapInPandas
     decode + feature extraction + frame sampling (the Spark plumbing is
@@ -525,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_prefix_lookup": q22_prefix_lookup,
         "q23_cube_rollup": q23_cube_rollup,
         "q24_media_features": q24_media_features,
+        "q25_subtree_rollup": q25_subtree_rollup,
     }
 
 
@@ -714,6 +727,33 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
             ORDER BY o_orderstatus, o_orderpriority
+        """,
+        "q25_subtree_rollup": f"""
+            WITH u AS ({_DOC_URL_SQL}),
+            s AS (SELECT n_chars::BIGINT AS sz,
+                    regexp_extract(url, '^([a-z][a-z0-9+.-]*://[^/]+)', 1) AS base,
+                    trim(BOTH '/' FROM
+                      regexp_replace(url, '^[a-z][a-z0-9+.-]*://[^/]+', '')) AS path
+                  FROM u),
+            segd AS (SELECT *, CASE WHEN path = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(path, '/+') END AS segs
+                     FROM s),
+            pre AS (SELECT sz,
+                      unnest(list_prepend(base,
+                        [base || '/' || array_to_string(segs[1:i], '/')
+                         for i in generate_series(1, len(segs))])) AS prefix
+                    FROM segd)
+            SELECT prefix,
+                   regexp_extract(prefix, '^[a-z][a-z0-9+.-]*://([^/]+)', 1) AS host,
+                   CASE WHEN trim(BOTH '/' FROM
+                          regexp_replace(prefix, '^[a-z][a-z0-9+.-]*://[^/]+', '')) = ''
+                        THEN 0
+                        ELSE len(regexp_split_to_array(trim(BOTH '/' FROM
+                          regexp_replace(prefix, '^[a-z][a-z0-9+.-]*://[^/]+', '')),
+                          '/+')) END AS depth,
+                   sum(sz)::BIGINT AS total_bytes,
+                   count(*) AS n_pages
+            FROM pre GROUP BY prefix ORDER BY prefix
         """,
         # q19 (approximate ANN), q20 (engine-defined simhash) and q21
         # (iterative wave loop) are non-SQL-expressible -> rows-only;

@@ -156,3 +156,47 @@ def test_simhash_semantics(spark):
     for a, b in [(0, 2), (1, 2), (0, 3), (2, 3), (1, 3)]:
         expected = ham(hs[a], hs[b]) <= max_h
         assert ((a, b) in pairs) == expected, (a, b)
+
+
+def test_subtree_rollup(spark):
+    """A1 — one-pass prefix rollup == recursive accumulation."""
+    from fscrawler_spark.operators.rollup import subtree_rollup
+
+    df = spark.createDataFrame(
+        [("http://h.x/a/b/c.html", 10), ("http://h.x/a/d.html", 5),
+         ("http://h.x", 2), ("http://g.x/z", 7)],
+        "url string, size long",
+    )
+    got = {r["prefix"]: (r["total_bytes"], r["n_pages"], r["depth"])
+           for r in subtree_rollup(df).collect()}
+    assert got["http://h.x"] == (17, 3, 0)
+    assert got["http://h.x/a"] == (15, 2, 1)
+    assert got["http://h.x/a/b"] == (10, 1, 2)
+    assert got["http://g.x"] == (7, 1, 0)
+    assert got["http://g.x/z"] == (7, 1, 1)
+
+
+def test_xspf_and_url_escape(spark):
+    """S12/C10 — playlist sink + percent-encoding chain."""
+    from fscrawler_spark.functions.sinks import to_xspf, url_escape
+
+    df = spark.createDataFrame(
+        [("http://h.x/my video's & \"best\".mp4",), ("http://h.x/b 100%.mp4",)],
+        "url string",
+    )
+    esc = [r["e"] for r in df.select(url_escape(F.col("url")).alias("e")).collect()]
+    assert "http://h.x/my%20video%27s%20%26%20%22best%22.mp4" in esc
+    assert "http://h.x/b%20100%25.mp4" in esc
+    doc = to_xspf(df)
+    assert doc.startswith('<?xml version="1.0"')
+    assert doc.count("<track>") == 2
+    assert "xmlns=\"http://xspf.org/ns/0/\"" in doc
+
+
+def test_results_to_json(spark):
+    from fscrawler_spark.functions.sinks import results_to_json
+    import json
+
+    df = spark.createDataFrame([("u1", 3)], "url string, rating int")
+    out = results_to_json(df, ["url", "rating"]).collect()[0]["json"]
+    assert json.loads(out) == {"url": "u1", "rating": 3}
