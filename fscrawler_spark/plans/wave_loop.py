@@ -107,8 +107,14 @@ def run_crawl(
     checkpoint_dir: str | None = None,
     seed_dim: DataFrame | None = None,
     resume: bool = False,
+    seen_init: DataFrame | None = None,
 ) -> CrawlResult:
-    """Run (or resume) a crawl; state lives in the CheckpointStore."""
+    """Run (or resume) a crawl; state lives in the CheckpointStore.
+
+    seen_init: optional pre-existing seen-set (url column) for warm
+    re-crawls — the reference's warm re-run (README.md:111-115, 156x
+    speedup via the DB probe) becomes "every previously-examined URL
+    drops at the first anti-join"."""
     store = CheckpointStore(checkpoint_dir or tempfile.mkdtemp(prefix="fsc_ckpt_"))
 
     # Page metadata view (no html) — Catalyst prunes the binary column out
@@ -135,18 +141,29 @@ def run_crawl(
         skip_pred = ~F.coalesce(skip_pred, F.lit(False))
     notify_pred = or_any(list(job.notify_filters))
 
+    def _load_seen() -> DataFrame | None:
+        """Committed seen-set plus the warm-start seen_init (if any)."""
+        committed = store.read_seen(spark)
+        if seen_init is None:
+            return committed
+        base = seen_init.select("url").withColumn("wave", F.lit(-1))
+        if committed is None:
+            return base
+        return committed.select("url", "wave").unionByName(base)
+
     start_wave = 0
     seen_count = 0
     if resume and store.last_wave() is not None:
         start_wave = store.last_wave() + 1
         frontier = store.read_frontier(spark, store.last_wave())
         frontier_n = frontier.count()  # parquet-footer count, cheap
-        seen_df = store.read_seen(spark)
+        seen_df = _load_seen()
         seen_count = seen_df.count() if seen_df is not None else 0
     else:
         frontier = seeds_to_frontier(spark, seed_rows)
         frontier_n = len(accept_seeds(seed_rows))
-        seen_df = None
+        seen_df = _load_seen()
+        seen_count = seen_df.count() if seen_df is not None else 0
 
     waves_run = start_wave
     all_timings: list[dict] = []
@@ -349,7 +366,7 @@ def run_crawl(
         t0 = _time.time()
         frontier = store.read_frontier(spark, wave)
         frontier_n = frontier.count()  # parquet-footer count, cheap
-        seen_df = store.read_seen(spark)
+        seen_df = _load_seen()
         wave_timings["reload_state"] = round(_time.time() - t0, 3)
         all_timings.append(wave_timings)
         # bloom sizing: examined-this-wave = everything except deferred

@@ -1,0 +1,112 @@
+"""Engine-vs-simulator parity for the remaining crawl modes (wave_cap,
+invert, warm re-crawl) plus checkpoint-contract crash safety."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from fscrawler_spark.filters import ExtensionFilter
+from fscrawler_spark.plans.job import CrawlJob
+from fscrawler_spark.plans.simulator import simulate_crawl
+from fscrawler_spark.plans.wave_loop import run_crawl
+
+
+def _order(spark, res):
+    return {
+        r["url"]: (r["wave"], r["rank_in_wave"])
+        for r in res.results(spark).where("stage='EXTRACTED'").collect()
+    }
+
+
+def test_wave_cap_engine_matches_simulator(spark, pages_df, robots_df, tiny, tmp_path_factory):
+    job = CrawlJob(politeness_budget=20, max_waves=3, wave_cap=7)
+    sim = simulate_crawl(tiny["pages"], tiny["seeds"], job, tiny["robots"])
+    res = run_crawl(
+        spark, pages_df, tiny["seeds"], job, robots=robots_df,
+        checkpoint_dir=str(tmp_path_factory.mktemp("cap")),
+    )
+    assert _order(spark, res) == sim.order
+    assert {r["url"] for r in res.seen(spark).collect()} == sim.seen
+    # the cap binds: no wave schedules more than 7
+    per_wave = (
+        res.results(spark).where("stage='EXTRACTED'")
+        .groupBy("wave").agg(F.count("*").alias("n")).collect()
+    )
+    assert all(r["n"] <= 7 for r in per_wave) and any(r["n"] == 7 for r in per_wave)
+
+
+def test_invert_engine_matches_simulator(spark, pages_df, robots_df, tiny, tmp_path_factory):
+    """Invert = blanket verdict negation (fast_crawler.py:96-113), so the
+    delete-list use-case selects a complement that can still traverse:
+    'everything NOT under h0.example'."""
+    from fscrawler_spark.filters import PatternFilter
+
+    job = CrawlJob(
+        politeness_budget=20, max_waves=3, invert=True,
+        skip_filters=(PatternFilter(authorized_pattern="h0.example"),),
+    )
+    sim = simulate_crawl(tiny["pages"], tiny["seeds"], job, tiny["robots"])
+    res = run_crawl(
+        spark, pages_df, tiny["seeds"], job, robots=robots_df,
+        checkpoint_dir=str(tmp_path_factory.mktemp("inv")),
+    )
+    assert _order(spark, res) == sim.order
+    assert sim.order, "invert complement must fetch non-h0 pages"
+    assert all("h0.example" not in u for u in sim.order)
+
+
+def test_warm_recrawl_schedules_nothing(spark, pages_df, robots_df, tiny, tmp_path_factory):
+    """The warm re-run (README.md:111-115): a second crawl with the first
+    run's seen-set schedules zero URLs — everything drops at the first
+    anti-join."""
+    job = CrawlJob(politeness_budget=10, max_waves=3)
+    first = run_crawl(
+        spark, pages_df, tiny["seeds"], job, robots=robots_df,
+        checkpoint_dir=str(tmp_path_factory.mktemp("cold")),
+    )
+    seen = first.seen(spark)
+    t0 = time.time()
+    warm = run_crawl(
+        spark, pages_df, tiny["seeds"], job, robots=robots_df,
+        checkpoint_dir=str(tmp_path_factory.mktemp("warm")), seen_init=seen,
+    )
+    warm_secs = time.time() - t0
+    assert warm.waves_run == 1  # wave 0 examines nothing new -> empty frontier
+    r = warm.results(spark)
+    assert r is None or r.count() == 0
+    assert warm_secs < 30  # the 156x-analog: one near-empty wave
+
+
+def test_uncommitted_partial_wave_is_ignored_on_resume(
+    spark, pages_df, robots_df, tiny, tmp_path_factory
+):
+    """Checkpoint contract: data directories without a commit marker are
+    invisible — a crash mid-wave resumes from the last marker and
+    converges to the uninterrupted result."""
+    job2 = CrawlJob(politeness_budget=5, max_waves=2)
+    job4 = CrawlJob(politeness_budget=5, max_waves=4)
+    ref_dir = str(tmp_path_factory.mktemp("ref"))
+    crash_dir = str(tmp_path_factory.mktemp("crash"))
+
+    full = run_crawl(spark, pages_df, tiny["seeds"], job4, robots=robots_df,
+                     checkpoint_dir=ref_dir)
+
+    half = run_crawl(spark, pages_df, tiny["seeds"], job2, robots=robots_df,
+                     checkpoint_dir=crash_dir)
+    assert half.store.last_wave() == 1
+    # simulate a crash during wave 2: partial data files, NO marker
+    for table in ("results", "seen", "frontier"):
+        d = os.path.join(crash_dir, table, "wave=2")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "part-garbage.parquet"), "wb") as fh:
+            fh.write(b"NOT A PARQUET FILE")
+
+    resumed = run_crawl(spark, pages_df, tiny["seeds"], job4, robots=robots_df,
+                        checkpoint_dir=crash_dir, resume=True)
+    assert _order(spark, resumed) == _order(spark, full)
+    assert {r["url"] for r in resumed.seen(spark).collect()} == {
+        r["url"] for r in full.seen(spark).collect()
+    }

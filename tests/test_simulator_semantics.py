@@ -18,19 +18,25 @@ def run(job, robots=ROBOTS):
 
 def test_invert_selects_complement():
     """Invert mode crawls ONLY filtered-out pages (fast_crawler.py:96-113
-    delete-list mode): with an ext deny-list inverted, only junk-ext
-    urls are fetched — and nothing expands beyond them."""
+    delete-list mode).  Blanket negation means seeds themselves must be
+    in the complement for traversal to start — use a host-complement
+    pattern so the inverted crawl is non-trivial."""
     base = CrawlJob(politeness_budget=50, max_waves=3,
-                    skip_filters=(ExtensionFilter(
-                        excluded=frozenset({"tmp", "log", "bak", "pyc"})),))
+                    skip_filters=(PatternFilter(authorized_pattern="h0.example"),))
     inv = CrawlJob(**{**base.__dict__, "invert": True})
     normal = run(base)
     inverted = run(inv)
-    junk = (".tmp", ".log", ".bak", ".pyc")
-    assert all(not u.endswith(junk) for u in normal.order)
-    assert all(u.endswith(junk) for u in inverted.order)
+    assert normal.order and inverted.order
+    assert all("h0.example" in u for u in normal.order)
+    assert all("h0.example" not in u for u in inverted.order)
     # complement within the examined universe: no url fetched by both
     assert not (set(normal.order) & set(inverted.order))
+    # blanket negation starves traversal when seeds pass the filters
+    # (the seeds get skipped, nothing expands) — pinned behavior:
+    starved = run(CrawlJob(politeness_budget=50, max_waves=3, invert=True,
+                           skip_filters=(ExtensionFilter(
+                               excluded=frozenset({"tmp", "log"})),)))
+    assert starved.order == {}
 
 
 def test_wave_cap_defers_by_global_rank():
