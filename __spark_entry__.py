@@ -461,6 +461,16 @@ def q25_subtree_rollup(spark, sf_dir):
     return subtree_rollup(d, "url", "size").orderBy("prefix")
 
 
+def q26_embedding_dedup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (the vector-space dedup modality).
+    Threshold 0.45 is tuned to the synthetic embedding distribution
+    (max pairwise cos ~0.51 at sf0.01) so the check has live targets."""
+    from fscrawler_spark.operators.similarity import embedding_dedup_pairs
+
+    e = _load(spark, sf_dir, "embeddings")
+    return embedding_dedup_pairs(e, threshold=0.45).orderBy("id_a", "id_b")
+
+
 def q24_media_features(spark, sf_dir):
     """Multimodal columns: deterministic fake media blobs -> mapInPandas
     decode + feature extraction + frame sampling (the Spark plumbing is
@@ -538,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_cube_rollup": q23_cube_rollup,
         "q24_media_features": q24_media_features,
         "q25_subtree_rollup": q25_subtree_rollup,
+        "q26_embedding_dedup": q26_embedding_dedup,
     }
 
 
@@ -754,6 +765,21 @@ def oracle_sql() -> dict[str, str]:
                    sum(sz)::BIGINT AS total_bytes,
                    count(*) AS n_pages
             FROM pre GROUP BY prefix ORDER BY prefix
+        """,
+        "q26_embedding_dedup": """
+            WITH c AS (SELECT vec_id, embedding FROM embeddings),
+            s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                    round(
+                      list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                                for i in generate_series(1, len(a.embedding))])
+                      / (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+                                for i in generate_series(1, len(a.embedding))]))
+                       * sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                                for i in generate_series(1, len(b.embedding))]))),
+                      6) AS cos6
+                  FROM c a JOIN c b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, cos6 FROM s WHERE cos6 >= 0.45
+            ORDER BY id_a, id_b
         """,
         # q19 (approximate ANN), q20 (engine-defined simhash) and q21
         # (iterative wave loop) are non-SQL-expressible -> rows-only;

@@ -301,6 +301,29 @@ def cosine_sim(a, b):
     return dot / (na * nb)
 
 
+def embedding_dedup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= threshold).
+
+    Baseline form: all-pairs self-join (id_a < id_b) with the JVM-side
+    cosine fold — exact, O(n^2); the scale path buckets candidates with
+    ``hyperplane_lsh_topk``'s tables first.  Output (id_a, id_b, cos6)."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine_sim(F.col("va"), F.col("vb")), 6).alias("cos6"),
+        )
+        .where(F.col("cos6") >= threshold)
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
