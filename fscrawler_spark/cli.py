@@ -48,11 +48,15 @@ def cmd_crawl(args: argparse.Namespace) -> None:
     cfg = _load_config(args.config)
     spark = get_spark("fscrawler_crawl", cores=args.cores)
     pages = spark.read.schema(schemas.PAGES).parquet(args.pages)
-    robots = (
-        spark.read.schema(schemas.ROBOTS).parquet(args.robots)
-        if args.robots
-        else None
-    )
+    robots = None
+    if args.robots:
+        robots = spark.read.schema(schemas.ROBOTS).parquet(args.robots)
+    elif args.robots_txt:
+        from fscrawler_spark.functions.robots import parse_robots
+
+        robots = parse_robots(
+            spark.read.parquet(args.robots_txt)  # (host, body)
+        )
     if args.seeds:
         seed_rows = [r.asDict() for r in spark.read.parquet(args.seeds).collect()]
     else:
@@ -134,7 +138,8 @@ def main(argv: list[str] | None = None) -> None:
     c = sub.add_parser("crawl", help="run the wave-loop crawl")
     c.add_argument("--pages", required=True)
     c.add_argument("--seeds")
-    c.add_argument("--robots")
+    c.add_argument("--robots", help="pre-parsed rules parquet (schemas.ROBOTS)")
+    c.add_argument("--robots-txt", help="raw robots parquet (host, body) — parsed in-engine")
     c.add_argument("--config", help="YAML/JSON: seeds, skip_filters, budgets")
     c.add_argument("--checkpoint", required=True)
     c.add_argument("--budget", type=int, default=8)
