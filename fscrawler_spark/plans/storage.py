@@ -69,11 +69,16 @@ class CheckpointStore:
         return timings
 
     def commit_wave(
-        self, wave: int, metrics_rows: list[tuple], stats: dict | None = None
+        self,
+        wave: int,
+        metrics_rows: list[tuple],
+        stats: dict | None = None,
+        lineage_rows: list[tuple] | None = None,
     ) -> None:
-        """Write the metrics table (driver-side counters -> pyarrow, no
-        Spark job) and then the commit marker — strictly LAST, so readers
-        never see a partially written wave."""
+        """Write the metrics table and per-partition lineage counters
+        (driver-side rows -> pyarrow, no Spark job) and then the commit
+        marker — strictly LAST, so readers never see a partially written
+        wave."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -87,6 +92,18 @@ class CheckpointStore:
             }
         )
         pq.write_table(table, os.path.join(mdir, "part-0.parquet"))
+        if lineage_rows is not None:
+            ldir = self._dir("lineage", wave)
+            os.makedirs(ldir, exist_ok=True)
+            ltable = pa.Table.from_pydict(
+                {
+                    "wave": pa.array([r[0] for r in lineage_rows], pa.int32()),
+                    "partition_id": pa.array([r[1] for r in lineage_rows], pa.int32()),
+                    "rows": pa.array([r[2] for r in lineage_rows], pa.int64()),
+                    "bytes": pa.array([r[3] for r in lineage_rows], pa.int64()),
+                }
+            )
+            pq.write_table(ltable, os.path.join(ldir, "part-0.parquet"))
         os.makedirs(os.path.join(self.root, "_commits"), exist_ok=True)
         tmp = self._marker(wave) + ".tmp"
         with open(tmp, "w") as fh:
@@ -123,6 +140,11 @@ class CheckpointStore:
 
     def read_metrics(self, spark: SparkSession) -> DataFrame | None:
         return self._read_committed(spark, "metrics")
+
+    def read_lineage(self, spark: SparkSession) -> DataFrame | None:
+        """Per-(wave, partition) extracted-row/byte counters — the
+        lineage the north rule's resumable checkpoints carry."""
+        return self._read_committed(spark, "lineage")
 
     def read_frontier(self, spark: SparkSession, wave: int) -> DataFrame:
         return spark.read.parquet(self._dir("frontier", wave))

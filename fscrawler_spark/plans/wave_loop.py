@@ -356,7 +356,15 @@ def run_crawl(
         metrics_rows = [
             (wave, f"{k}_{m}", int(v[m])) for k, v in stats.items() for m in ("n", "bytes")
         ] or [(wave, "empty", 0)]
-        store.commit_wave(wave, metrics_rows, stats)
+        # per-partition lineage counters (north rule: checkpoints carry
+        # per-partition lineage) — one cheap agg over the warm cache
+        lineage_rows = [
+            (wave, int(r["pid"]), int(r["rows"]), int(r["bytes"] or 0))
+            for r in extracted.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count("*").alias("rows"), F.sum("size").alias("bytes"))
+            .collect()
+        ]
+        store.commit_wave(wave, metrics_rows, stats, lineage_rows)
 
         for cached in (stat, ranked, pre_rank, extracted):
             cached.unpersist()

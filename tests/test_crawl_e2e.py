@@ -141,3 +141,19 @@ def test_bloom_mode_identical(spark, pages_df, robots_df, tiny, sim, tmp_path_fa
     }
     assert order == sim.order
     assert {r["url"] for r in res.seen(spark).collect()} == sim.seen
+
+
+def test_per_partition_lineage(spark, engine, sim):
+    """Checkpoint lineage (north rule): per-(wave, partition) counters
+    whose totals reconcile with the scheduled metrics."""
+    lineage = engine.store.read_lineage(spark)
+    assert lineage is not None
+    per_wave = {
+        r["wave"]: (r["rows"], r["bytes"])
+        for r in lineage.groupBy("wave")
+        .agg(F.sum("rows").alias("rows"), F.sum("bytes").alias("bytes"))
+        .collect()
+    }
+    for m in sim.metrics:
+        if m["scheduled_n"]:
+            assert per_wave[m["wave"]] == (m["scheduled_n"], m["scheduled_bytes"])
