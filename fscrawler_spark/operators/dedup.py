@@ -76,6 +76,119 @@ class NumpyBloom:
         return probe.all(axis=1)
 
 
+class CuckooFilter:
+    """Cuckoo filter over JVM-computed xxhash64 values: 16-bit
+    fingerprints, 4-slot buckets, partial-key cuckoo hashing
+    (b2 = b1 xor H(fp)).  Unlike the Bloom filter it supports DELETE —
+    the property that makes it the seen-set's *spill* accelerator: when
+    the filter saturates, aged-out URL cohorts (old crawl epochs) are
+    evicted by fingerprint while the exact `seen` table remains ground
+    truth (the two-tier contract is unchanged: positives fall through
+    to the exact anti-join, negatives are provably unseen IF their
+    cohort was never deleted — deletions only reduce pre-filter power,
+    never correctness, because deleted cohorts fail "definitely unseen"
+    and go to the exact join).
+
+    Scale note: filters shard by h1-range (each shard built from its
+    own partition's hashes, no cross-shard evictions) — the sandbox
+    builds one shard driver-side.
+    """
+
+    def __init__(self, n_buckets: int, table: np.ndarray | None = None):
+        self.n_buckets = int(n_buckets)
+        self.table = table if table is not None else np.zeros(
+            (self.n_buckets, 4), dtype=np.uint16
+        )
+
+    @classmethod
+    def sized_for(cls, n_items: int, load: float = 0.84) -> "CuckooFilter":
+        n_buckets = 1 << max(4, int(np.ceil(np.log2(max(n_items, 1) / (4 * load)))))
+        return cls(n_buckets)
+
+    def _fp(self, h1: np.ndarray) -> np.ndarray:
+        fp = ((h1.astype(np.uint64) >> np.uint64(40)) & np.uint64(0xFFFF)).astype(
+            np.uint16
+        )
+        fp[fp == 0] = 1  # 0 is the empty-slot sentinel
+        return fp
+
+    def _b1(self, h1: np.ndarray) -> np.ndarray:
+        return (h1.astype(np.uint64) % np.uint64(self.n_buckets)).astype(np.int64)
+
+    def _b2(self, b1: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        mixed = fp.astype(np.uint64) * np.uint64(0x5BD1E995)
+        return ((b1.astype(np.uint64) ^ mixed) % np.uint64(self.n_buckets)).astype(
+            np.int64
+        )
+
+    def add_hashes(self, h1: np.ndarray, h2: np.ndarray | None = None) -> int:
+        """Insert; returns number of items dropped after eviction chains
+        exhaust (callers should size for <=0.84 load so this stays 0)."""
+        fps, b1s = self._fp(np.asarray(h1, np.int64)), self._b1(np.asarray(h1, np.int64))
+        dropped = 0
+        rng = np.random.Generator(np.random.PCG64(7))  # deterministic kicks
+        for fp, b in zip(fps, b1s):
+            cur_fp, cur_b = fp, b
+            placed = False
+            for _ in range(500):  # eviction chain cap
+                for bucket in (cur_b, self._b2(np.array([cur_b]), np.array([cur_fp]))[0]):
+                    empty = np.nonzero(self.table[bucket] == 0)[0]
+                    if empty.size:
+                        self.table[bucket, empty[0]] = cur_fp
+                        placed = True
+                        break
+                if placed:
+                    break
+                # kick a random resident from b2 and retry with it
+                victim_b = self._b2(np.array([cur_b]), np.array([cur_fp]))[0]
+                slot = int(rng.integers(0, 4))
+                cur_fp, self.table[victim_b, slot] = (
+                    self.table[victim_b, slot].copy(), cur_fp
+                )
+                cur_b = victim_b
+            if not placed:
+                dropped += 1
+        return dropped
+
+    def might_contain(self, h1: np.ndarray, h2: np.ndarray | None = None) -> np.ndarray:
+        h1 = np.asarray(h1, np.int64)
+        fp, b1 = self._fp(h1), self._b1(h1)
+        b2 = self._b2(b1, fp)
+        in1 = (self.table[b1] == fp[:, None]).any(axis=1)
+        in2 = (self.table[b2] == fp[:, None]).any(axis=1)
+        return in1 | in2
+
+    def delete_hashes(self, h1: np.ndarray) -> int:
+        """Remove one matching fingerprint per item (spill/aging path);
+        returns how many were found and removed."""
+        h1 = np.asarray(h1, np.int64)
+        fp, b1 = self._fp(h1), self._b1(h1)
+        b2 = self._b2(b1, fp)
+        removed = 0
+        for f, ba, bb in zip(fp, b1, b2):
+            for bucket in (ba, bb):
+                slots = np.nonzero(self.table[bucket] == f)[0]
+                if slots.size:
+                    self.table[bucket, slots[0]] = 0
+                    removed += 1
+                    break
+        return removed
+
+
+def build_cuckoo(df: DataFrame, col: str, n_items: int) -> CuckooFilter:
+    """Build from the xxhash64 of a column.  Sandbox scale: hashes are
+    collected to the builder (int64s only, never URLs); at 10^10 the
+    filter shards by h1-range with per-partition local builds."""
+    cf = CuckooFilter.sized_for(n_items)
+    h1 = (
+        df.select(F.xxhash64(F.col(col)).alias("_h1"))
+        .toPandas()["_h1"]
+        .to_numpy(np.int64)
+    )
+    cf.add_hashes(h1)
+    return cf
+
+
 def _hash_cols(df: DataFrame, col: str) -> DataFrame:
     return df.select(
         F.xxhash64(F.col(col)).alias("_h1"), F.hash(F.col(col)).cast("long").alias("_h2")
@@ -107,12 +220,14 @@ def anti_join_seen(
     candidates: DataFrame,
     seen: DataFrame,
     url_col: str = "url",
-    bloom: NumpyBloom | None = None,
+    bloom: "NumpyBloom | CuckooFilter | None" = None,
 ) -> DataFrame:
     """Rows of `candidates` whose url is NOT in `seen` — exact.
 
-    With a bloom, only bloom-positive rows enter the anti-join; bloom
-    negatives are provably unseen and bypass the shuffle.
+    With a membership pre-filter (NumpyBloom or CuckooFilter — anything
+    with a vectorized ``might_contain(h1, h2)``), only filter-positive
+    rows enter the anti-join; negatives are provably unseen and bypass
+    the shuffle.
     """
     if bloom is None:
         return candidates.join(
@@ -120,13 +235,13 @@ def anti_join_seen(
         )
 
     sc = candidates.sparkSession.sparkContext
-    b_bits = sc.broadcast(bloom.bits)
-    n_bits, n_hashes = bloom.n_bits, bloom.n_hashes
+    b_obj = sc.broadcast(bloom)
 
     @pandas_udf(T.BooleanType())
     def might_contain(h1: pd.Series, h2: pd.Series) -> pd.Series:
-        b = NumpyBloom(n_bits, n_hashes, b_bits.value)
-        out = b.might_contain(h1.to_numpy(np.int64), h2.to_numpy(np.int64))
+        out = b_obj.value.might_contain(
+            h1.to_numpy(np.int64), h2.to_numpy(np.int64)
+        )
         return pd.Series(out)
 
     tagged = candidates.withColumn(

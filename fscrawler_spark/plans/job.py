@@ -37,6 +37,10 @@ class CrawlJob:
     notify_filters: tuple[FilterSpec, ...] = field(default_factory=tuple)
     invert: bool = False
     use_bloom: bool = False
+    # "bloom" | "cuckoo" — which membership pre-filter accelerates the
+    # seen anti-join when use_bloom is set (cuckoo supports deletion —
+    # the aging/spill path; see operators/dedup.py)
+    seen_filter: str = "bloom"
     bloom_fpp: float = 0.01
     respect_robots: bool = True
     salt_buckets: int = 32

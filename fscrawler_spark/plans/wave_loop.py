@@ -48,7 +48,7 @@ from fscrawler_spark.functions.urls import (
     url_path,
 )
 from fscrawler_spark.functions.extract import extract_hrefs_udf
-from fscrawler_spark.operators.dedup import anti_join_seen, build_bloom
+from fscrawler_spark.operators.dedup import anti_join_seen, build_bloom, build_cuckoo
 from fscrawler_spark.operators.links import expand_from_hrefs
 from fscrawler_spark.operators.politeness import politeness_take, wave_rank
 from fscrawler_spark.plans.job import CrawlJob, accept_seeds
@@ -178,14 +178,17 @@ def run_crawl(
 
         queued = frontier.select(*_FRONTIER_COLS)
 
-        # --- seen anti-join (J2): two-tier when bloom enabled ------------
+        # --- seen anti-join (J2): two-tier when a pre-filter enabled -----
         if seen_df is not None:
-            bloom = (
-                build_bloom(seen_df, "url", max(seen_count, 1), job.bloom_fpp)
-                if job.use_bloom
-                else None
-            )
-            new = anti_join_seen(queued, seen_df, "url", bloom)
+            prefilter = None
+            if job.use_bloom:
+                if job.seen_filter == "cuckoo":
+                    prefilter = build_cuckoo(seen_df, "url", max(seen_count, 1))
+                else:
+                    prefilter = build_bloom(
+                        seen_df, "url", max(seen_count, 1), job.bloom_fpp
+                    )
+            new = anti_join_seen(queued, seen_df, "url", prefilter)
         else:
             new = queued
 

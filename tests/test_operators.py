@@ -200,3 +200,31 @@ def test_results_to_json(spark):
     df = spark.createDataFrame([("u1", 3)], "url string, rating int")
     out = results_to_json(df, ["url", "rating"]).collect()[0]["json"]
     assert json.loads(out) == {"url": "u1", "rating": 3}
+
+
+def test_cuckoo_filter_membership_and_delete():
+    from fscrawler_spark.operators.dedup import CuckooFilter
+
+    rng = np.random.default_rng(3)
+    items = rng.integers(-(2**62), 2**62, 20000)
+    cf = CuckooFilter.sized_for(20000)
+    assert cf.add_hashes(items) == 0  # sized for the load: nothing dropped
+    assert cf.might_contain(items).all()  # zero false negatives
+    fresh = rng.integers(-(2**62), 2**62, 50000)
+    assert cf.might_contain(fresh).mean() < 0.02  # 16-bit fp -> low fpp
+    # deletion (the spill/aging primitive blooms lack)
+    victims = items[:5000]
+    assert cf.delete_hashes(victims) == 5000
+    assert cf.might_contain(items[5000:]).all()  # survivors unaffected
+    assert cf.might_contain(victims).mean() < 0.05  # victims mostly gone
+
+
+def test_anti_join_with_cuckoo_equals_exact(spark):
+    from fscrawler_spark.operators.dedup import build_cuckoo
+
+    cand = spark.createDataFrame([(f"http://h/{i}",) for i in range(500)], "url string")
+    seen = spark.createDataFrame([(f"http://h/{i}",) for i in range(0, 500, 3)], "url string")
+    exact = {r["url"] for r in anti_join_seen(cand, seen).collect()}
+    cf = build_cuckoo(seen, "url", 200)
+    two_tier = {r["url"] for r in anti_join_seen(cand, seen, bloom=cf).collect()}
+    assert two_tier == exact
