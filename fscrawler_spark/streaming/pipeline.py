@@ -22,6 +22,7 @@ extraction expression with it, so per-row outputs are identical.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -91,6 +92,50 @@ def host_window_counts(
             F.count("*").alias("pages"),
             F.sum(F.length("html")).alias("bytes"),
         )
+    )
+
+
+HOST_STATE_SCHEMA = "host string, total_pages long, total_bytes long, batches int"
+
+
+def host_crawl_state(pages: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): a
+    per-host running crawl ledger — total pages/bytes fetched and how
+    many micro-batches touched the host.  This is the streaming form of
+    the per-host budget bookkeeping the batch politeness window derives
+    per wave (and the shape any custom stateful operator takes here:
+    grouped Arrow batches in, explicit GroupState in/out).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: "GroupState"):
+        total_pages, total_bytes, batches = (
+            state.get if state.exists else (0, 0, 0)
+        )
+        for pdf in pdfs:
+            total_pages += int(len(pdf))
+            total_bytes += int(pdf["size"].sum())
+        batches += 1
+        state.update((total_pages, total_bytes, batches))
+        yield pd.DataFrame(
+            {
+                "host": [key[0]],
+                "total_pages": [total_pages],
+                "total_bytes": [total_bytes],
+                "batches": [batches],
+            }
+        )
+
+    keyed = pages.select(
+        url_host(F.col("url")).alias("host"),
+        F.length("html").cast("long").alias("size"),
+    )
+    return keyed.groupBy("host").applyInPandasWithState(
+        update,
+        outputStructType=HOST_STATE_SCHEMA,
+        stateStructType="total_pages long, total_bytes long, batches int",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

@@ -74,3 +74,27 @@ def test_streaming_window_counts(spark, pages_dir, tiny):
         h = url_host_py(p["url"])
         expect[h] = expect.get(h, 0) + 1
     assert got == expect
+
+
+def test_stateful_host_ledger(spark, pages_dir, tiny):
+    """applyInPandasWithState: per-host running totals accumulate across
+    micro-batches; the final state equals the batch ground truth."""
+    from fscrawler_spark.functions.urls import url_host_py
+    from fscrawler_spark.streaming.pipeline import host_crawl_state
+
+    stream = read_pages_stream(spark, f"{pages_dir}/batch0", max_files_per_trigger=1)
+    q = run_to_memory(host_crawl_state(stream), "host_state", mode="update")
+    # update mode emits one row per host per touching batch; the LAST
+    # emission per host carries the final running totals
+    out = spark.sql(
+        "SELECT host, max(total_pages) p, max(total_bytes) b FROM host_state GROUP BY host"
+    ).collect()
+    q.stop()
+    got = {r["host"]: (r["p"], r["b"]) for r in out}
+    expect: dict[str, list[int]] = {}
+    for page in tiny["pages"][:100]:
+        h = url_host_py(page["url"])
+        e = expect.setdefault(h, [0, 0])
+        e[0] += 1
+        e[1] += len(page["html"])
+    assert got == {h: tuple(v) for h, v in expect.items()}
