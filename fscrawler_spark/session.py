@@ -65,5 +65,9 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
-    # SparkSession.builder caches the session; clear so a new master takes.
-    SparkSession.builder._options = {}
+    try:
+        # SparkSession.builder caches options; clear so a new master takes
+        # (private attr — guard against pyspark versions that drop it).
+        SparkSession.builder._options = {}
+    except AttributeError:
+        pass
