@@ -31,6 +31,17 @@ from pyspark.sql.functions import pandas_udf
 
 from fscrawler_spark.functions.textstats import shingles
 
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Small single-file inputs arrive as 1-2 partitions, serializing
+    the shingle/hash phases; spread them before the compute.  No-op for
+    already-parallel inputs (the at-scale case)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 
@@ -110,7 +121,7 @@ def exact_jaccard_pairs(
     """All-pairs exact Jaccard >= threshold over word-k-shingle sets.
     O(n^2) cross join — the correctness baseline / oracle twin for the
     LSH path; use only on small (or pre-bucketed) inputs."""
-    sh = df.select(
+    sh = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), k_shingle).alias("sh")
     ).where(F.size("sh") > 0)
     a, b = sh.alias("a"), sh.alias("b")
@@ -146,7 +157,7 @@ def minhash_lsh_pairs(
     all-pairs result — deterministically (hash seeds are fixed).
     """
     rows = num_hashes // bands
-    sh = df.select(
+    sh = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), k_shingle).alias("sh")
     ).where(F.size("sh") > 0)
     sh = sh.persist()
@@ -243,7 +254,9 @@ def simhash_pairs(
     max_hamming <= chunks-1), then the popcount verifies.
     """
     width = 64 // chunks
-    sh = df.select(F.col(id_col).alias("id"), simhash64_udf(tokens_col).alias("sh"))
+    sh = _ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), simhash64_udf(tokens_col).alias("sh")
+    )
     blocks = sh.select(
         "id",
         "sh",
