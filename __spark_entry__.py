@@ -100,15 +100,21 @@ def q01_pricing_summary(spark, sf_dir):
     # Sums over DECIMAL, not DOUBLE: decimal addition is exact (order-
     # independent), so the result is identical under any partitioning —
     # double sums would drift from the oracle with partial-aggregate order.
+    # Final aggregates are cast to ONE canonical widened type: Spark's
+    # sum(decimal(18,2)) widens to decimal(28,2) while DuckDB widens to
+    # decimal(38,2); the driver's value hash is precision-sensitive, so
+    # both engines must emit the exact same decimal type (r01 verdict).
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").alias("sum_base_price"),
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
-            ).alias("sum_disc_price"),
+            ).cast("decimal(38,6)").alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -131,7 +137,9 @@ def q03_sum_by_group(spark, sf_dir):
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            # canonical widened decimal — see q01's note
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").alias("sum_qty"),
             F.count("*").alias("cnt"),
         )
         .orderBy("l_returnflag")
@@ -333,15 +341,18 @@ def q16_text_stats(spark, sf_dir):
 
 
 def q17_lang_quality_agg(spark, sf_dir):
-    """Aggregate over detected language; quality kept exact by summing
-    the round-4 score scaled to int (float-sum order independence)."""
+    """Aggregate over detected language; quality summed on the exact-
+    integer 1e4 grid (``quality_e4``) — integer sums are order-
+    independent AND tie-free across engines (r01 fix: the old
+    round(score*1e4) double round-trip resolved rounding-boundary
+    documents differently in Spark vs DuckDB)."""
     from fscrawler_spark.functions import textstats as TS
 
     d = _load(spark, sf_dir, "documents")
     return (
         d.select(
             TS.lang_id(F.col("text")).alias("langid"),
-            F.round(TS.quality_score(F.col("text")) * 10000).cast("long").alias("q_e4"),
+            TS.quality_e4(F.col("text")).alias("q_e4"),
         )
         .groupBy("langid")
         .agg(F.count("*").alias("cnt"), F.sum("q_e4").alias("sum_q_e4"))
@@ -506,13 +517,19 @@ def q23_cube_rollup(spark, sf_dir):
     """Grouping sets — cube over two dims with exact decimal sums
     (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
     o = _load(spark, sf_dir, "orders")
+    # NULL group keys from cube(): Spark sorts NULLS FIRST by default,
+    # DuckDB NULLS LAST — pin NULLS LAST explicitly (r01 q23 hash-FAIL),
+    # and emit the canonical widened decimal (see q01's note).
     return (
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("cnt"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").alias("sum_price"),
         )
-        .orderBy("o_orderstatus", "o_orderpriority")
+        .orderBy(
+            F.asc_nulls_last("o_orderstatus"), F.asc_nulls_last("o_orderpriority")
+        )
     )
 
 
@@ -582,14 +599,28 @@ _QUALITY_SQL = f"""
 
 _FP_SQL = "md5(trim(regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g')))"
 
+# Exact-integer 1e4 quality grid — the SQL twin of textstats.quality_e4
+# (IEEE-deterministic: exact-double product, one division, floor).
+_QUALITY_E4_SQL = f"""
+  (CASE WHEN length(coalesce(text,'')) = 0 THEN 0
+        ELSE floor(5000.0
+             * length(regexp_replace(coalesce(text,''), '[^A-Za-z]', '', 'g'))
+             / length(coalesce(text,'')) + 0.5)::BIGINT END
+   + CASE WHEN ({_NTOK_SQL}) > 0
+           AND (length(regexp_replace(trim(coalesce(text,'')), '\\s', '', 'g'))::DOUBLE
+                / ({_NTOK_SQL})) BETWEEN 3 AND 10 THEN 2500 ELSE 0 END
+   + CASE WHEN ({" + ".join(_sw_hits_sql(lang) for lang in sorted(_SW))}) >= 2
+          THEN 2500 ELSE 0 END)::BIGINT
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(l_quantity::DECIMAL(18,2)) AS sum_qty,
-                   sum(l_extendedprice::DECIMAL(18,2)) AS sum_base_price,
-                   sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)) AS sum_disc_price,
+                   sum(l_quantity::DECIMAL(18,2))::DECIMAL(38,2) AS sum_qty,
+                   sum(l_extendedprice::DECIMAL(18,2))::DECIMAL(38,2) AS sum_base_price,
+                   sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))::DECIMAL(38,6) AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
@@ -600,7 +631,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY event_type ORDER BY cnt DESC, event_type
         """,
         "q03_sum_by_group": """
-            SELECT l_returnflag, sum(l_quantity::DECIMAL(18,2)) AS sum_qty, count(*) AS cnt
+            SELECT l_returnflag,
+                   sum(l_quantity::DECIMAL(18,2))::DECIMAL(38,2) AS sum_qty,
+                   count(*) AS cnt
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "q04_dup_groups": """
@@ -621,7 +654,7 @@ def oracle_sql() -> dict[str, str]:
         "q06_topk_per_group": """
             SELECT o_orderpriority, o_orderkey, o_totalprice,
                    row_number() OVER (PARTITION BY o_orderpriority
-                                      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+                                      ORDER BY o_totalprice DESC, o_orderkey)::INTEGER AS rnk
             FROM orders
             QUALIFY rnk <= 3
             ORDER BY o_orderpriority, rnk
@@ -652,7 +685,7 @@ def oracle_sql() -> dict[str, str]:
         "q11_politeness_window": """
             SELECT user_id, event_id,
                    row_number() OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS rnk
+                                      ORDER BY ts, event_id)::INTEGER AS rnk
             FROM events QUALIFY rnk <= 2
             ORDER BY user_id, rnk
         """,
@@ -661,13 +694,13 @@ def oracle_sql() -> dict[str, str]:
             parsed AS (
               SELECT doc_id, url,
                      regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/]+)', 1) AS host,
-                     CASE WHEN trim(BOTH '/' FROM
+                     (CASE WHEN trim(BOTH '/' FROM
                                regexp_replace(url, '^[a-z][a-z0-9+.-]*://[^/]+', '')) = ''
                           THEN 0
                           ELSE len(regexp_split_to_array(
                                trim(BOTH '/' FROM
                                  regexp_replace(url, '^[a-z][a-z0-9+.-]*://[^/]+', '')),
-                               '/+')) END AS depth,
+                               '/+')) END)::INTEGER AS depth,
                      nullif(lower(regexp_extract(
                        regexp_extract(url, '[^/]*$'),
                        '\\.([A-Za-z0-9_]{{1,12}})$', 1)), '') AS ext
@@ -686,18 +719,18 @@ def oracle_sql() -> dict[str, str]:
         "q15_minhash_lsh": _JACCARD_SQL,  # LSH@b64r2 == exact (see docstring)
         "q16_text_stats": f"""
             SELECT doc_id,
-                   {_NTOK_SQL} AS ntok,
+                   ({_NTOK_SQL})::INTEGER AS ntok,
                    len(regexp_extract_all(trim(coalesce(text,'')),
-                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS npiece,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::INTEGER AS npiece,
                    {_lang_id_sql()} AS langid,
                    {_QUALITY_SQL} AS quality,
                    {_FP_SQL} AS fp
             FROM documents ORDER BY doc_id
         """,
         "q17_lang_quality_agg": f"""
-            SELECT langid, count(*) AS cnt, sum(q_e4) AS sum_q_e4
+            SELECT langid, count(*) AS cnt, sum(q_e4)::BIGINT AS sum_q_e4
             FROM (SELECT {_lang_id_sql()} AS langid,
-                         round({_QUALITY_SQL} * 10000)::BIGINT AS q_e4
+                         {_QUALITY_E4_SQL} AS q_e4
                   FROM documents)
             GROUP BY langid ORDER BY langid
         """,
@@ -715,7 +748,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM q JOIN c ON qid <> cid)
             SELECT qid, cid,
                    row_number() OVER (PARTITION BY qid
-                                      ORDER BY sim DESC, cid) AS rank,
+                                      ORDER BY sim DESC, cid)::INTEGER AS rank,
                    round(sim, 6) AS sim6
             FROM s QUALIFY rank <= 5 ORDER BY qid, rank
         """,
@@ -734,10 +767,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q23_cube_rollup": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
-                   sum(o_totalprice::DECIMAL(18,2)) AS sum_price
+                   sum(o_totalprice::DECIMAL(18,2))::DECIMAL(38,2) AS sum_price
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
-            ORDER BY o_orderstatus, o_orderpriority
+            ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
         """,
         "q25_subtree_rollup": f"""
             WITH u AS ({_DOC_URL_SQL}),
@@ -756,12 +789,12 @@ def oracle_sql() -> dict[str, str]:
                     FROM segd)
             SELECT prefix,
                    regexp_extract(prefix, '^[a-z][a-z0-9+.-]*://([^/]+)', 1) AS host,
-                   CASE WHEN trim(BOTH '/' FROM
+                   (CASE WHEN trim(BOTH '/' FROM
                           regexp_replace(prefix, '^[a-z][a-z0-9+.-]*://[^/]+', '')) = ''
                         THEN 0
                         ELSE len(regexp_split_to_array(trim(BOTH '/' FROM
                           regexp_replace(prefix, '^[a-z][a-z0-9+.-]*://[^/]+', '')),
-                          '/+')) END AS depth,
+                          '/+')) END)::INTEGER AS depth,
                    sum(sz)::BIGINT AS total_bytes,
                    count(*) AS n_pages
             FROM pre GROUP BY prefix ORDER BY prefix

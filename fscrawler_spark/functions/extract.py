@@ -128,14 +128,17 @@ def rating_py(name: str | None, full: str | None = None) -> int | None:
 
 @pandas_udf(T.StringType())
 def extract_text_udf(html: pd.Series) -> pd.Series:
-    s = html.str.decode("utf-8", errors="replace")
+    # Over-cap rows are masked to NaN BEFORE decode — they short-circuit
+    # the whole pipeline (NaN propagates through .str ops), mirroring the
+    # scalar path's early return instead of paying 4 regex passes on a
+    # result that is discarded.
+    over_cap = html.map(lambda b: b is not None and len(b) >= MAX_TEXT_EXTRACT_BYTES)
+    s = html.mask(over_cap).str.decode("utf-8", errors="replace")
     # pandas .str.replace(regex=True) uses the same `re` engine as the
     # scalar path — identical semantics, vectorized over the Arrow batch.
     for pat, rep in _TEXT_STEPS:
         s = s.str.replace(pat, rep, regex=True)
-    s = s.str.strip()
-    over_cap = html.map(lambda b: b is not None and len(b) >= MAX_TEXT_EXTRACT_BYTES)
-    return s.mask(over_cap, None)
+    return s.str.strip()
 
 
 @pandas_udf(T.ArrayType(T.StringType()))

@@ -95,6 +95,38 @@ def quality_score(text: Column) -> Column:
     return F.round(score, 4)
 
 
+def quality_e4(text: Column) -> Column:
+    """``quality_score`` scaled to an exact-integer 1e4 grid, computed
+    end-to-end in integer/IEEE-deterministic arithmetic — the
+    aggregation-safe form (r01 q17 hash-FAIL root cause: round-tripping
+    the blended double through two roundings resolved ties differently
+    across engines).
+
+    q_e4 = floor(5000*alpha_chars/total_chars + 0.5)  (half-up, exact)
+         + 2500 * [3 <= mean_word_len <= 10]
+         + 2500 * [distinct stopword hits >= 2]
+
+    5000*alpha_chars is an exact double (counts < 2^46), IEEE division
+    and floor are bit-identical across engines, and the indicator terms
+    are integers — so Spark and any ANSI-SQL twin agree digit-for-digit.
+    """
+    t = F.coalesce(text, F.lit(""))
+    alpha_chars = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    alpha_e4 = F.when(F.length(t) == 0, F.lit(0).cast("long")).otherwise(
+        F.floor(F.lit(5000.0) * alpha_chars / F.length(t) + F.lit(0.5))
+    )
+    n_tok = token_count(text)
+    tt = F.coalesce(F.trim(text), F.lit(""))
+    non_space = F.length(F.regexp_replace(tt, r"\s", ""))
+    mwl = F.when(n_tok == 0, F.lit(0.0)).otherwise(non_space / n_tok)
+    mwl_e4 = F.when((mwl >= 3) & (mwl <= 10), F.lit(2500)).otherwise(F.lit(0))
+    sw = sum(
+        (stopword_hits(text, lang) for lang in sorted(STOPWORDS)), F.lit(0)
+    )
+    sw_e4 = F.when(sw >= 2, F.lit(2500)).otherwise(F.lit(0))
+    return (alpha_e4 + mwl_e4 + sw_e4).cast("long")
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of case-folded, whitespace-collapsed
     text — exact-dedup key robust to spacing/case jitter."""

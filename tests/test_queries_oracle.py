@@ -49,12 +49,19 @@ ALL = entrymod.queries()
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, con, name):
-    df = ALL[name](spark, SF_DIR)
-    sp_cols = df.columns
-    sp_rows = [tuple(r) for r in df.collect()]
-    res = con.execute(ORACLES[name])
-    dd_cols = [d[0] for d in res.description]
-    dd_rows = res.fetchall()
+    # Fetch both sides as Arrow: exposes the exact physical types (the
+    # driver's value hash proved precision-sensitive in round 1 — q01/q03
+    # failed on decimal(28,2) vs decimal(38,2) with identical values), so
+    # the local gate now asserts Arrow-schema identity, not just names.
+    at = ALL[name](spark, SF_DIR).toArrow()
+    dt = con.execute(ORACLES[name]).arrow()
+    sp_cols = list(at.column_names)
+    dd_cols = list(dt.column_names)
+    s_types = {f.name: str(f.type) for f in at.schema}
+    d_types = {f.name: str(f.type) for f in dt.schema}
+    assert s_types == d_types, f"{name}: arrow type mismatch {s_types} vs {d_types}"
+    sp_rows = [tuple(r.values()) for r in at.to_pylist()]
+    dd_rows = [tuple(r.values()) for r in dt.to_pylist()]
 
     assert sorted(sp_cols) == sorted(dd_cols), f"{name}: schema mismatch"
     assert len(sp_rows) == len(dd_rows), f"{name}: rowcount {len(sp_rows)} vs {len(dd_rows)}"
