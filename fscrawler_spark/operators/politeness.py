@@ -55,22 +55,37 @@ def politeness_take(
     # Phase 1 — salted partial top-k: cap each (host, salt) bucket.
     # Skipped when salt_buckets<=1 (adaptive small-wave path: the extra
     # shuffle costs more than the skew it prevents).
+    truncated = None
     if salt_buckets > 1:
         salt = F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
         w1 = Window.partitionBy("host", "_salt").orderBy("priority", "url")
-        df = (
+        tagged = (
             df.withColumn("_salt", salt)
             .withColumn("_r1", F.row_number().over(w1))
-            .where(F.col("_r1") <= F.col("_budget"))
-            .drop("_r1", "_salt")
+            .drop("_salt")
         )
+        # Rows beyond the per-bucket cap cannot be in their host's global
+        # top-budget (each bucket keeps its own budget-smallest keys — a
+        # superset of the host's top-budget), so they are deferred, not
+        # ranked.  They MUST remain in the returned frame as
+        # scheduled=false: the caller derives the next wave's frontier
+        # from the unscheduled rows, so filtering them out here silently
+        # lost them from the crawl (round-1 advisory bug).
+        df = tagged.where(F.col("_r1") <= F.col("_budget")).drop("_r1")
+        truncated = tagged.where(F.col("_r1") > F.col("_budget")).drop("_r1")
 
-    # Phase 2 — exact per-host rank over the pre-truncated set.
+    # Phase 2 — exact per-host rank over the phase-1 survivors.
     w2 = Window.partitionBy("host").orderBy("priority", "url")
     df = df.withColumn("host_rank", F.row_number().over(w2))
-    df = df.withColumn("scheduled", F.col("host_rank") <= F.col("_budget")).drop(
-        "_budget"
-    )
+    df = df.withColumn("scheduled", F.col("host_rank") <= F.col("_budget"))
+    if truncated is not None:
+        # host_rank is NULL for phase-1-truncated rows: they were never
+        # globally ranked (provably > budget), only deferred.
+        df = df.unionByName(
+            truncated.withColumn("host_rank", F.lit(None).cast("int"))
+            .withColumn("scheduled", F.lit(False))
+        )
+    df = df.drop("_budget")
 
     if global_cap is not None:
         # Global wave cap (bounded-queue maxsize analog, config.py:129-131):

@@ -144,6 +144,45 @@ def test_bloom_mode_identical(spark, pages_df, robots_df, tiny, sim, tmp_path_fa
     assert {r["url"] for r in res.seen(spark).collect()} == sim.seen
 
 
+def test_salted_path_parity_with_truncation(
+    spark, pages_df, robots_df, tiny, tmp_path_factory
+):
+    """Engine==simulator with the salted politeness phase FORCED on
+    (small_wave_threshold=0) and budget=1 so phase-1 truncation really
+    happens (any host with >=3 queued URLs truncates at salt_buckets=2).
+    r01 advisory (high): truncated rows used to vanish from the frontier
+    — neither scheduled nor deferred — which this parity run would catch
+    as a seen-set/order divergence in later waves."""
+    job = CrawlJob(
+        **{
+            **JOB.__dict__,
+            "politeness_budget": 1,
+            "small_wave_threshold": 0,
+            "salt_buckets": 2,
+        }
+    )
+    sim2 = simulate_crawl(tiny["pages"], tiny["seeds"], job, tiny["robots"])
+    assert any(m["deferred_n"] > 0 for m in sim2.metrics), (
+        "fixture+budget must actually defer rows for this test to bite"
+    )
+    ckpt = str(tmp_path_factory.mktemp("ckpt_salted"))
+    res = run_crawl(
+        spark, pages_df, tiny["seeds"], job, robots=robots_df, checkpoint_dir=ckpt
+    )
+    order = {
+        r["url"]: (r["wave"], r["rank_in_wave"])
+        for r in res.results(spark).where("stage = 'EXTRACTED'").collect()
+    }
+    assert order == sim2.order
+    assert {r["url"] for r in res.seen(spark).collect()} == sim2.seen
+    eng = {
+        (r["wave"], r["metric"]): r["value"]
+        for r in res.metrics(spark).collect()
+    }
+    for m in sim2.metrics:
+        assert eng.get((m["wave"], "deferred_n"), 0) == m["deferred_n"], m["wave"]
+
+
 def test_per_partition_lineage(spark, engine, sim):
     """Checkpoint lineage (north rule): per-(wave, partition) counters
     whose totals reconcile with the scheduled metrics."""

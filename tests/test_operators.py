@@ -52,6 +52,27 @@ def test_politeness_budget_and_determinism(spark):
     assert a == expect
 
 
+def test_politeness_salted_truncation_conserves_rows(spark):
+    """r01 advisory (high): phase-1 salted truncation must NOT drop rows
+    from the returned frame — over-budget URLs on salted hosts stay
+    present as scheduled=false (they become the next wave's frontier).
+    The hot host (200 urls, salt 8, budget 4) forces real truncation:
+    every (host,salt) bucket holds ~25 rows, phase 1 keeps <=4 each."""
+    df = _frontier(spark)
+    out = politeness_take(df, default_budget=4, salt_buckets=8)
+    assert out.count() == df.count(), "politeness_take lost rows"
+    all_urls = {r["url"] for r in df.collect()}
+    sched = {r["url"] for r in out.where("scheduled").collect()}
+    deferred = {r["url"] for r in out.where("NOT scheduled").collect()}
+    assert sched | deferred == all_urls
+    assert not (sched & deferred)
+    # truncated rows carry NULL host_rank (never globally ranked); ranked
+    # unscheduled rows carry a real rank > budget
+    trunc_n = out.where("NOT scheduled AND host_rank IS NULL").count()
+    assert trunc_n > 0, "fixture must actually truncate in phase 1"
+    assert out.where("NOT scheduled AND host_rank IS NOT NULL AND host_rank <= 4").count() == 0
+
+
 def test_politeness_host_budget_override(spark):
     df = _frontier(spark)
     budgets = spark.createDataFrame([("h0.x", 1)], "host string, tokens int")
