@@ -74,7 +74,12 @@ def cmd_crawl(args: argparse.Namespace) -> None:
         notify_filters=tuple(build_filters(cfg.get("notify_filters", []))),
         invert=cfg.get("invert", False),
         use_bloom=cfg.get("use_bloom", args.bloom),
+        seen_filter=cfg.get("seen_filter", "bloom"),
+        bloom_fpp=cfg.get("bloom_fpp", 0.01),
         respect_robots=cfg.get("respect_robots", True),
+        salt_buckets=cfg.get("salt_buckets", 32),
+        small_wave_threshold=cfg.get("small_wave_threshold", 100_000),
+        broadcast_wave_threshold=cfg.get("broadcast_wave_threshold", 2_000_000),
     )
     res = run_crawl(
         spark,

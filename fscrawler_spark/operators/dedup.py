@@ -175,18 +175,110 @@ class CuckooFilter:
         return removed
 
 
-def build_cuckoo(df: DataFrame, col: str, n_items: int) -> CuckooFilter:
-    """Build from the xxhash64 of a column.  Sandbox scale: hashes are
-    collected to the builder (int64s only, never URLs); at 10^10 the
-    filter shards by h1-range with per-partition local builds."""
-    cf = CuckooFilter.sized_for(n_items)
-    h1 = (
-        df.select(F.xxhash64(F.col(col)).alias("_h1"))
-        .toPandas()["_h1"]
-        .to_numpy(np.int64)
+class ShardedCuckoo:
+    """Bank of cuckoo-filter shards keyed by pmod(h1, n_shards).
+
+    Each shard is built executor-side from only its own hashes (no
+    cross-shard evictions by construction), so the build is fully
+    distributed: the driver receives finished fingerprint tables, never
+    raw hashes.  FP-safety under saturation (round-1 advisory): a shard
+    whose eviction chains exhausted (dropped > 0) can no longer prove
+    "definitely unseen", so it degrades to answering True for every
+    probe — its candidates all fall through to the exact anti-join,
+    which is correct (just slower for that 1/n_shards slice) instead of
+    silently re-scheduling seen URLs.
+    """
+
+    def __init__(
+        self,
+        n_shards: int,
+        shards: dict[int, CuckooFilter],
+        saturated: frozenset[int] = frozenset(),
+    ):
+        self.n_shards = int(n_shards)
+        self.shards = shards
+        self.saturated = frozenset(saturated)
+
+    def might_contain(self, h1: np.ndarray, h2: np.ndarray | None = None) -> np.ndarray:
+        h1 = np.asarray(h1, np.int64)
+        # numpy's % matches Spark's pmod for negative int64 (non-negative)
+        sid = h1 % np.int64(self.n_shards)
+        out = np.zeros(len(h1), dtype=bool)
+        for s in np.unique(sid):
+            mask = sid == s
+            if int(s) in self.saturated:
+                out[mask] = True  # unreliable shard: everything "maybe seen"
+            elif int(s) in self.shards:
+                out[mask] = self.shards[int(s)].might_contain(h1[mask])
+            # else: no seen hash ever landed in shard s -> definitely unseen
+        return out
+
+    def delete_hashes(self, h1: np.ndarray) -> int:
+        """Aging/spill path: per-shard fingerprint deletes (skips
+        saturated shards — already degraded to pass-through)."""
+        h1 = np.asarray(h1, np.int64)
+        sid = h1 % np.int64(self.n_shards)
+        removed = 0
+        for s in np.unique(sid):
+            if int(s) in self.shards and int(s) not in self.saturated:
+                removed += self.shards[int(s)].delete_hashes(h1[sid == s])
+        return removed
+
+
+def build_cuckoo(
+    df: DataFrame, col: str, n_items: int, n_shards: int | None = None
+) -> ShardedCuckoo:
+    """Distributed sharded build from the xxhash64 of a column.
+
+    Shard-by-pmod(h1) -> repartition on the shard id -> each executor
+    builds its shards' fingerprint tables locally (Arrow-batched via
+    mapInPandas) -> only the finished tables return to the driver.
+    Nothing row-shaped crosses the wire and the driver never holds the
+    hash column (the round-1 toPandas() build was ~80 GB of int64s at
+    10^10 URLs — the exact driver-side bottleneck the north rule
+    forbids).  Per-shard dropped counts are checked: a shard that
+    overflowed is marked saturated and degrades to pass-through (see
+    ShardedCuckoo) rather than breaking the two-tier FP-safety contract.
+    """
+    spark = df.sparkSession
+    if n_shards is None:
+        n_shards = max(1, spark.sparkContext.defaultParallelism)
+    # 1.25x headroom over the uniform per-shard expectation keeps the
+    # load factor under the 0.84 sizing target despite hash jitter.
+    per_shard = max(64, int(n_items / n_shards * 1.25))
+
+    hashed = df.select(F.xxhash64(F.col(col)).alias("_h1")).withColumn(
+        "_s", F.pmod(F.col("_h1"), F.lit(n_shards)).cast("int")
     )
-    cf.add_hashes(h1)
-    return cf
+    parted = hashed.repartition(n_shards, "_s")
+
+    def build_shards(batches):
+        acc: dict[int, list[np.ndarray]] = {}
+        for pdf in batches:
+            for s, grp in pdf.groupby("_s"):
+                acc.setdefault(int(s), []).append(grp["_h1"].to_numpy(np.int64))
+        rows = []
+        for s, chunks in acc.items():
+            cf = CuckooFilter.sized_for(per_shard)
+            dropped = cf.add_hashes(np.concatenate(chunks))
+            rows.append((s, cf.n_buckets, cf.table.tobytes(), int(dropped)))
+        yield pd.DataFrame(
+            rows, columns=["shard", "n_buckets", "table", "dropped"]
+        )
+
+    built = parted.mapInPandas(
+        build_shards, "shard int, n_buckets int, table binary, dropped long"
+    ).collect()
+
+    shards: dict[int, CuckooFilter] = {}
+    saturated = set()
+    for r in built:
+        assert r["shard"] not in shards, "shard split across partitions"
+        table = np.frombuffer(r["table"], dtype=np.uint16).reshape(-1, 4).copy()
+        shards[r["shard"]] = CuckooFilter(r["n_buckets"], table)
+        if r["dropped"] > 0:
+            saturated.add(r["shard"])
+    return ShardedCuckoo(n_shards, shards, frozenset(saturated))
 
 
 def _hash_cols(df: DataFrame, col: str) -> DataFrame:
@@ -220,7 +312,7 @@ def anti_join_seen(
     candidates: DataFrame,
     seen: DataFrame,
     url_col: str = "url",
-    bloom: "NumpyBloom | CuckooFilter | None" = None,
+    bloom: "NumpyBloom | CuckooFilter | ShardedCuckoo | None" = None,
 ) -> DataFrame:
     """Rows of `candidates` whose url is NOT in `seen` — exact.
 

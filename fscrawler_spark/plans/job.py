@@ -49,6 +49,14 @@ class CrawlJob:
     # identical results, fewer shuffles.  At cluster scale leave as is;
     # the crossover only matters for job-overhead-dominated waves.
     small_wave_threshold: int = 100_000
+    # Broadcast the scheduled set into the fetch join (and the rank map
+    # back over the extracted cache) only when the wave's frontier is
+    # below this row count; above it the broadcast would be a hard hint
+    # that OOMs the driver (10^8 hosts x budget rows), so the plan falls
+    # back to a plain equi-join and AQE picks the strategy.  ~2M slim
+    # rows (url+4 ints, <200 B) ~ 400 MB on the driver — the safe edge
+    # for the default 8g driver; raise on bigger drivers.
+    broadcast_wave_threshold: int = 2_000_000
 
 
 def accept_seeds(seed_rows: list[dict]) -> list[dict]:

@@ -90,6 +90,17 @@ def seeds_to_frontier(spark: SparkSession, seed_rows: list[dict]) -> DataFrame:
     )
 
 
+def fetch_join(
+    pages: DataFrame, sched_slim: DataFrame, can_broadcast: bool
+) -> DataFrame:
+    """The wave's only html-reading join.  Broadcast regime probes the
+    pages scan in place (no shuffle of html bytes); above the wave
+    threshold the hard broadcast hint is dropped and AQE chooses."""
+    return pages.join(
+        F.broadcast(sched_slim) if can_broadcast else sched_slim, "url", "inner"
+    )
+
+
 def _stat_join(queued: DataFrame, pages_meta: DataFrame) -> DataFrame:
     """Left join against page metadata — the scandir/stat analog.  A miss
     (dangling link) is the web analog of a scan error (D4)."""
@@ -227,9 +238,15 @@ def run_crawl(
         # --- fetch join + extraction (the only pass that reads html) -----
         # The scheduled set is bounded by (hosts x budget) — typically far
         # smaller than pages — broadcast it so the big pages scan is
-        # probed in place with no shuffle of the html bytes.
-        fetched = pages.join(
-            F.broadcast(scheduled.drop("warc_ts", "size")), "url", "inner"
+        # probed in place with no shuffle of the html bytes.  Broadcast
+        # is a HARD hint though: above broadcast_wave_threshold (the
+        # scheduled set is <= frontier_n, already known) it would OOM
+        # the driver, so large waves take a plain equi-join and let AQE
+        # choose (shuffled-hash; the html column still only crosses the
+        # exchange for matching rows because the join is inner on url).
+        can_broadcast = frontier_n <= job.broadcast_wave_threshold
+        fetched = fetch_join(
+            pages, scheduled.drop("warc_ts", "size"), can_broadcast
         )
         name = url_name(F.col("url"))
         extracted = (
@@ -247,19 +264,22 @@ def run_crawl(
         # and wave_rank's passes all read the extracted set; the html
         # scan + UDFs must run exactly once per wave.
         pre_rank = extracted.persist()
-        # Rank a SLIM projection and broadcast-join it back: the heavy
-        # text/hrefs columns never pass through the rank exchange (the
-        # single-partition sort at small waves, the range exchange at
-        # large ones), so every downstream consumer keeps the cache's
-        # parallel partitioning.  The rank map is politeness-bounded
-        # (<= hosts x budget slim rows per wave) — broadcastable far
-        # beyond this sandbox; at 10^9-scheduled-per-wave scale the
-        # global rank would move to per-host rank + offset composition.
+        # Rank a SLIM projection and join it back: the heavy text/hrefs
+        # columns never pass through the rank exchange (the single-
+        # partition sort at small waves, the range exchange at large
+        # ones), so every downstream consumer keeps the cache's parallel
+        # partitioning.  The rank map is politeness-bounded (<= hosts x
+        # budget slim rows per wave) — broadcast below the same wave
+        # threshold as the fetch join; above it, plain equi-join (the
+        # rank map is 2 slim columns, so the shuffle is cheap relative
+        # to the wave itself).
         slim_ranked = wave_rank(
             pre_rank.select("priority", "host", "url"), small=small
         ).select("url", "rank_in_wave")
         extracted = (
-            pre_rank.join(F.broadcast(slim_ranked), "url")
+            pre_rank.join(
+                F.broadcast(slim_ranked) if can_broadcast else slim_ranked, "url"
+            )
             .withColumn("wave", F.lit(wave))
             .withColumn("n_links", F.size("hrefs"))
             .persist()

@@ -249,3 +249,52 @@ def test_anti_join_with_cuckoo_equals_exact(spark):
     cf = build_cuckoo(seen, "url", 200)
     two_tier = {r["url"] for r in anti_join_seen(cand, seen, bloom=cf).collect()}
     assert two_tier == exact
+
+
+def test_sharded_cuckoo_build_no_false_negatives(spark):
+    """Distributed sharded build (r01: the old build collected every
+    hash to the driver): every seen hash must probe True in the sharded
+    bank regardless of which executor built its shard."""
+    import numpy as np
+
+    from fscrawler_spark.operators.dedup import build_cuckoo
+
+    seen = spark.createDataFrame(
+        [(f"http://s{i % 7}.example/p{i}",) for i in range(5000)], "url string"
+    )
+    cf = build_cuckoo(seen, "url", 5000, n_shards=8)
+    assert cf.n_shards == 8 and len(cf.shards) == 8 and not cf.saturated
+    h1 = np.array(
+        [r["_h1"] for r in seen.select(F.xxhash64("url").alias("_h1")).collect()],
+        np.int64,
+    )
+    assert cf.might_contain(h1).all(), "sharded build produced a false negative"
+    # unseen hashes mostly negative (the pre-filter actually filters)
+    rng = np.random.default_rng(11)
+    fresh = rng.integers(-(2**62), 2**62, 20000)
+    assert cf.might_contain(fresh).mean() < 0.05
+
+
+def test_sharded_cuckoo_saturation_degrades_safely(spark):
+    """A shard whose eviction chains exhaust (dropped items) must flip
+    to pass-through True — never claim 'definitely unseen' for an item
+    it may have dropped (r01 advisory: the dropped count was ignored)."""
+    import numpy as np
+
+    from fscrawler_spark.operators.dedup import build_cuckoo
+
+    seen = spark.createDataFrame(
+        [(f"http://h/{i}",) for i in range(3000)], "url string"
+    )
+    # lie about n_items so each shard is sized for ~64 items but holds ~3000
+    cf = build_cuckoo(seen, "url", n_items=1, n_shards=1)
+    assert cf.saturated, "undersized filter must report saturation"
+    h1 = np.array(
+        [r["_h1"] for r in seen.select(F.xxhash64("url").alias("_h1")).collect()],
+        np.int64,
+    )
+    assert cf.might_contain(h1).all()
+    rng = np.random.default_rng(5)
+    assert cf.might_contain(rng.integers(-(2**62), 2**62, 1000)).all(), (
+        "saturated shard must answer True for everything"
+    )
