@@ -474,12 +474,18 @@ def q25_subtree_rollup(spark, sf_dir):
 
 def q26_embedding_dedup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (the vector-space dedup modality).
-    Threshold 0.45 is tuned to the synthetic embedding distribution
-    (max pairwise cos ~0.51 at sf0.01) so the check has live targets."""
+    Runs the hyperplane-LSH BUCKETED scale path (auto-tuned so a true
+    pair at the threshold escapes all tables with prob <= 1e-9, then
+    exact-cosine verified) — the oracle twin is the exact all-pairs SQL,
+    so this green row proves bucketed == exact.  Threshold 0.45 is
+    tuned to the synthetic embedding distribution (max pairwise cos
+    ~0.51 at sf0.01) so the check has live targets."""
     from fscrawler_spark.operators.similarity import embedding_dedup_pairs
 
     e = _load(spark, sf_dir, "embeddings")
-    return embedding_dedup_pairs(e, threshold=0.45).orderBy("id_a", "id_b")
+    return embedding_dedup_pairs(e, threshold=0.45, method="lsh").orderBy(
+        "id_a", "id_b"
+    )
 
 
 def q24_media_features(spark, sf_dir):

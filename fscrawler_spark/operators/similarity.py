@@ -160,7 +160,15 @@ def minhash_lsh_pairs(
     sh = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), k_shingle).alias("sh")
     ).where(F.size("sh") > 0)
-    sh = sh.persist()
+    # localCheckpoint, not persist: the shingle set is read by the band
+    # aggregation AND both verification joins (compute once), but
+    # persist() would pin it in the CacheManager until an explicit
+    # unpersist that a lazy-return operator has no place to issue —
+    # repeated calls (bench loops) accumulated cached partitions
+    # forever (r01 advisory).  A local checkpoint has the same storage
+    # footprint, truncates the 3x-recompute lineage the same way, and
+    # is freed by the ContextCleaner when the result goes out of scope.
+    sh = sh.localCheckpoint(eager=False)
     banded = minhash_bands_agg(sh, "id", F.col("sh"), num_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -314,21 +322,126 @@ def cosine_sim(a, b):
     return dot / (na * nb)
 
 
+def _auto_lsh_params(
+    threshold: float, target_miss: float = 1e-9, max_tables: int = 64
+) -> tuple[int, int]:
+    """(n_planes, n_tables) such that a pair at cos == threshold misses
+    every table with probability <= target_miss.
+
+    Per-plane collision prob for angle θ is 1 - θ/π (Charikar's random-
+    hyperplane LSH); a pair collides in one p-plane table with P^p, so
+    miss = (1 - P^p)^T.  Picks the largest p (most selective buckets)
+    whose required T stays within max_tables.  Low thresholds force
+    small p / dense buckets — the candidate set degenerates toward
+    all-pairs, which is inherent to LSH, while realistic near-dup
+    thresholds (>= ~0.8) get sparse 2^p-bucket tables (the scale
+    regime)."""
+    import math
+
+    p_coll = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    if p_coll >= 1.0:
+        return 1, 1
+    best = (1, max_tables)
+    for p in range(16, 0, -1):
+        ppp = p_coll**p
+        if ppp <= 0.0:
+            continue
+        t = math.ceil(math.log(target_miss) / math.log(1.0 - ppp))
+        if t <= max_tables:
+            best = (p, max(1, t))
+            break
+    return best
+
+
+def _hyperplane_bucket_udf(planes: np.ndarray):
+    """Vectorized bucketizer: one BLAS matmul per Arrow batch computes
+    every (table, plane) dot product, then sign bits pack into one
+    integer bucket per table.  Returns array<long> of n_tables buckets.
+    ~1000x less overhead than the per-plane Column-fold for large
+    table counts (the Column form also blows the 64KB codegen limit
+    past ~50 plane expressions)."""
+    n_tables, n_planes, dim = planes.shape
+    w = planes.reshape(n_tables * n_planes, dim).T.copy()  # (dim, T*p)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def bucketize(vec: pd.Series) -> pd.Series:
+        m = np.asarray(vec.tolist(), dtype=np.float64)  # (n, dim)
+        signs = (m @ w) >= 0  # (n, T*p)
+        b = (signs.reshape(len(m), n_tables, n_planes) * weights).sum(axis=2)
+        return pd.Series(list(b))
+
+    return bucketize
+
+
 def embedding_dedup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    method: str = "lsh",
+    target_miss: float = 1e-9,
+    seed: int = 42,
+    dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= threshold).
 
-    Baseline form: all-pairs self-join (id_a < id_b) with the JVM-side
-    cosine fold — exact, O(n^2); the scale path buckets candidates with
-    ``hyperplane_lsh_topk``'s tables first.  Output (id_a, id_b, cos6)."""
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    method="exact": all-pairs self-join (id_a < id_b) with the JVM-side
+    cosine fold — the O(n^2) correctness baseline / oracle twin.
+
+    method="lsh" (default — the scale path): hyperplane-LSH bucket both
+    sides with ``_auto_lsh_params`` tuned so a true pair at the
+    threshold escapes every table with prob <= target_miss, join within
+    (table, bucket) on IDS ONLY, dedup candidates, rejoin vectors once,
+    then verify with the exact cosine.  The verified output therefore
+    equals the exact result up to the (negligible, seeded-deterministic)
+    miss probability; a shuffle is keyed on (table, bucket) instead of
+    the cross product, so cost scales with bucket occupancy, not n^2.
+    Output (id_a, id_b, cos6)."""
+    if method == "exact":
+        a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b",
+                F.round(cosine_sim(F.col("va"), F.col("vb")), 6).alias("cos6"),
+            )
+            .where(F.col("cos6") >= threshold)
+        )
+    if method != "lsh":
+        raise ValueError(f"unknown method: {method!r}")
+
+    n_planes, n_tables = _auto_lsh_params(threshold, target_miss)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    bucketize = _hyperplane_bucket_udf(planes)
+
+    base = _ensure_parallelism(corpus).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    buckets = base.select(
+        "id", F.posexplode(bucketize(F.col("v"))).alias("t", "bkt")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    # candidate ids only — the vectors do NOT ride through the bucket
+    # join or the distinct (r01 verdict: shuffling full float vectors
+    # through candidate dedup moved every embedding twice)
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a", "id_b",
             F.round(cosine_sim(F.col("va"), F.col("vb")), 6).alias("cos6"),
@@ -416,19 +529,28 @@ def hyperplane_lsh_topk(
                        *bucket_cols(F.col(vec_col)))
     c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
                       *bucket_cols(F.col(vec_col)))
+    # Bucket tables carry IDS ONLY: the candidate dedup used to run
+    # distinct() over rows holding both full float vectors, shuffling
+    # every candidate's embedding twice (r01 verdict minor).  Dedup on
+    # (qid, cid), then rejoin the vectors once — query side broadcast
+    # (small by construction), corpus side one equi-join.
     q_b = q.select(
-        "qid", "qv", F.posexplode(F.array(*[F.col(f"b{t}") for t in range(n_tables)])).alias("t", "bkt")
+        "qid", F.posexplode(F.array(*[F.col(f"b{t}") for t in range(n_tables)])).alias("t", "bkt")
     )
     c_b = c.select(
-        "cid", "cv", F.posexplode(F.array(*[F.col(f"b{t}") for t in range(n_tables)])).alias("t", "bkt")
+        "cid", F.posexplode(F.array(*[F.col(f"b{t}") for t in range(n_tables)])).alias("t", "bkt")
     )
     cand = (
         q_b.join(c_b, ["t", "bkt"])
         .where(F.col("qid") != F.col("cid"))
-        .select("qid", "qv", "cid", "cv")
+        .select("qid", "cid")
         .distinct()
     )
-    scored = cand.select("qid", "cid", cosine_sim(F.col("qv"), F.col("cv")).alias("sim"))
+    scored = (
+        cand.join(F.broadcast(q.select("qid", "qv")), "qid")
+        .join(c.select("cid", "cv"), "cid")
+        .select("qid", "cid", cosine_sim(F.col("qv"), F.col("cv")).alias("sim"))
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))

@@ -1,0 +1,94 @@
+"""Similarity-operator parity: the LSH-bucketed scale paths must equal
+their exact baselines (SURVEY §5.4 two-implementation checking), and
+the ANN path must hit its recall contract vs brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fscrawler_spark.operators.similarity import (
+    _auto_lsh_params,
+    brute_force_topk,
+    embedding_dedup_pairs,
+    hyperplane_lsh_topk,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"], r["cos6"]) for r in df.collect()}
+
+
+def test_auto_lsh_params_regimes():
+    # realistic near-dup threshold: selective buckets, bounded tables
+    p_hi, t_hi = _auto_lsh_params(0.95)
+    assert p_hi >= 8 and t_hi <= 64
+    # low threshold: LSH must go dense to keep the exactness guarantee
+    p_lo, t_lo = _auto_lsh_params(0.45)
+    assert p_lo < p_hi and t_lo <= 64
+
+
+def test_embedding_dedup_lsh_equals_exact_low_threshold(spark):
+    """q26's regime: bucketed path == all-pairs on the sf0.01 embeddings
+    at the (LSH-hostile) 0.45 threshold."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = _pairs(embedding_dedup_pairs(e, threshold=0.45, method="exact"))
+    lsh = _pairs(embedding_dedup_pairs(e, threshold=0.45, method="lsh"))
+    assert lsh == exact
+    assert exact, "fixture must contain live pairs at 0.45"
+
+
+def test_embedding_dedup_lsh_equals_exact_realistic_threshold(spark):
+    """Planted near-duplicates at the realistic 0.9 threshold (the
+    selective-bucket regime the operator is designed for at scale)."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # plant 10 near-dups: id 100+i is a tiny perturbation of id i
+    for i in range(10):
+        w = base[i] + 0.05 * rng.standard_normal(64)
+        rows.append((100 + i, [float(x) for x in w]))
+    e = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    exact = _pairs(embedding_dedup_pairs(e, threshold=0.9, method="exact"))
+    lsh = _pairs(embedding_dedup_pairs(e, threshold=0.9, method="lsh"))
+    assert lsh == exact
+    planted = {(i, 100 + i) for i in range(10)}
+    assert planted <= {(a, b) for a, b, _ in exact}
+
+
+def test_ann_lsh_recall_vs_brute(spark):
+    """hyperplane_lsh_topk (after the ids-only candidate dedup) must
+    retrieve genuinely-near neighbors — planted corpus, since the
+    synthetic sf embeddings are near-orthogonal (no true neighbors for
+    12-bit buckets to find; q19's 5-row output at sf0.01 is that, not a
+    bug) — and its output must stay deterministic (seeded planes)."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((30, 64))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # plant 2 close neighbors per future query vector (ids 0..7)
+    nid = 1000
+    for i in range(8):
+        for _ in range(2):
+            w = base[i] + 0.15 * rng.standard_normal(64)
+            rows.append((nid, [float(x) for x in w]))
+            nid += 1
+    e = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    q = e.where(F.col("vec_id") < 8)
+    brute_top2 = {
+        (r["qid"], r["cid"])
+        for r in brute_force_topk(q, e, k=2).collect()
+    }
+    ann1 = {
+        (r["qid"], r["cid"]) for r in hyperplane_lsh_topk(q, e, k=2).collect()
+    }
+    ann2 = {
+        (r["qid"], r["cid"]) for r in hyperplane_lsh_topk(q, e, k=2).collect()
+    }
+    assert ann1 == ann2, "seeded ANN must be deterministic"
+    recall = len(ann1 & brute_top2) / len(brute_top2)
+    assert recall >= 0.8, f"recall on planted neighbors collapsed: {recall}"
