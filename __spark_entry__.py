@@ -539,6 +539,21 @@ def q23_cube_rollup(spark, sf_dir):
     )
 
 
+def q27_text_search(spark, sf_dir):
+    """S10 — inverted-index full-text search, the Spark-native
+    replacement for the reference's Elasticsearch sink + queries
+    (app/elastic_search_client.py:6-37): build a (term, doc_id, tf)
+    posting table over documents, then a match-ALL query
+    ('spark' AND 'vector') with an exclusion term ('slow'), tf-summed."""
+    from fscrawler_spark.operators.textsearch import build_inverted_index, match_query
+
+    d = _load(spark, sf_dir, "documents")
+    idx = build_inverted_index(d, "doc_id", "text")
+    return match_query(
+        idx, ["spark", "vector"], mode="all", exclude=["slow"]
+    ).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -572,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_media_features": q24_media_features,
         "q25_subtree_rollup": q25_subtree_rollup,
         "q26_embedding_dedup": q26_embedding_dedup,
+        "q27_text_search": q27_text_search,
     }
 
 
@@ -819,6 +835,24 @@ def oracle_sql() -> dict[str, str]:
                   FROM c a JOIN c b ON a.vec_id < b.vec_id)
             SELECT id_a, id_b, cos6 FROM s WHERE cos6 >= 0.45
             ORDER BY id_a, id_b
+        """,
+        "q27_text_search": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+              FROM documents WHERE trim(coalesce(text, '')) <> ''),
+            s AS (
+              SELECT doc_id,
+                     len(list_filter(toks, x -> x = 'spark')) AS tf_spark,
+                     len(list_filter(toks, x -> x = 'vector')) AS tf_vector,
+                     len(list_filter(toks, x -> x = 'slow')) AS tf_slow
+              FROM t)
+            SELECT doc_id,
+                   ((tf_spark > 0)::INT + (tf_vector > 0)::INT)::BIGINT AS n_matched,
+                   (tf_spark + tf_vector)::BIGINT AS score
+            FROM s
+            WHERE tf_spark > 0 AND tf_vector > 0 AND tf_slow = 0
+            ORDER BY doc_id
         """,
         # q19 (approximate ANN), q20 (engine-defined simhash) and q21
         # (iterative wave loop) are non-SQL-expressible -> rows-only;

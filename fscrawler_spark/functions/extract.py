@@ -124,6 +124,58 @@ def rating_py(name: str | None, full: str | None = None) -> int | None:
 
 
 # ---------------------------------------------------------------------------
+# Content-sniffed MIME (C7) — magic-byte detection over the first bytes,
+# mirroring the reference's libmagic call on content
+# (extended_attributes_file_processor.py:28-45) without libmagic: the
+# common web signatures cover what a crawl meets, and the extension-based
+# mime (urls.mime_type) stays as the fallback for unknowns.
+
+SNIFF_HEAD_BYTES = 64  # only this prefix ever crosses into Arrow
+
+_MAGIC: list[tuple[bytes, str]] = [
+    (b"%PDF-", "application/pdf"),
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"PK\x03\x04", "application/zip"),
+    (b"\x1f\x8b", "application/gzip"),
+]
+
+_TEXT_BYTES = frozenset(range(32, 127)) | {9, 10, 13} | set(range(128, 256))
+
+
+def sniff_mime_py(head: bytes | None) -> str | None:
+    """MIME from leading bytes; None when undecidable (caller falls back
+    to the extension map).  Deterministic, no libmagic."""
+    if not head:
+        return None
+    for sig, mime in _MAGIC:
+        if head.startswith(sig):
+            return mime
+    if head[:4] == b"RIFF" and len(head) >= 12:
+        kind = head[8:12]
+        if kind == b"WAVE":
+            return "audio/wav"
+        if kind == b"WEBP":
+            return "image/webp"
+        if kind == b"AVI ":
+            return "video/x-msvideo"
+    s = head.lstrip(b" \t\r\n")
+    if s[:3] == b"\xef\xbb\xbf":  # UTF-8 BOM before markup
+        s = s[3:].lstrip(b" \t\r\n")
+    low = s[:32].lower()
+    if low.startswith(b"<!doctype html") or low.startswith(b"<html"):
+        return "text/html"
+    if low.startswith(b"<?xml"):
+        return "application/xml"
+    # printable heuristic: control bytes outside \t\r\n => binary
+    if all(b in _TEXT_BYTES for b in head):
+        return "text/plain"
+    return "application/octet-stream"
+
+
+# ---------------------------------------------------------------------------
 # Vectorized pandas UDFs — Arrow-batched, same regex table.
 
 @pandas_udf(T.StringType())
@@ -147,6 +199,13 @@ def extract_hrefs_udf(html: pd.Series) -> pd.Series:
     return s.str.findall(_HREF_RE).map(
         lambda v: v if isinstance(v, list) else []
     )
+
+
+@pandas_udf(T.StringType())
+def sniff_mime_udf(head: pd.Series) -> pd.Series:
+    """Arrow-batched twin of ``sniff_mime_py`` — feed it
+    substring(html, 1, SNIFF_HEAD_BYTES), never the whole blob."""
+    return head.map(sniff_mime_py)
 
 
 @pandas_udf(T.ArrayType(T.StringType()))

@@ -21,8 +21,10 @@ from fscrawler_spark.functions.extract import (
     keywords_py,
     md5_hex_py,
     rating_py,
+    sniff_mime_py,
 )
 from fscrawler_spark.functions.urls import (
+    _EXT_MIME,
     url_depth_py,
     url_extension_py,
     url_host_py,
@@ -52,15 +54,18 @@ def simulate_crawl(
     robots: list[dict] | None = None,
 ) -> SimResult:
     pages_by_url = {p["url"]: p for p in pages}
-    deny_rules: list[tuple[str, str]] = []
+    # (host, prefix, allow) path rules — REP longest-match, allow wins
+    # length ties (mirrors wave_loop's struct-max gate exactly)
+    path_rules: list[tuple[str, str, bool]] = []
     tokens: dict[str, int] = {}
     if robots and job.respect_robots:
         for r in robots:
-            if not r["allow"]:
-                deny_rules.append((r["host"], r["path_prefix"]))
-            elif r.get("crawl_delay_tokens") is not None:
-                h = r["host"]
-                tokens[h] = min(tokens.get(h, 1 << 30), r["crawl_delay_tokens"])
+            if r.get("crawl_delay_tokens") is not None:
+                if r["allow"]:
+                    h = r["host"]
+                    tokens[h] = min(tokens.get(h, 1 << 30), r["crawl_delay_tokens"])
+                continue
+            path_rules.append((r["host"], r["path_prefix"], r["allow"]))
 
     def budget(host: str) -> int:
         return tokens.get(host, job.politeness_budget)
@@ -110,11 +115,17 @@ def simulate_crawl(
         skipped = [r for r in present if not skip_authorize(r)]
 
         robots_denied = []
-        if deny_rules:
+        if path_rules:
             still = []
             for r in authorized:
                 path = url_path_py(r["url"])
-                if any(h == r["host"] and path.startswith(p) for h, p in deny_rules):
+                best: tuple[int, bool] | None = None
+                for h, p, a in path_rules:
+                    if h == r["host"] and path.startswith(p):
+                        key = (len(p), a)
+                        if best is None or key > best:
+                            best = key
+                if best is not None and not best[1]:
                     robots_denied.append(r)
                 else:
                     still.append(r)
@@ -158,6 +169,8 @@ def simulate_crawl(
                         "md5_hex": md5_hex_py(page["html"]),
                         "text": extract_text_py(page["html"]),
                         "extension": url_extension_py(u),
+                        "mime": sniff_mime_py((page["html"] or b"")[:64])
+                        or _EXT_MIME.get(url_extension_py(u) or ""),
                         "keywords": keywords_py(name),
                         "rating": rating_py(name, u),
                         "stage": "EXTRACTED",

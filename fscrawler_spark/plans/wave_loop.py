@@ -35,11 +35,14 @@ from pyspark.sql import functions as F
 
 from fscrawler_spark.filters.builders import and_all, or_any
 from fscrawler_spark.functions.extract import (
+    SNIFF_HEAD_BYTES,
     extract_text_udf,
     keywords_udf,
     content_rating,
+    sniff_mime_udf,
 )
 from fscrawler_spark.functions.urls import (
+    mime_type,
     url_depth,
     url_extension,
     url_host,
@@ -137,10 +140,17 @@ def run_crawl(
     pages_meta = pages.select(
         "url", "warc_ts", F.length("html").cast("long").alias("size")
     ).persist()
-    deny_rules = None
+    path_rules = None
     host_budgets = None
     if robots is not None and job.respect_robots:
-        deny_rules = robots.where(~F.col("allow")).select("host", "path_prefix")
+        # REP longest-match precedence: BOTH allow and deny prefixes
+        # participate; per URL the longest matching prefix decides, an
+        # allow winning length ties ('Disallow: /' + 'Allow: /public'
+        # keeps /public crawlable — r01 advisory).  Crawl-delay carrier
+        # rows are budget metadata, not path rules.
+        path_rules = robots.where(F.col("crawl_delay_tokens").isNull()).select(
+            "host", "path_prefix", "allow"
+        )
         host_budgets = (
             robots.where(F.col("allow") & F.col("crawl_delay_tokens").isNotNull())
             .groupBy("host")
@@ -214,12 +224,24 @@ def run_crawl(
         skipped = present.where(~F.coalesce(skip_pred, F.lit(False)))
 
         robots_denied = None
-        if deny_rules is not None:
+        if path_rules is not None:
+            # longest matching prefix wins; struct-max on (len, allow)
+            # makes an Allow beat a Disallow of equal length (REP)
             hit = (
-                authorized.join(F.broadcast(deny_rules), "host")
+                authorized.select("url", "host")
+                .join(F.broadcast(path_rules), "host")
                 .where(url_path(F.col("url")).startswith(F.col("path_prefix")))
+                .groupBy("url")
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.length("path_prefix").alias("l"),
+                            F.col("allow").alias("a"),
+                        )
+                    ).alias("m")
+                )
+                .where(~F.col("m.a"))
                 .select("url")
-                .distinct()
             )
             robots_denied = authorized.join(hit, "url", "left_semi")
             authorized = authorized.join(hit, "url", "left_anti")
@@ -256,6 +278,17 @@ def run_crawl(
             .withColumn("text", extract_text_udf(F.col("html")))
             .withColumn("hrefs", extract_hrefs_udf(F.col("html")))
             .withColumn("extension", url_extension(F.col("url")))
+            # C7: content-sniffed mime (magic bytes — only a 64-byte
+            # head enters Arrow), extension map as fallback
+            .withColumn(
+                "mime",
+                F.coalesce(
+                    sniff_mime_udf(
+                        F.expr(f"substring(html, 1, {SNIFF_HEAD_BYTES})")
+                    ),
+                    mime_type(F.col("url")),
+                ),
+            )
             .withColumn("keywords", keywords_udf(name))
             .withColumn("rating", content_rating(name, F.col("url")))
             .drop("html")  # the binary never crosses a shuffle
@@ -333,8 +366,8 @@ def run_crawl(
 
         results_out = results_wave.select(
             "url", "host", "depth", "wave", "rank_in_wave", "warc_ts", "size",
-            "md5_hex", "xxhash", "text", "lang", "extension", "keywords",
-            "rating", "n_links", "stage", "target_table",
+            "md5_hex", "xxhash", "text", "lang", "extension", "mime",
+            "keywords", "rating", "n_links", "stage", "target_table",
         ).unionByName(error_rows, allowMissingColumns=True)
 
         # One aggregation action yields every wave counter (A2 analog).

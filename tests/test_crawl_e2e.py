@@ -72,6 +72,7 @@ def test_extraction_matches_oracle(spark, engine, sim):
         assert r["extension"] == e["extension"]
         assert (r["keywords"] or None) == e["keywords"], r["url"]
         assert r["rating"] == e["rating"], r["url"]
+        assert r["mime"] == e["mime"], r["url"]  # C7 sniffed mime parity
 
 
 def test_error_rows_for_dangling_links(spark, engine, sim):

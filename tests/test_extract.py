@@ -110,6 +110,48 @@ def test_keywords_rating_udf_parity(spark, pages_df, tiny):
         assert row["rt"] == rating_py(name, row["url"]), row["url"]
 
 
+def test_sniff_mime_magic_bytes(spark):
+    """C7 content sniffing (reference: libmagic on bytes,
+    extended_attributes_file_processor.py:28-45) — hand-built byte
+    fixtures per signature, scalar and UDF paths identical."""
+    from fscrawler_spark.functions.extract import (
+        SNIFF_HEAD_BYTES,
+        sniff_mime_py,
+        sniff_mime_udf,
+    )
+    from pyspark.sql import functions as F
+
+    cases = [
+        (b"%PDF-1.7 blah", "application/pdf"),
+        (b"\x89PNG\r\n\x1a\n....", "image/png"),
+        (b"\xff\xd8\xff\xe0JFIF", "image/jpeg"),
+        (b"GIF89a....", "image/gif"),
+        (b"PK\x03\x04zipdata", "application/zip"),
+        (b"\x1f\x8b\x08gz", "application/gzip"),
+        (b"RIFF\x00\x00\x00\x00WAVEfmt ", "audio/wav"),
+        (b"RIFF\x00\x00\x00\x00WEBPVP8 ", "image/webp"),
+        (b"  \n<!DOCTYPE html><html>", "text/html"),
+        (b"\xef\xbb\xbf<html lang='en'>", "text/html"),
+        (b"<?xml version='1.0'?>", "application/xml"),
+        (b"plain words, nothing else 123", "text/plain"),
+        (b"\x00\x01\x02binary\x00junk", "application/octet-stream"),
+        (b"", None),
+        (None, None),
+    ]
+    for head, want in cases:
+        got = sniff_mime_py(head if head is None else head[:SNIFF_HEAD_BYTES])
+        assert got == want, (head, got, want)
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i int, head binary"
+    )
+    rows = {
+        r["i"]: r["m"]
+        for r in df.select("i", sniff_mime_udf(F.col("head")).alias("m")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert rows[i] == want, (i, rows[i], want)
+
+
 def test_fixture_has_live_targets(tiny):
     """The generator must exercise keywords/rating/junk-ext paths."""
     kws = [keywords_py(url_name_py(p["url"])) for p in tiny["pages"]]

@@ -85,3 +85,43 @@ def test_parsed_rules_gate_the_crawl(spark, pages_df, tiny, tmp_path_factory):
     assert not any(u.startswith("http://h1.example/s1") for u in fetched)
     seen = {r["url"] for r in res.seen(spark).collect()}
     assert not any(u.startswith("http://h1.example/s1/") for u in seen)
+
+
+def test_rep_longest_match_allow_overrides_deny(spark, pages_df, tiny, tmp_path_factory):
+    """REP precedence (r01 advisory): 'Disallow: /' + 'Allow: /s0' must
+    keep the /s1 subtree crawlable (longest matching prefix wins; an
+    allow beats a deny of equal length) — engine and simulator agree."""
+    from fscrawler_spark.plans.job import CrawlJob
+    from fscrawler_spark.plans.simulator import simulate_crawl
+    from fscrawler_spark.plans.wave_loop import run_crawl
+
+    body = "User-agent: *\nDisallow: /\nAllow: /s1\n"
+    robots_txt = spark.createDataFrame(
+        [("h0.example", body)], "host string, body string"
+    )
+    rules = parse_robots(robots_txt)
+    rule_rows = [r.asDict() for r in rules.collect()]
+    job = CrawlJob(politeness_budget=20, max_waves=3)
+    res = run_crawl(
+        spark, pages_df, tiny["seeds"], job, robots=rules,
+        checkpoint_dir=str(tmp_path_factory.mktemp("rep")),
+    )
+    fetched = [
+        r["url"]
+        for r in res.results(spark).where("stage='EXTRACTED'").collect()
+    ]
+    h0 = [u for u in fetched if u.startswith("http://h0.example")]
+    # the root itself (path '') matches only 'Disallow: /'? no — '' does
+    # not start with '/', so the root is ungoverned and crawlable; its
+    # /s0 children must survive, other subtrees must not
+    assert any(u.startswith("http://h0.example/s1") for u in h0), h0
+    assert not any(
+        u.startswith("http://h0.example/") and not u.startswith("http://h0.example/s1")
+        for u in h0
+    ), h0
+    sim = simulate_crawl(tiny["pages"], tiny["seeds"], job, rule_rows)
+    eng_order = {
+        r["url"]: (r["wave"], r["rank_in_wave"])
+        for r in res.results(spark).where("stage = 'EXTRACTED'").collect()
+    }
+    assert eng_order == sim.order

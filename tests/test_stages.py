@@ -66,3 +66,61 @@ def test_format_size(spark):
     )
     got = [r["fmt"] for r in df.select(format_size(F.col("size")).alias("fmt")).collect()]
     assert got == ["999 o", "1.5 Ko", "2.5 Mo", "3.2 Go", None]
+
+
+def test_merge_actions_decision_table(spark):
+    """D3 (copy_path_processor.py:54-72): same-size skip, diff-size
+    replace, missing insert, gone soft-delete."""
+    from fscrawler_spark.plans.stages import merge_actions
+
+    dest = spark.createDataFrame(
+        [("u1", 10), ("u2", 20), ("u3", 30)], "url string, size long"
+    )
+    inc = spark.createDataFrame(
+        [("u1", 10), ("u2", 25), ("u4", 40)], "url string, size long"
+    )
+    got = {r["url"]: r["action"] for r in merge_actions(dest, inc).collect()}
+    assert got == {
+        "u1": "skip_same_size",
+        "u2": "replace_diff_size",
+        "u3": "soft_delete",
+        "u4": "insert",
+    }
+
+
+def test_apply_merge_outcomes_and_trash_rename(spark):
+    """Executable MERGE: dest rows survive skips untouched, incoming
+    wins replaces/inserts, soft-deleted rows land in trash with the
+    reference's ' (i)' collision suffix (C14, delete_path_processor.py:
+    54-63)."""
+    from pyspark.sql import functions as F
+
+    from fscrawler_spark.plans.stages import apply_merge
+
+    dest = spark.createDataFrame(
+        [("u1", 10, "old1"), ("u2", 20, "old2"), ("u3", 30, "old3")],
+        "url string, size long, payload string",
+    )
+    inc = spark.createDataFrame(
+        [("u1", 10, "new1"), ("u2", 25, "new2"), ("u4", 40, "new4")],
+        "url string, size long, payload string",
+    )
+    new_dest, trash = apply_merge(dest, inc)
+    rows = {r["url"]: r["payload"] for r in new_dest.collect()}
+    # same-size skip keeps the DEST row; replace/insert take incoming
+    assert rows == {"u1": "old1", "u2": "new2", "u4": "new4"}
+    t = trash.collect()
+    assert {r["url"] for r in t} == {"u3"}
+    assert t[0]["trash_key"] == "u3" and t[0]["stage"] == "DELETED"
+
+    # delete the same key again (u3 re-appears then vanishes): the second
+    # trash entry must be suffixed ' (1)'
+    dest2 = new_dest.unionByName(
+        spark.createDataFrame([("u3", 99, "again")], "url string, size long, payload string")
+    )
+    inc2 = inc  # u3 absent -> soft-delete again
+    _, trash2 = apply_merge(dest2, inc2, trash=trash)
+    keys = sorted(
+        r["trash_key"] for r in trash2.where(F.col("url") == "u3").collect()
+    )
+    assert keys == ["u3", "u3 (1)"]
