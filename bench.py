@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "q16_text_stats",
     "q17_lang_quality_agg",
     "q18_cosine_topk",
+    "q27_text_search",
 ]
 
 

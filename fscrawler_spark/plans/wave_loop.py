@@ -365,9 +365,10 @@ def run_crawl(
         seen_delta = seen_delta.distinct().withColumn("wave", F.lit(wave))
 
         results_out = results_wave.select(
-            "url", "host", "depth", "wave", "rank_in_wave", "warc_ts", "size",
-            "md5_hex", "xxhash", "text", "lang", "extension", "mime",
-            "keywords", "rating", "n_links", "stage", "target_table",
+            "url", "host", "depth", "wave", "rank_in_wave", "seed_id",
+            "warc_ts", "size", "md5_hex", "xxhash", "text", "lang",
+            "extension", "mime", "keywords", "rating", "n_links", "stage",
+            "target_table",
         ).unionByName(error_rows, allowMissingColumns=True)
 
         # One aggregation action yields every wave counter (A2 analog).
