@@ -175,8 +175,17 @@ per-wave checkpointing.
 
 Regenerate: `python BENCH/scaling.py`
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
-        fh.write(md)
+    # Preserve hand-written methodology sections (everything from the
+    # first "## Why" heading on) across regenerations.
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    manual = ""
+    if os.path.exists(out_path):
+        prev = open(out_path).read()
+        idx = prev.find("\n## Why")
+        if idx >= 0:
+            manual = prev[idx:]
+    with open(out_path, "w") as fh:
+        fh.write(md + manual)
 
 
 if __name__ == "__main__":

@@ -554,6 +554,33 @@ def q27_text_search(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q28_merge_actions(spark, sf_dir):
+    """D3 — MERGE-action decision table (copy_path_processor.py:54-72 /
+    delete_path_processor.py:21-70 conditional actions as one
+    full-outer equi-join): dest = even events, incoming = events above
+    the median id with every 5th size doubled — yields all four actions
+    (insert / same-size skip / diff-size replace / soft-delete)."""
+    from fscrawler_spark.plans.stages import merge_actions
+
+    ev = _load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", F.col("value").cast("decimal(18,2)").alias("sz")
+    )
+    dest = base.where(F.col("event_id") % 2 == 0)
+    incoming = base.where(F.col("event_id") % 3 == 0).withColumn(
+        "sz",
+        F.when(
+            F.col("event_id") % 5 == 0, F.col("sz") * 2
+        ).otherwise(F.col("sz")).cast("decimal(18,2)"),
+    )
+    return (
+        merge_actions(dest, incoming, key="event_id", size_col="sz")
+        .groupBy("action")
+        .agg(F.count("*").alias("n"))
+        .orderBy("action")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -588,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_subtree_rollup": q25_subtree_rollup,
         "q26_embedding_dedup": q26_embedding_dedup,
         "q27_text_search": q27_text_search,
+        "q28_merge_actions": q28_merge_actions,
     }
 
 
@@ -853,6 +881,26 @@ def oracle_sql() -> dict[str, str]:
             FROM s
             WHERE tf_spark > 0 AND tf_vector > 0 AND tf_slow = 0
             ORDER BY doc_id
+        """,
+        "q28_merge_actions": """
+            WITH base AS (
+              SELECT event_id, value::DECIMAL(18,2) AS sz FROM events),
+            d AS (SELECT event_id, sz AS dest_size FROM base
+                  WHERE event_id % 2 = 0),
+            i AS (SELECT event_id,
+                         (CASE WHEN event_id % 5 = 0 THEN sz * 2 ELSE sz
+                          END)::DECIMAL(18,2) AS incoming_size
+                  FROM base WHERE event_id % 3 = 0),
+            acts AS (
+              SELECT CASE
+                       WHEN d.dest_size IS NULL THEN 'insert'
+                       WHEN i.incoming_size IS NULL THEN 'soft_delete'
+                       WHEN d.dest_size = i.incoming_size THEN 'skip_same_size'
+                       ELSE 'replace_diff_size'
+                     END AS action
+              FROM i FULL OUTER JOIN d USING (event_id))
+            SELECT action, count(*) AS n FROM acts
+            GROUP BY action ORDER BY action
         """,
         # q19 (approximate ANN), q20 (engine-defined simhash) and q21
         # (iterative wave loop) are non-SQL-expressible -> rows-only;

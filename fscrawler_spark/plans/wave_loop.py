@@ -225,11 +225,19 @@ def run_crawl(
 
         robots_denied = None
         if path_rules is not None:
+            # Only hosts with at least one DENY rule need the REP
+            # decision — allow-only hosts can never be denied, so their
+            # rows skip the gate entirely (without this, the fixture's
+            # per-host 'Allow: /' rows routed EVERY url through the
+            # match join + groupBy shuffle each wave).
+            governed = path_rules.where(~F.col("allow")).select("host").distinct()
+            rules_governed = path_rules.join(governed, "host", "left_semi")
             # longest matching prefix wins; struct-max on (len, allow)
             # makes an Allow beat a Disallow of equal length (REP)
             hit = (
                 authorized.select("url", "host")
-                .join(F.broadcast(path_rules), "host")
+                .join(F.broadcast(governed), "host", "left_semi")
+                .join(F.broadcast(rules_governed), "host")
                 .where(url_path(F.col("url")).startswith(F.col("path_prefix")))
                 .groupBy("url")
                 .agg(
