@@ -55,37 +55,48 @@ def politeness_take(
     # Phase 1 — salted partial top-k: cap each (host, salt) bucket.
     # Skipped when salt_buckets<=1 (adaptive small-wave path: the extra
     # shuffle costs more than the skew it prevents).
-    truncated = None
+    #
+    # Rows beyond the per-bucket cap cannot be in their host's global
+    # top-budget (each bucket keeps its own budget-smallest keys — a
+    # superset of the host's top-budget), so they are deferred, not
+    # scheduled.  They MUST remain in the returned frame as
+    # scheduled=false: the caller derives the next wave's frontier from
+    # the unscheduled rows, so filtering them out silently lost them
+    # from the crawl (round-1 advisory bug).  Kept in ONE plan — a
+    # filter+union of two branches re-executes the entire un-persisted
+    # upstream wave pipeline once per branch (measured +37% on the
+    # scaling run's 4N leg).
+    trunc = F.lit(False)
     if salt_buckets > 1:
         salt = F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
         w1 = Window.partitionBy("host", "_salt").orderBy("priority", "url")
-        tagged = (
+        df = (
             df.withColumn("_salt", salt)
             .withColumn("_r1", F.row_number().over(w1))
             .drop("_salt")
         )
-        # Rows beyond the per-bucket cap cannot be in their host's global
-        # top-budget (each bucket keeps its own budget-smallest keys — a
-        # superset of the host's top-budget), so they are deferred, not
-        # ranked.  They MUST remain in the returned frame as
-        # scheduled=false: the caller derives the next wave's frontier
-        # from the unscheduled rows, so filtering them out here silently
-        # lost them from the crawl (round-1 advisory bug).
-        df = tagged.where(F.col("_r1") <= F.col("_budget")).drop("_r1")
-        truncated = tagged.where(F.col("_r1") > F.col("_budget")).drop("_r1")
+        trunc = F.col("_r1") > F.col("_budget")
 
-    # Phase 2 — exact per-host rank over the phase-1 survivors.
-    w2 = Window.partitionBy("host").orderBy("priority", "url")
-    df = df.withColumn("host_rank", F.row_number().over(w2))
-    df = df.withColumn("scheduled", F.col("host_rank") <= F.col("_budget"))
-    if truncated is not None:
-        # host_rank is NULL for phase-1-truncated rows: they were never
-        # globally ranked (provably > budget), only deferred.
-        df = df.unionByName(
-            truncated.withColumn("host_rank", F.lit(None).cast("int"))
-            .withColumn("scheduled", F.lit(False))
-        )
-    df = df.drop("_budget")
+    # Phase 2 — exact per-host rank.  Truncated rows sort AFTER every
+    # survivor within their host, so survivor ranks equal what they'd be
+    # with truncated rows absent; and any host that truncated kept
+    # >= budget survivors, so a truncated row's raw rank is > budget by
+    # construction.  host_rank is masked to NULL for truncated rows
+    # (they were never really ranked — provably > budget).
+    df = df.withColumn("_trunc", trunc.cast("int"))
+    if salt_buckets > 1:
+        df = df.drop("_r1")
+    w2 = Window.partitionBy("host").orderBy("_trunc", "priority", "url")
+    df = df.withColumn("_hr", F.row_number().over(w2))
+    df = df.withColumn(
+        "host_rank",
+        F.when(F.col("_trunc") == 1, F.lit(None).cast("int")).otherwise(
+            F.col("_hr")
+        ),
+    )
+    df = df.withColumn(
+        "scheduled", (F.col("_trunc") == 0) & (F.col("_hr") <= F.col("_budget"))
+    ).drop("_budget", "_trunc", "_hr")
 
     if global_cap is not None:
         # Global wave cap (bounded-queue maxsize analog, config.py:129-131):
