@@ -148,7 +148,7 @@ def test_simhash_semantics(spark):
     """SimHash: identical token sets collide (hamming 0); mostly-shared
     sets are near (small hamming); disjoint sets are far.  Also guards
     the signed-vote arithmetic (uint64 wrap would set ~all bits)."""
-    from fscrawler_spark.operators.similarity import simhash64_udf, simhash_pairs
+    from fscrawler_spark.operators.similarity import simhash64_agg, simhash_pairs
     from pyspark.sql import functions as F
 
     base = [f"tok{i}" for i in range(120)]
@@ -158,7 +158,7 @@ def test_simhash_semantics(spark):
         [(0, base), (1, list(base)), (2, near), (3, far)],
         "id long, tk array<string>",
     )
-    hs = {r["id"]: r["sh"] for r in df.select("id", simhash64_udf(F.col("tk")).alias("sh")).collect()}
+    hs = {r["id"]: r["sh"] for r in simhash64_agg(df, "id", F.col("tk")).collect()}
     def ham(a, b):
         return bin((a ^ b) & ((1 << 64) - 1)).count("1")
     assert hs[0] == hs[1]
