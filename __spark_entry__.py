@@ -581,6 +581,42 @@ def q28_merge_actions(spark, sf_dir):
     )
 
 
+_TAXONOMY_ROWS = [
+    {"name": "web", "parent": None},
+    {"name": "news", "parent": "web", "min_age": 8},
+    {"name": "forums", "parent": "web", "min_age": 14},
+    {"name": "threads", "parent": "forums"},        # inherits 14
+    {"name": "archive", "parent": "web"},           # unrestricted
+    {"name": "adult", "parent": "forums", "min_age": 18},
+]
+
+# source-number % 5 -> category assignment (covers every srcN)
+_SRC_CAT = {0: "news", 1: "threads", 2: "archive", 3: "adult", 4: "forums"}
+
+
+def q29_age_gate(spark, sf_dir):
+    """Taxonomy age gate (reference app/models/taxnomy.py:10-77):
+    documents categorized by source, gated at max_age=14.  The Spark
+    side resolves nearest-ancestor min_age inheritance driver-side
+    (plans/taxonomy.py); the DuckDB twin resolves it INDEPENDENTLY with
+    a recursive CTE over the same raw (name, parent, min_age) rows —
+    two implementations of the inheritance semantics."""
+    from fscrawler_spark.plans.taxonomy import age_gate, build_taxonomy
+
+    d = _load(spark, sf_dir, "documents")
+    srcnum = F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int") % 5
+    cat = F.lit(None).cast("string")
+    for n, c in _SRC_CAT.items():
+        cat = F.when(srcnum == n, F.lit(c)).otherwise(cat)
+    tax = build_taxonomy(spark, _TAXONOMY_ROWS)
+    gated = age_gate(d.withColumn("category", cat), tax, max_age=14)
+    return (
+        gated.groupBy("category")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("category")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -616,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_embedding_dedup": q26_embedding_dedup,
         "q27_text_search": q27_text_search,
         "q28_merge_actions": q28_merge_actions,
+        "q29_age_gate": q29_age_gate,
     }
 
 
@@ -901,6 +938,33 @@ def oracle_sql() -> dict[str, str]:
               FROM i FULL OUTER JOIN d USING (event_id))
             SELECT action, count(*) AS n FROM acts
             GROUP BY action ORDER BY action
+        """,
+        # The taxonomy twin resolves min_age inheritance INDEPENDENTLY
+        # via a recursive CTE (the Spark side resolves it driver-side).
+        "q29_age_gate": """
+            WITH RECURSIVE tax(name, parent, min_age) AS (
+              VALUES ('web', NULL, NULL),
+                     ('news', 'web', 8),
+                     ('forums', 'web', 14),
+                     ('threads', 'forums', NULL),
+                     ('archive', 'web', NULL),
+                     ('adult', 'forums', 18)),
+            resolved AS (
+              SELECT name, min_age AS eff FROM tax WHERE parent IS NULL
+              UNION ALL
+              SELECT t.name, coalesce(t.min_age, r.eff)
+              FROM tax t JOIN resolved r ON t.parent = r.name),
+            cats AS (
+              SELECT doc_id,
+                     CASE regexp_extract(source, '(\\d+)', 1)::INT % 5
+                       WHEN 0 THEN 'news' WHEN 1 THEN 'threads'
+                       WHEN 2 THEN 'archive' WHEN 3 THEN 'adult'
+                       ELSE 'forums' END AS category
+              FROM documents)
+            SELECT category, count(*) AS n_docs
+            FROM cats c LEFT JOIN resolved r ON c.category = r.name
+            WHERE r.eff IS NULL OR r.eff <= 14
+            GROUP BY category ORDER BY category
         """,
         # q19 (approximate ANN), q20 (engine-defined simhash) and q21
         # (iterative wave loop) are non-SQL-expressible -> rows-only;
