@@ -287,25 +287,75 @@ def _hash_cols(df: DataFrame, col: str) -> DataFrame:
     )
 
 
-def build_bloom(df: DataFrame, col: str, n_items: int, fpp: float = 0.01) -> NumpyBloom:
-    """Distributed build: per-partition numpy bloom, OR-merged treewise.
-    Only (m/8)-byte bit arrays cross the wire, never rows."""
-    bloom = NumpyBloom.sized_for(n_items, fpp)
-    n_bits, n_hashes = bloom.n_bits, bloom.n_hashes
+class ShardedBloom:
+    """Bank of bloom shards keyed by pmod(h1, n_shards) — the 10^10
+    deployment shape: one monolithic bloom at 1% FPP is ~12 GB (past
+    broadcast range); shards are independently buildable, independently
+    broadcastable (each executor only needs the shards its partition's
+    host-hash range probes), and independently refreshable per crawl
+    epoch.  A shard with no filter means no seen hash ever landed there
+    -> definitely unseen."""
 
-    def part_bloom(rows):
-        b = NumpyBloom(n_bits, n_hashes)
-        arr = np.array([(r["_h1"], r["_h2"]) for r in rows], dtype=np.int64)
-        if arr.size:
-            b.add_hashes(arr[:, 0], arr[:, 1])
-        yield b.bits
+    def __init__(self, n_shards: int, shards: dict[int, NumpyBloom]):
+        self.n_shards = int(n_shards)
+        self.shards = shards
 
-    merged = (
-        _hash_cols(df, col)
-        .rdd.mapPartitions(part_bloom)
-        .treeReduce(np.bitwise_or)
+    def might_contain(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        h1 = np.asarray(h1, np.int64)
+        h2 = np.asarray(h2, np.int64)
+        sid = h1 % np.int64(self.n_shards)
+        out = np.zeros(len(h1), dtype=bool)
+        for s in np.unique(sid):
+            if int(s) in self.shards:
+                mask = sid == s
+                out[mask] = self.shards[int(s)].might_contain(h1[mask], h2[mask])
+        return out
+
+
+def build_bloom(
+    df: DataFrame,
+    col: str,
+    n_items: int,
+    fpp: float = 0.01,
+    n_shards: int | None = None,
+) -> ShardedBloom:
+    """Distributed sharded build: repartition the JVM-computed hash
+    pairs on pmod(h1, n_shards), build each shard's bit array locally
+    (Arrow-batched), return only finished bit arrays to the driver —
+    rows never leave the executors.  Each shard is sized for its
+    expected share of n_items at the target fpp."""
+    spark = df.sparkSession
+    if n_shards is None:
+        n_shards = max(1, spark.sparkContext.defaultParallelism)
+    per_shard = max(64, int(n_items / n_shards * 1.25))
+    proto = NumpyBloom.sized_for(per_shard, fpp)
+    n_bits, n_hashes = proto.n_bits, proto.n_hashes
+
+    hashed = _hash_cols(df, col).withColumn(
+        "_s", F.pmod(F.col("_h1"), F.lit(n_shards)).cast("int")
     )
-    return NumpyBloom(n_bits, n_hashes, merged)
+    parted = hashed.repartition(n_shards, "_s")
+
+    def build_shards(batches):
+        acc: dict[int, NumpyBloom] = {}
+        for pdf in batches:
+            for s, grp in pdf.groupby("_s"):
+                b = acc.setdefault(int(s), NumpyBloom(n_bits, n_hashes))
+                b.add_hashes(
+                    grp["_h1"].to_numpy(np.int64), grp["_h2"].to_numpy(np.int64)
+                )
+        yield pd.DataFrame(
+            [(s, b.bits.tobytes()) for s, b in acc.items()],
+            columns=["shard", "bits"],
+        )
+
+    built = parted.mapInPandas(build_shards, "shard int, bits binary").collect()
+    shards: dict[int, NumpyBloom] = {}
+    for r in built:
+        assert r["shard"] not in shards, "shard split across partitions"
+        bits = np.frombuffer(r["bits"], dtype=np.uint64).copy()
+        shards[r["shard"]] = NumpyBloom(n_bits, n_hashes, bits)
+    return ShardedBloom(n_shards, shards)
 
 
 def anti_join_seen(

@@ -110,6 +110,30 @@ def test_anti_join_with_bloom_equals_exact(spark):
     assert len(exact) == 333
 
 
+def test_sharded_bloom_build_no_false_negatives(spark):
+    """Distributed sharded bloom (the 10^10 deployment shape): every
+    seen hash probes True, fresh hashes stay near the spec fpp."""
+    import numpy as np
+
+    from fscrawler_spark.operators.dedup import build_bloom
+
+    seen = spark.createDataFrame(
+        [(f"http://s{i % 9}.example/p{i}",) for i in range(8000)], "url string"
+    )
+    sb = build_bloom(seen, "url", 8000, fpp=0.01, n_shards=8)
+    assert sb.n_shards == 8 and len(sb.shards) == 8
+    hp = seen.select(
+        F.xxhash64("url").alias("h1"), F.hash("url").cast("long").alias("h2")
+    ).collect()
+    h1 = np.array([r["h1"] for r in hp], np.int64)
+    h2 = np.array([r["h2"] for r in hp], np.int64)
+    assert sb.might_contain(h1, h2).all(), "sharded bloom false negative"
+    rng = np.random.default_rng(13)
+    q1 = rng.integers(-(2**62), 2**62, 20000)
+    q2 = rng.integers(-(2**31), 2**31, 20000)
+    assert sb.might_contain(q1, q2).mean() < 0.05
+
+
 def test_global_row_number(spark):
     df = spark.createDataFrame(
         [(i % 7, f"u{i:04d}") for i in range(1000)], "priority int, url string"
