@@ -47,7 +47,12 @@ def _load_config(path: str | None) -> dict:
 def cmd_crawl(args: argparse.Namespace) -> None:
     cfg = _load_config(args.config)
     spark = get_spark("fscrawler_crawl", cores=args.cores)
-    pages = spark.read.schema(schemas.PAGES).parquet(args.pages)
+    if args.warc:
+        from fscrawler_spark.sources.warc import read_warc
+
+        pages = read_warc(spark, args.pages)
+    else:
+        pages = spark.read.schema(schemas.PAGES).parquet(args.pages)
     robots = None
     if args.robots:
         robots = spark.read.schema(schemas.ROBOTS).parquet(args.robots)
@@ -142,6 +147,8 @@ def main(argv: list[str] | None = None) -> None:
 
     c = sub.add_parser("crawl", help="run the wave-loop crawl")
     c.add_argument("--pages", required=True)
+    c.add_argument("--warc", action="store_true",
+                   help="treat --pages as WARC segment file(s)/glob")
     c.add_argument("--seeds")
     c.add_argument("--robots", help="pre-parsed rules parquet (schemas.ROBOTS)")
     c.add_argument("--robots-txt", help="raw robots parquet (host, body) — parsed in-engine")

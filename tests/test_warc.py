@@ -1,0 +1,55 @@
+"""WARC source: Common-Crawl-style archive ingestion (ISO 28500)."""
+
+from __future__ import annotations
+
+import datetime
+import gzip
+
+from fscrawler_spark import schemas
+from fscrawler_spark.sources.warc import (
+    iter_warc_records,
+    read_warc,
+    records_to_rows,
+    write_warc_py,
+)
+
+ROWS = [
+    {"url": "http://a.example/x", "html": b"<html><body>A</body></html>",
+     "warc_ts": datetime.datetime(2026, 1, 2, 3, 4, 5)},
+    {"url": "http://b.example", "html": b"<html>B \xe2\x82\xac</html>",
+     "warc_ts": datetime.datetime(2025, 12, 31, 23, 59, 59)},
+    {"url": "http://c.example/empty", "html": b"", "warc_ts": None},
+]
+
+
+def test_roundtrip_scalar():
+    data = write_warc_py(ROWS)
+    rows = records_to_rows("x.warc", data)
+    assert [(r[0], r[2]) for r in rows] == [(d["url"], d["html"]) for d in ROWS]
+    assert rows[0][1] == ROWS[0]["warc_ts"]
+    assert rows[2][1] == datetime.datetime(2026, 1, 1)  # writer default ts
+
+
+def test_non_response_records_and_garbage_resync():
+    rec = write_warc_py(ROWS[:1])
+    meta = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nabcd\r\n\r\n")
+    garbage = b"\x00\xff NOT A RECORD \r\n"
+    data = meta + garbage + rec
+    rows = records_to_rows("x.warc", data)
+    assert len(rows) == 1 and rows[0][0] == ROWS[0]["url"]
+    # all records (incl. warcinfo) still visible at the iterator level
+    assert len(list(iter_warc_records(data))) == 2
+
+
+def test_read_warc_spark_plain_and_gz(spark, tmp_path):
+    data = write_warc_py(ROWS)
+    (tmp_path / "seg1.warc").write_bytes(data)
+    (tmp_path / "seg2.warc.gz").write_bytes(gzip.compress(data))
+    df = read_warc(spark, str(tmp_path))
+    assert df.schema == schemas.PAGES
+    got = sorted(
+        (r["url"], bytes(r["html"] or b"")) for r in df.collect()
+    )
+    want = sorted((d["url"], d["html"]) for d in ROWS) * 1
+    # two segment files -> every page twice
+    assert got == sorted(want + want)
