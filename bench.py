@@ -119,6 +119,9 @@ def main() -> None:
             "spark.local.dir": "/dev/shm/fsc_bench_tmp",
         },
     )
+    # warnings (WindowExec small-wave notices etc.) drown the one-line
+    # JSON contract in the driver's captured tail — keep stderr terse
+    spark.sparkContext.setLogLevel("ERROR")
     # warmup: JVM + codegen paths
     spark.range(1000).agg(F.sum("id")).collect()
 

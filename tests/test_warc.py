@@ -53,3 +53,27 @@ def test_read_warc_spark_plain_and_gz(spark, tmp_path):
     want = sorted((d["url"], d["html"]) for d in ROWS) * 1
     # two segment files -> every page twice
     assert got == sorted(want + want)
+
+
+def test_warc_roundtrip_property():
+    """Hypothesis: arbitrary (url, body) sets survive the serialize ->
+    parse roundtrip byte-for-byte, including bodies containing CRLF
+    pairs, WARC magic, and arbitrary binary."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    url_st = st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=1, max_size=40,
+    ).map(lambda s: "http://h.example/" + s)
+    body_st = st.binary(max_size=300)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.tuples(url_st, body_st), min_size=1, max_size=8))
+    def run(pairs):
+        rows = [{"url": u, "html": b, "warc_ts": None} for u, b in pairs]
+        data = write_warc_py(rows)
+        got = records_to_rows("x.warc", data)
+        assert [(r[0], r[2]) for r in got] == [(u, b) for u, b in pairs]
+
+    run()
