@@ -72,6 +72,15 @@ def bench_simhash(spark, sf_dir):
     return simhash_pairs(toks, "doc_id", F.col("tk"), max_hamming=1, chunks=2)
 
 
+def bench_embedding_lsh(spark, sf_dir):
+    """LSH-bucketed embedding dedup at the selective-regime threshold
+    (0.9 -> 12-plane/64-table auto-tuning, exact-cosine verified)."""
+    from fscrawler_spark.operators.similarity import embedding_dedup_pairs
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_dedup_pairs(e, threshold=0.9, method="lsh")
+
+
 def crawl_bench(spark, scale: str = "small") -> tuple[float, int]:
     """Full wave-loop crawl on the synthetic fixture (all host roots
     seeded, 6 waves); returns (seconds, scheduled_urls)."""
@@ -141,6 +150,10 @@ def main() -> None:
     t0 = time.time()
     _noop_write(bench_simhash(spark, SF_DIR))
     timings["q20_simhash_h1"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    _noop_write(bench_embedding_lsh(spark, SF_DIR))
+    timings["q26_embedding_lsh_t90"] = round(time.time() - t0, 3)
 
     crawl_secs, scheduled = crawl_bench(spark, "small")
     timings["crawl_small"] = round(crawl_secs, 3)

@@ -363,7 +363,7 @@ def cosine_sim(a, b):
 
 
 def _auto_lsh_params(
-    threshold: float, target_miss: float = 1e-9, max_tables: int = 64
+    threshold: float, target_miss: float = 1e-9, max_tables: int = 128
 ) -> tuple[int, int]:
     """(n_planes, n_tables) such that a pair at cos == threshold misses
     every table with probability <= target_miss.

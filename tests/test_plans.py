@@ -140,3 +140,31 @@ def test_minhash_uses_hash_aggregate(spark):
     sh = docs.select(F.col("doc_id").alias("id"), shingles(F.col("text")).alias("sh"))
     plan = plan_of(minhash_bands_agg(sh, "id", F.col("sh"), 32, 16))
     assert "HashAggregate" in plan and "partial_min" in plan
+
+
+def test_similarity_scale_paths_have_no_cross_product(spark):
+    """The LSH-bucketed paths must plan as equi-joins on bucket keys —
+    a CartesianProduct/nested-loop anywhere means the O(n^2) path
+    leaked back in."""
+    from fscrawler_spark.functions.textstats import tokens
+    from fscrawler_spark.operators.similarity import (
+        embedding_dedup_pairs,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plans = {
+        "embedding_lsh": plan_of(embedding_dedup_pairs(e, threshold=0.9, method="lsh")),
+        "minhash": plan_of(minhash_lsh_pairs(d, "doc_id", "text", 0.8)),
+        "simhash": plan_of(
+            simhash_pairs(
+                d.select("doc_id", tokens(F.lower(F.col("text"))).alias("tk")),
+                "doc_id", F.col("tk"),
+            )
+        ),
+    }
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
