@@ -25,10 +25,10 @@ def _pairs(df):
 def test_auto_lsh_params_regimes():
     # realistic near-dup threshold: selective buckets, bounded tables
     p_hi, t_hi = _auto_lsh_params(0.95)
-    assert p_hi >= 8 and t_hi <= 64
+    assert p_hi >= 12 and t_hi <= 128
     # low threshold: LSH must go dense to keep the exactness guarantee
     p_lo, t_lo = _auto_lsh_params(0.45)
-    assert p_lo < p_hi and t_lo <= 64
+    assert p_lo < p_hi and t_lo <= 128
 
 
 def test_embedding_dedup_lsh_equals_exact_low_threshold(spark):
