@@ -77,3 +77,42 @@ def test_warc_roundtrip_property():
         assert [(r[0], r[2]) for r in got] == [(u, b) for u, b in pairs]
 
     run()
+
+
+def test_crawl_from_warc_equals_crawl_from_parquet(
+    spark, pages_df, robots_df, tiny, tmp_path_factory
+):
+    """Source invariance: the same pages ingested via WARC vs parquet
+    must produce the identical crawl (order, seen set, extraction)."""
+    from fscrawler_spark.plans.wave_loop import run_crawl
+    from tests.test_crawl_e2e import JOB
+
+    tmp = tmp_path_factory.mktemp("warc_src")
+    rows = [
+        {"url": p["url"], "warc_ts": p.get("warc_ts"), "html": p["html"]}
+        for p in tiny["pages"]
+    ]
+    (tmp / "seg.warc.gz").write_bytes(
+        __import__("gzip").compress(write_warc_py(rows))
+    )
+    pages_warc = read_warc(spark, str(tmp))
+
+    res_w = run_crawl(
+        spark, pages_warc, tiny["seeds"], JOB, robots=robots_df,
+        checkpoint_dir=str(tmp_path_factory.mktemp("ckpt_w")),
+    )
+    res_p = run_crawl(
+        spark, pages_df, tiny["seeds"], JOB, robots=robots_df,
+        checkpoint_dir=str(tmp_path_factory.mktemp("ckpt_p")),
+    )
+
+    def fp(res):
+        return {
+            (r["url"], r["wave"], r["rank_in_wave"], r["md5_hex"], r["text"])
+            for r in res.results(spark).where("stage='EXTRACTED'").collect()
+        }
+
+    assert fp(res_w) == fp(res_p)
+    assert {r["url"] for r in res_w.seen(spark).collect()} == {
+        r["url"] for r in res_p.seen(spark).collect()
+    }
