@@ -175,13 +175,14 @@ per-wave checkpointing.
 
 Regenerate: `python BENCH/scaling.py`
 """
-    # Preserve hand-written methodology sections (everything from the
-    # first "## Why" heading on) across regenerations.
+    # Preserve hand-written sections (everything from the first "## "
+    # heading on — the generated header contains none) across
+    # regenerations.
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     manual = ""
     if os.path.exists(out_path):
         prev = open(out_path).read()
-        idx = prev.find("\n## Why")
+        idx = prev.find("\n## ")
         if idx >= 0:
             manual = prev[idx:]
     with open(out_path, "w") as fh:
