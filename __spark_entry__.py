@@ -581,6 +581,23 @@ def q28_merge_actions(spark, sf_dir):
     )
 
 
+def q30_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (the inverted-file ANN scale path named in
+    the build brief): deterministic k-means coarse quantizer, queries
+    probe their n_probe nearest cells, exact cosine rerank within the
+    probed cells.  Approximate + engine-defined quantizer — rows-only;
+    recall/determinism proven in tests/test_similarity.py."""
+    from fscrawler_spark.operators.similarity import ivf_topk
+
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8)
+    return (
+        ivf_topk(q, e, k=5, n_centroids=16, n_probe=4)
+        .select("qid", "cid", "rank", F.round("sim", 6).alias("sim6"))
+        .orderBy("qid", "rank")
+    )
+
+
 _TAXONOMY_ROWS = [
     {"name": "web", "parent": None},
     {"name": "news", "parent": "web", "min_age": 8},
@@ -653,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_text_search": q27_text_search,
         "q28_merge_actions": q28_merge_actions,
         "q29_age_gate": q29_age_gate,
+        "q30_ann_ivf_topk": q30_ann_ivf_topk,
     }
 
 

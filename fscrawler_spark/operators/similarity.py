@@ -520,6 +520,117 @@ def brute_force_topk(
     return ranked.withColumn("rank", F.row_number().over(w))
 
 
+def _nearest_centroid_udf(centroids: np.ndarray, n_probe: int = 1):
+    """pandas UDF: top-n_probe nearest centroid ids (euclidean) per
+    vector — one BLAS distance matrix per Arrow batch."""
+    c = np.asarray(centroids, np.float64)  # (k, dim)
+    c_sq = (c * c).sum(axis=1)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def nearest(vec: pd.Series) -> pd.Series:
+        m = np.asarray(vec.tolist(), dtype=np.float64)  # (n, dim)
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant per row
+        d = -2.0 * (m @ c.T) + c_sq[None, :]
+        idx = np.argsort(d, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
+        return pd.Series(list(idx))
+
+    return nearest
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 5,
+    seed: int = 42,
+    dim: int = 64,
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer.
+
+    Init: the first n_centroids vectors in ascending
+    ``md5(seed || to_json(vector))`` order — a seeded shuffle that is
+    stable across partitionings (no Python randomness, no
+    partition-order dependence).  Each Lloyd iteration is ONE Spark
+    job: assign via the BLAS nearest-centroid UDF, recompute means via
+    posexplode + groupBy(cell, position) — the centroids (k x dim
+    doubles, config-scale) are the only thing the driver ever holds.
+    """
+    v = corpus.select(F.col(vec_col).alias("v"))
+    init_rows = (
+        v.withColumn("_o", F.md5(F.concat(F.lit(str(seed)), F.to_json(F.struct("v")))))
+        .orderBy("_o")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = np.asarray([list(r["v"]) for r in init_rows], np.float64)
+    for _ in range(iters):
+        assign = _nearest_centroid_udf(cents, 1)
+        assigned = v.select(
+            F.element_at(assign(F.col("v")), 1).alias("cid"), "v"
+        )
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new = cents.copy()
+        for r in means:
+            new[r["cid"], r["pos"]] = r["m"]
+        if np.allclose(new, cents, atol=1e-12):
+            break
+        cents = new
+    return cents
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 5,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF approximate top-k (the inverted-file ANN shape): k-means
+    coarse quantizer -> corpus partitioned into n_centroids cells ->
+    each query probes its n_probe nearest cells -> exact cosine rerank
+    within the probed cells.
+
+    Scale shape: the centroid table is config-scale (k x dim,
+    broadcast inside the UDF closure); the only shuffle is the
+    (cell)-keyed equi-join — a 10^10-vector corpus reads ~n_probe/
+    n_centroids of itself per query batch instead of a full scan.
+    Returns (qid, cid, rank, sim)."""
+    cents = train_ivf_centroids(corpus, vec_col, n_centroids, iters, seed, dim)
+    assign1 = _nearest_centroid_udf(cents, 1)
+    assignp = _nearest_centroid_udf(cents, n_probe)
+
+    c = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    ).withColumn("cell", F.element_at(assign1(F.col("cv")), 1))
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).withColumn("cell", F.explode(assignp(F.col("qv"))))
+
+    scored = (
+        q.join(c, "cell")
+        .where(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", cosine_sim(F.col("qv"), F.col("cv")).alias("sim"))
+        # a (qid,cid) pair can only meet in ONE cell (corpus side is
+        # assigned to exactly one), so no distinct needed
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 def hyperplane_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

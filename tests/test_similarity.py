@@ -92,3 +92,52 @@ def test_ann_lsh_recall_vs_brute(spark):
     assert ann1 == ann2, "seeded ANN must be deterministic"
     recall = len(ann1 & brute_top2) / len(brute_top2)
     assert recall >= 0.8, f"recall on planted neighbors collapsed: {recall}"
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    """IVF (coarse-quantize -> probe -> exact rerank): on clustered
+    data with planted neighbors it must recover the brute-force top-2
+    with high recall and be run-to-run deterministic."""
+    from fscrawler_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(11)
+    # 4 well-separated clusters + planted near-neighbors for queries
+    centers = rng.standard_normal((4, 64)) * 6
+    rows = []
+    vid = 0
+    for ci in range(4):
+        for _ in range(25):
+            rows.append((vid, [float(x) for x in centers[ci] + rng.standard_normal(64)]))
+            vid += 1
+    e = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    q = e.where(F.col("vec_id") % 25 == 0)  # one query per cluster
+    brute = {
+        (r["qid"], r["cid"]) for r in brute_force_topk(q, e, k=2).collect()
+    }
+    from fscrawler_spark.operators.similarity import ivf_topk as _ivf
+
+    a1 = {(r["qid"], r["cid"])
+          for r in _ivf(q, e, k=2, n_centroids=8, n_probe=3).collect()}
+    a2 = {(r["qid"], r["cid"])
+          for r in _ivf(q, e, k=2, n_centroids=8, n_probe=3).collect()}
+    assert a1 == a2, "IVF must be deterministic"
+    recall = len(a1 & brute) / len(brute)
+    assert recall >= 0.75, f"IVF recall collapsed: {recall}"
+
+
+def test_ivf_corpus_partitioning_is_single_cell(spark):
+    """Every corpus vector lands in exactly one cell (so candidate
+    pairs need no dedup and the per-query read fraction is
+    n_probe/n_centroids)."""
+    from fscrawler_spark.operators.similarity import (
+        _nearest_centroid_udf,
+        train_ivf_centroids,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = train_ivf_centroids(e, n_centroids=8, iters=3)
+    assert cents.shape == (8, 64)
+    assign = _nearest_centroid_udf(cents, 1)
+    cells = e.select(F.element_at(assign(F.col("embedding")), 1).alias("cell"))
+    n = cells.count()
+    assert cells.where(F.col("cell").between(0, 7)).count() == n
