@@ -124,13 +124,43 @@ def cmd_stats(args: argparse.Namespace) -> None:
 
 
 def cmd_dedup(args: argparse.Namespace) -> None:
-    from fscrawler_spark.operators.similarity import minhash_lsh_pairs
+    from fscrawler_spark.functions.textstats import fingerprint, tokens
+    from fscrawler_spark.operators.similarity import (
+        embedding_dedup_pairs,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
 
     spark = get_spark("fscrawler_dedup", cores=args.cores)
     df = spark.read.parquet(args.input)
-    pairs = minhash_lsh_pairs(
-        df, args.id_col, args.text_col, threshold=args.threshold
-    )
+    if args.method == "minhash":
+        pairs = minhash_lsh_pairs(
+            df, args.id_col, args.text_col, threshold=args.threshold
+        )
+    elif args.method == "simhash":
+        toks = df.select(
+            F.col(args.id_col),
+            tokens(F.lower(F.col(args.text_col))).alias("_tk"),
+        )
+        pairs = simhash_pairs(toks, args.id_col, F.col("_tk"), max_hamming=3)
+    elif args.method == "embedding":
+        pairs = embedding_dedup_pairs(
+            df, id_col=args.id_col, vec_col=args.vec_col,
+            threshold=args.threshold, method="lsh",
+        )
+    elif args.method == "exact":
+        fp = df.select(
+            F.col(args.id_col), fingerprint(F.col(args.text_col)).alias("_fp")
+        )
+        a, b = fp.alias("a"), fp.alias("b")
+        pairs = (
+            a.join(b, (F.col("a._fp") == F.col("b._fp"))
+                   & (F.col(f"a.{args.id_col}") < F.col(f"b.{args.id_col}")))
+            .select(F.col(f"a.{args.id_col}").alias("id_a"),
+                    F.col(f"b.{args.id_col}").alias("id_b"))
+        )
+    else:
+        sys.exit(f"unknown dedup method: {args.method}")
     drop = pairs.select(F.col("id_b").alias(args.id_col)).distinct()
     if args.out:
         drop.write.mode("overwrite").parquet(args.out)
@@ -164,7 +194,11 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--checkpoint", required=True)
     s.set_defaults(fn=cmd_stats)
 
-    d = sub.add_parser("dedup", help="minhash-LSH near-dup scan")
+    d = sub.add_parser("dedup", help="near-dup scan (minhash/simhash/embedding/exact)")
+    d.add_argument("--method", default="minhash",
+                   choices=["minhash", "simhash", "embedding", "exact"])
+    d.add_argument("--vec-col", default="embedding",
+                   help="vector column for --method embedding")
     d.add_argument("--input", required=True)
     d.add_argument("--id-col", default="doc_id")
     d.add_argument("--text-col", default="text")

@@ -76,3 +76,40 @@ def test_query_terms_pushed_into_scan(spark, tmp_path):
     with redirect_stdout(buf):
         q.explain("formatted")
     assert "In(term, [spark,vector])" in buf.getvalue()
+
+
+def test_match_query_properties(spark):
+    """Algebraic properties over a generated corpus: ALL ⊆ ANY;
+    exclusion only removes; score equals the sum of the matched terms'
+    tfs computed independently."""
+    import random
+
+    rng = random.Random(29)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    idx = build_inverted_index(df, "doc_id", "text")
+    terms, excl = ["w1", "w2", "w3"], ["w4"]
+    allq = {r["doc_id"]: r for r in match_query(idx, terms).collect()}
+    anyq = {r["doc_id"]: r for r in match_query(idx, terms, mode="any").collect()}
+    assert set(allq) <= set(anyq)
+    excl_any = {
+        r["doc_id"] for r in match_query(idx, terms, mode="any", exclude=excl).collect()
+    }
+    assert excl_any <= set(anyq)
+    # independent scalar recomputation of membership + scores
+    for i, text in docs:
+        toks = text.split()
+        tf = {t: toks.count(t) for t in terms}
+        expect_any = any(v > 0 for v in tf.values())
+        assert (i in anyq) == expect_any, i
+        if expect_any:
+            assert anyq[i]["score"] == sum(tf.values()), i
+            assert anyq[i]["n_matched"] == sum(v > 0 for v in tf.values()), i
+        assert (i in allq) == all(v > 0 for v in tf.values()), i
+        if expect_any:
+            has_excl = any(t in toks for t in excl)
+            assert (i in excl_any) == (not has_excl), i
