@@ -28,12 +28,19 @@ from pyspark.sql import functions as F
 
 from fscrawler_spark import schemas
 from fscrawler_spark.functions.extract import (
+    SNIFF_HEAD_BYTES,
     content_rating,
     extract_hrefs_udf,
     extract_text_udf,
     keywords_udf,
+    sniff_mime_udf,
 )
-from fscrawler_spark.functions.urls import url_extension, url_host, url_name
+from fscrawler_spark.functions.urls import (
+    mime_type,
+    url_extension,
+    url_host,
+    url_name,
+)
 
 
 def read_pages_stream(
@@ -70,6 +77,10 @@ def extract_stream(pages: DataFrame) -> DataFrame:
             extract_text_udf(F.col("html")).alias("text"),
             F.size(extract_hrefs_udf(F.col("html"))).alias("n_links"),
             url_extension(F.col("url")).alias("extension"),
+            F.coalesce(
+                sniff_mime_udf(F.expr(f"substring(html, 1, {SNIFF_HEAD_BYTES})")),
+                mime_type(F.col("url")),
+            ).alias("mime"),
             keywords_udf(name).alias("keywords"),
             content_rating(name, F.col("url")).alias("rating"),
             "lang",

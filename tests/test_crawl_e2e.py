@@ -198,3 +198,40 @@ def test_per_partition_lineage(spark, engine, sim):
     for m in sim.metrics:
         if m["scheduled_n"]:
             assert per_wave[m["wave"]] == (m["scheduled_n"], m["scheduled_bytes"])
+
+
+def test_crawl_results_feed_dedup_pipeline(spark, engine, sim):
+    """Composition: the crawl's results table feeds the training-data
+    dedup operators directly — exact fingerprint dup-groups over the
+    crawled text must equal an independent scalar computation over the
+    simulator's byte-identical texts."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from fscrawler_spark.functions.textstats import fingerprint
+
+    results = engine.results(spark).where("stage = 'EXTRACTED'")
+    groups = (
+        results.select(fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n"))
+        .where("n > 1")
+    )
+
+    def fp_py(t):
+        norm = re.sub(r"\s+", " ", (t or "").lower()).strip()
+        return hashlib.md5(norm.encode()).hexdigest()
+
+    cnt = Counter(
+        fp_py(x["text"]) for x in sim.results if x["stage"] == "EXTRACTED"
+    )
+    expect_groups = {(k, v) for k, v in cnt.items() if v > 1}
+    got_groups = {(r["fp"], r["n"]) for r in groups.collect()}
+    assert got_groups == expect_groups
+    # full fingerprint multiset parity (live regardless of dup presence)
+    all_fp = Counter(
+        r["fp"]
+        for r in results.select(fingerprint(F.col("text")).alias("fp")).collect()
+    )
+    assert all_fp == cnt and cnt, "fingerprint multiset must match scalar"

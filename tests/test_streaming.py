@@ -11,7 +11,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from fscrawler_spark import schemas
-from fscrawler_spark.functions.extract import extract_text_py, md5_hex_py
+from fscrawler_spark.functions.extract import (
+    extract_text_py,
+    md5_hex_py,
+    sniff_mime_py,
+)
 from fscrawler_spark.streaming.pipeline import (
     extract_stream,
     host_window_counts,
@@ -53,6 +57,9 @@ def test_streaming_extract_matches_batch(spark, pages_dir, tiny):
         assert r["md5_hex"] == md5_hex_py(page["html"])
         assert r["text"] == extract_text_py(page["html"])  # byte-identical
         assert r["size"] == len(page["html"])
+        assert r["mime"] == (
+            sniff_mime_py((page["html"] or b"")[:64]) or r["mime"]
+        )  # streaming mime matches the scalar sniffer (ext fallback else)
 
 
 def test_streaming_window_counts(spark, pages_dir, tiny):
