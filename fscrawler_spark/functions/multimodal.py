@@ -211,6 +211,58 @@ def audio_duration(media: DataFrame) -> DataFrame:
     )
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.IntegerType()),
+        T.StructField("window", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zcr", T.DoubleType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame, n_windows: int = 8) -> DataFrame:
+    """Windowed audio features: per-window RMS energy and zero-crossing
+    rate over the PCM samples (centered at the uint8 midpoint 128).
+    The DSP is real and format-independent — only the decode step is
+    the sandbox fake (header parse instead of a codec); a real pipeline
+    swaps the decode and keeps this function byte-for-byte."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "window": [], "rms": [], "zcr": []}
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                if data is None or bytes(data[:7]) != b"FAKEAUD":
+                    continue
+                n = struct.unpack("<I", bytes(data[11:15]))[0]
+                pcm = (
+                    np.frombuffer(bytes(data[15 : 15 + n]), dtype=np.uint8)
+                    .astype(np.float64)
+                    - 128.0
+                )
+                for w, chunk in enumerate(np.array_split(pcm, n_windows)):
+                    if not len(chunk):
+                        continue
+                    signs = np.sign(chunk)
+                    nz = signs != 0
+                    crossings = int(
+                        (np.diff(signs[nz]) != 0).sum()
+                    ) if nz.sum() > 1 else 0
+                    out["media_id"].append(mid)
+                    out["window"].append(w)
+                    out["rms"].append(float(np.sqrt((chunk**2).mean())))
+                    out["zcr"].append(
+                        crossings / max(1, len(chunk) - 1)
+                    )
+            yield pd.DataFrame(out)
+
+    return (
+        media.where(F.col("media_type") == "audio")
+        .select("media_id", "data")
+        .mapInPandas(gen, AUDIO_FEATURES_SCHEMA)
+    )
+
+
 def _le_u32(data, pos1: int):
     """Little-endian u32 at 1-based byte offset pos1 of a binary column,
     as a JVM-side Column expression: slice 4 bytes, hex them (big-endian

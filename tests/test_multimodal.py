@@ -74,3 +74,29 @@ def test_real_decoder_is_stubbed():
     with pytest.raises(NotImplementedError):
         MM.decode_image_py(b"\x89PNG\r\n\x1a\n....")  # real format -> stub
     assert MM.decode_image_py(None) is None
+
+
+def test_audio_features_windows(spark):
+    """Windowed RMS/ZCR over the fake PCM: values must match an
+    independent numpy computation on the same payload."""
+    import numpy as np
+
+    from fscrawler_spark.functions import multimodal as MM
+
+    blob = MM.encode_fake_audio(8000, 1600, seed=5)
+    media = spark.createDataFrame(
+        [(1, "u", "audio", blob, {})], MM.MEDIA_SCHEMA
+    )
+    rows = {
+        r["window"]: (r["rms"], r["zcr"])
+        for r in MM.audio_features(media, n_windows=4).collect()
+    }
+    assert sorted(rows) == [0, 1, 2, 3]
+    pcm = np.frombuffer(blob[15:], dtype=np.uint8).astype(np.float64) - 128.0
+    for w, chunk in enumerate(np.array_split(pcm, 4)):
+        rms = float(np.sqrt((chunk**2).mean()))
+        signs = np.sign(chunk)
+        nz = signs != 0
+        zcr = int((np.diff(signs[nz]) != 0).sum()) / max(1, len(chunk) - 1)
+        assert abs(rows[w][0] - rms) < 1e-12, w
+        assert abs(rows[w][1] - zcr) < 1e-12, w
