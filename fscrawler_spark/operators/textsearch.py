@@ -46,10 +46,39 @@ def build_inverted_index(
     )
 
 
+def write_inverted_index(index: DataFrame, path: str) -> None:
+    """Persist the posting table partitioned by the term's first
+    character (`tp`): a term query then reads ONE partition directory
+    (partition pruning — the at-scale substitute for ES's term
+    routing).  At 10^10-document scale the same layout bucket-sorts
+    within partitions by (term, doc_id) for row-group skipping."""
+    index.withColumn("tp", F.substring("term", 1, 1)).write.mode(
+        "overwrite"
+    ).partitionBy("tp").parquet(path)
+
+
+def read_inverted_index(spark, path: str) -> DataFrame:
+    """Read back a partitioned posting table; adds the pruning
+    predicate helper column transparently."""
+    return spark.read.parquet(path)
+
+
+def _prune(index: DataFrame, terms: list[str]) -> DataFrame:
+    """When the index carries the partition column (`tp`), add the
+    first-character predicate so Catalyst prunes partitions before the
+    term filter (no-op on unpartitioned indexes)."""
+    if "tp" in index.columns:
+        return index.where(
+            F.col("tp").isin(sorted({t[:1] for t in terms if t}))
+        )
+    return index
+
+
 def term_query(index: DataFrame, term: str) -> DataFrame:
     """Documents containing `term`, scored by tf
     (elastic_search_client.py term-query analog)."""
-    return index.where(F.col("term") == term.lower()).select(
+    term = term.lower()
+    return _prune(index, [term]).where(F.col("term") == term).select(
         "doc_id", F.col("tf").alias("score")
     )
 
@@ -71,7 +100,8 @@ def match_query(
         raise ValueError(f"mode must be 'all' or 'any', got {mode!r}")
     terms = [t.lower() for t in terms]
     hits = (
-        index.where(F.col("term").isin(terms))
+        _prune(index, terms)
+        .where(F.col("term").isin(terms))
         .groupBy("doc_id")
         .agg(
             F.count_distinct("term").alias("n_matched"),
@@ -81,8 +111,10 @@ def match_query(
     if mode == "all":
         hits = hits.where(F.col("n_matched") == len(terms))
     if exclude:
+        excl = [t.lower() for t in exclude]
         banned = (
-            index.where(F.col("term").isin([t.lower() for t in exclude]))
+            _prune(index, excl)
+            .where(F.col("term").isin(excl))
             .select("doc_id")
         )
         hits = hits.join(banned, "doc_id", "left_anti")

@@ -113,3 +113,36 @@ def test_match_query_properties(spark):
         if expect_any:
             has_excl = any(t in toks for t in excl)
             assert (i in excl_any) == (not has_excl), i
+
+
+def test_partitioned_index_prunes(spark, tmp_path):
+    """write_inverted_index partitions by first term character; a term
+    query must read only the matching partition (PartitionFilters in
+    the scan) and return identical results."""
+    from fscrawler_spark.operators.textsearch import (
+        read_inverted_index,
+        write_inverted_index,
+    )
+
+    idx = build_inverted_index(_docs(spark), "doc_id", "text")
+    p = str(tmp_path / "pidx")
+    write_inverted_index(idx, p)
+    pidx = read_inverted_index(spark, p)
+    got = {(r["doc_id"], r["score"]) for r in term_query(pidx, "spark").collect()}
+    want = {(r["doc_id"], r["score"]) for r in term_query(idx, "spark").collect()}
+    assert got == want and got
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        term_query(pidx, "spark").explain("formatted")
+    plan = buf.getvalue()
+    import re
+
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and re.search(r"tp#\d+ = s\)|tp#\d+ IN \(s", pf[0]), pf
+    # match_query over the partitioned index agrees too
+    got_m = {r["doc_id"] for r in match_query(pidx, ["spark", "vector"]).collect()}
+    want_m = {r["doc_id"] for r in match_query(idx, ["spark", "vector"]).collect()}
+    assert got_m == want_m
