@@ -110,3 +110,42 @@ def test_uncommitted_partial_wave_is_ignored_on_resume(
     assert {r["url"] for r in resumed.seen(spark).collect()} == {
         r["url"] for r in full.seen(spark).collect()
     }
+
+
+def test_parity_on_alternate_seed(spark, tmp_path_factory):
+    """Engine==simulator on a DIFFERENT generated web (seed=7): guards
+    against fixture-specific lucky passes in the ordering/seen-set
+    contract."""
+    from fscrawler_spark import schemas
+    from fscrawler_spark.datagen import generate_pages
+    from fscrawler_spark.filters import DepthFilter, ExtensionFilter
+    from fscrawler_spark.plans.job import CrawlJob
+    from fscrawler_spark.plans.simulator import simulate_crawl
+    from fscrawler_spark.plans.wave_loop import run_crawl
+
+    pages, seeds, robots = generate_pages("tiny", seed=7)
+
+    def rows(records, schema):
+        return [tuple(r.get(f.name) for f in schema.fields) for r in records]
+
+    pages_df = spark.createDataFrame(rows(pages, schemas.PAGES), schemas.PAGES)
+    robots_df = spark.createDataFrame(rows(robots, schemas.ROBOTS), schemas.ROBOTS)
+    job = CrawlJob(
+        politeness_budget=3,
+        max_waves=4,
+        skip_filters=(
+            DepthFilter(4),
+            ExtensionFilter(excluded=frozenset({"tmp", "log", "bak", "pyc"})),
+        ),
+    )
+    sim = simulate_crawl(pages, seeds, job, robots)
+    res = run_crawl(
+        spark, pages_df, seeds, job, robots=robots_df,
+        checkpoint_dir=str(tmp_path_factory.mktemp("ckpt_seed7")),
+    )
+    order = {
+        r["url"]: (r["wave"], r["rank_in_wave"])
+        for r in res.results(spark).where("stage = 'EXTRACTED'").collect()
+    }
+    assert order == sim.order
+    assert {r["url"] for r in res.seen(spark).collect()} == sim.seen
