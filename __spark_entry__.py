@@ -97,24 +97,28 @@ def q01_pricing_summary(spark, sf_dir):
     """Flagship: grouped aggregate sweep (A3/A4 analog; sql/stats.sql:2-13
     pattern on the TPC-H lineitem surrogate)."""
     li = _load(spark, sf_dir, "lineitem")
-    # Sums over DECIMAL, not DOUBLE: decimal addition is exact (order-
-    # independent), so the result is identical under any partitioning —
-    # double sums would drift from the oracle with partial-aggregate order.
-    # Final aggregates are cast to ONE canonical widened type: Spark's
-    # sum(decimal(18,2)) widens to decimal(28,2) while DuckDB widens to
-    # decimal(38,2); the driver's value hash is precision-sensitive, so
-    # both engines must emit the exact same decimal type (r01 verdict).
+    # Final aggregates are SCALED BIGINTs, not decimals (r02 verdict root
+    # cause): any final DECIMAL column is structurally unable to pass the
+    # driver's value hash — Spark fetches object Decimal('49341.00') while
+    # DuckDB decimal fetches as float64 49341.0 at the pandas layer, even
+    # when values/types match exactly.  So: round each double measure to
+    # its exact decimal grid (decimal(18,2)/(18,6) — both engines round
+    # identically, proven by r02's row-by-row check), scale to an integer
+    # (×100 / ×1e6, exact: inputs are on that grid), and sum LONGs.  Long
+    # sums are exact and order-independent under any partitioning, and
+    # int64 survives the pandas fetch identically in both engines.
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").alias("sum_base_price"),
+            F.sum((F.col("l_quantity").cast("decimal(18,2)") * 100)
+                  .cast("long")).alias("sum_qty_c2"),
+            F.sum((F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+                  .cast("long")).alias("sum_base_price_c2"),
             F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
-            ).cast("decimal(38,6)").alias("sum_disc_price"),
+                ((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .cast("decimal(18,6)") * 1000000).cast("long")
+            ).alias("sum_disc_price_c6"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -137,9 +141,9 @@ def q03_sum_by_group(spark, sf_dir):
     return (
         li.groupBy("l_returnflag")
         .agg(
-            # canonical widened decimal — see q01's note
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").alias("sum_qty"),
+            # scaled-BIGINT final aggregate — see q01's note
+            F.sum((F.col("l_quantity").cast("decimal(18,2)") * 100)
+                  .cast("long")).alias("sum_qty_c2"),
             F.count("*").alias("cnt"),
         )
         .orderBy("l_returnflag")
@@ -488,33 +492,89 @@ def q26_embedding_dedup(spark, sf_dir):
     )
 
 
-def q24_media_features(spark, sf_dir):
-    """Multimodal columns: deterministic fake media blobs -> mapInPandas
-    decode + feature extraction + frame sampling (the Spark plumbing is
-    real; codecs stubbed — fscrawler_spark/functions/multimodal.py).
-    Engine-defined binary formats — rows-only."""
+_Q24_MEDIA_DIR = "/tmp/fscrawler_spark_q24_media"
+
+
+def _q24_media_rows():
     from fscrawler_spark.functions import multimodal as MM
 
     rows = []
     for i in range(64):
         rows.append((i, f"http://m.example/img{i}.png", "image",
-                     MM.encode_fake_image(8 + i % 9, 6, 3, seed=i), {"src": "gen"}))
+                     MM.encode_fake_image(8 + i % 9, 6, 3, seed=i)))
     for i in range(64, 80):
         rows.append((i, f"http://m.example/v{i}.mp4", "video",
-                     MM.encode_fake_video(6 + i % 3, 4, 3, seed=i), {}))
-    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+                     MM.encode_fake_video(6 + i % 3, 4, 3, seed=i)))
+    return rows
+
+
+def _ensure_q24_media() -> str:
+    """Materialize the deterministic fake-media table as parquet so BOTH
+    engines read the same blobs (the DuckDB oracle can't call the numpy
+    generators).  Always rewritten (cheap, 80 rows) so a stale file from
+    older code can't skew the compare; os.replace keeps it atomic."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(_Q24_MEDIA_DIR, "media.parquet")
+    os.makedirs(_Q24_MEDIA_DIR, exist_ok=True)
+    rows = _q24_media_rows()
+    tbl = pa.table({
+        "media_id": pa.array([r[0] for r in rows], pa.int64()),
+        "url": pa.array([r[1] for r in rows], pa.string()),
+        "media_type": pa.array([r[2] for r in rows], pa.string()),
+        "data": pa.array([r[3] for r in rows], pa.binary()),
+    })
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def q24_media_features(spark, sf_dir):
+    """Multimodal columns: fake media blobs in parquet -> mapInPandas
+    header decode + exact payload byte-sum feature + frame sampling (the
+    Spark plumbing is real; codecs stubbed —
+    fscrawler_spark/functions/multimodal.py).  All outputs are exact
+    integers (-1 = not-applicable for the other modality), so the DuckDB
+    twin can reparse the same blobs digit-exactly via hex().  The
+    float32 feature vectors (image_features) stay pytest-verified — a
+    float32 pooled mean can't be reproduced bit-exactly in SQL."""
+    from fscrawler_spark.functions import multimodal as MM
+
+    media = spark.read.parquet(_ensure_q24_media())
     info = MM.image_info(media)
-    feats = MM.image_features(media, dim=8).select(
-        "media_id", F.round(F.element_at("features", 1), 6).alias("f0")
-    )
     frames = (
         MM.sample_frames(media, every_n=2)
         .groupBy("media_id")
-        .agg(F.count("*").alias("n_frames_sampled"))
+        .agg(F.count("*").alias("nf"))
+    )
+    base = media.select(
+        "media_id", "media_type", F.length("data").cast("long").alias("n_bytes")
     )
     return (
-        info.join(feats, "media_id", "left")
+        base
+        .join(
+            info.select(
+                "media_id",
+                F.col("width").cast("long").alias("w"),
+                F.col("height").cast("long").alias("h"),
+                F.col("channels").cast("long").alias("c"),
+                "px_sum",
+            ),
+            "media_id", "left",
+        )
         .join(frames, "media_id", "left")
+        .select(
+            "media_id", "media_type", "n_bytes",
+            F.coalesce("w", F.lit(-1)).alias("width"),
+            F.coalesce("h", F.lit(-1)).alias("height"),
+            F.coalesce("c", F.lit(-1)).alias("channels"),
+            F.coalesce("px_sum", F.lit(-1)).alias("px_sum"),
+            F.coalesce("nf", F.lit(-1)).cast("long").alias("n_frames_sampled"),
+        )
         .orderBy("media_id")
     )
 
@@ -525,13 +585,13 @@ def q23_cube_rollup(spark, sf_dir):
     o = _load(spark, sf_dir, "orders")
     # NULL group keys from cube(): Spark sorts NULLS FIRST by default,
     # DuckDB NULLS LAST — pin NULLS LAST explicitly (r01 q23 hash-FAIL),
-    # and emit the canonical widened decimal (see q01's note).
+    # and emit a scaled-BIGINT final aggregate (see q01's note).
     return (
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("cnt"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").alias("sum_price"),
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                  .cast("long")).alias("sum_price_c2"),
         )
         .orderBy(
             F.asc_nulls_last("o_orderstatus"), F.asc_nulls_last("o_orderpriority")
@@ -621,8 +681,17 @@ def q29_age_gate(spark, sf_dir):
     from fscrawler_spark.plans.taxonomy import age_gate, build_taxonomy
 
     d = _load(spark, sf_dir, "documents")
-    srcnum = F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int") % 5
-    cat = F.lit(None).cast("string")
+    # Guarded identically to the SQL twin (r02 ADVICE): a source with no
+    # digit yields '' from regexp_extract; nullif/coalesce maps it to -1,
+    # and -1 % 5 = -1 (dividend-signed in both engines) falls through to
+    # the explicit 'forums' default — never an ungated NULL group.
+    srcnum = (
+        F.coalesce(
+            F.nullif(F.regexp_extract(F.col("source"), r"(\d+)", 1), F.lit("")),
+            F.lit("-1"),
+        ).cast("int") % 5
+    )
+    cat = F.lit("forums")
     for n, c in _SRC_CAT.items():
         cat = F.when(srcnum == n, F.lit(c)).otherwise(cat)
     tax = build_taxonomy(spark, _TAXONOMY_ROWS)
@@ -720,12 +789,56 @@ _QUALITY_E4_SQL = f"""
 
 
 def oracle_sql() -> dict[str, str]:
+    # q24's input blobs live in a parquet BOTH engines read (written
+    # deterministically here too, so oracle-before-query ordering works)
+    _q24_path = _ensure_q24_media()
+    # hex-pair -> byte value, as a plain SQL expression over hx at
+    # 0-based byte offset {i} (DuckDB blobs have no byte indexing;
+    # hex() + strpos on the nibble alphabet is exact)
+    _hb = (
+        "((strpos('0123456789ABCDEF', substr(hx, 2*({i})+1, 1))-1)*16"
+        " + (strpos('0123456789ABCDEF', substr(hx, 2*({i})+2, 1))-1))"
+    )
+    _q24_sql = f"""
+        WITH raw AS (
+          SELECT media_id, media_type, hex(data) AS hx,
+                 octet_length(data)::BIGINT AS n_bytes
+          FROM read_parquet('{_q24_path}')),
+        b AS (
+          SELECT media_id, i,
+                 {_hb.format(i='i')}::BIGINT AS bv
+          FROM (SELECT media_id, hx, unnest(range(0, n_bytes)) AS i
+                FROM raw)),
+        agg AS (
+          SELECT media_id,
+            sum(CASE WHEN i=7  THEN bv WHEN i=8  THEN bv*256
+                     WHEN i=9  THEN bv*65536 WHEN i=10 THEN bv*16777216
+                     ELSE 0 END)::BIGINT AS u1,
+            sum(CASE WHEN i=11 THEN bv WHEN i=12 THEN bv*256
+                     WHEN i=13 THEN bv*65536 WHEN i=14 THEN bv*16777216
+                     ELSE 0 END)::BIGINT AS u2,
+            sum(CASE WHEN i=15 THEN bv WHEN i=16 THEN bv*256
+                     WHEN i=17 THEN bv*65536 WHEN i=18 THEN bv*16777216
+                     ELSE 0 END)::BIGINT AS u3,
+            sum(CASE WHEN i>=19 THEN bv ELSE 0 END)::BIGINT AS psum
+          FROM b GROUP BY media_id)
+        SELECT r.media_id, r.media_type, r.n_bytes,
+          CASE WHEN r.media_type='image' THEN a.u1 ELSE -1 END AS width,
+          CASE WHEN r.media_type='image' THEN a.u2 ELSE -1 END AS height,
+          CASE WHEN r.media_type='image' THEN a.u3 ELSE -1 END AS channels,
+          CASE WHEN r.media_type='image' THEN a.psum ELSE -1 END AS px_sum,
+          CASE WHEN r.media_type='video' THEN (a.u1+1)//2 ELSE -1 END
+            AS n_frames_sampled
+        FROM raw r JOIN agg a USING (media_id)
+        ORDER BY r.media_id
+    """
     return {
+        "q24_media_features": _q24_sql,
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(l_quantity::DECIMAL(18,2))::DECIMAL(38,2) AS sum_qty,
-                   sum(l_extendedprice::DECIMAL(18,2))::DECIMAL(38,2) AS sum_base_price,
-                   sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))::DECIMAL(38,6) AS sum_disc_price,
+                   sum(((l_quantity::DECIMAL(18,2)) * 100)::BIGINT)::BIGINT AS sum_qty_c2,
+                   sum(((l_extendedprice::DECIMAL(18,2)) * 100)::BIGINT)::BIGINT AS sum_base_price_c2,
+                   sum((((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)) * 1000000)::BIGINT)::BIGINT AS sum_disc_price_c6,
                    count(*) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
@@ -737,7 +850,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q03_sum_by_group": """
             SELECT l_returnflag,
-                   sum(l_quantity::DECIMAL(18,2))::DECIMAL(38,2) AS sum_qty,
+                   sum(((l_quantity::DECIMAL(18,2)) * 100)::BIGINT)::BIGINT AS sum_qty_c2,
                    count(*) AS cnt
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
@@ -872,7 +985,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q23_cube_rollup": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
-                   sum(o_totalprice::DECIMAL(18,2))::DECIMAL(38,2) AS sum_price
+                   sum(((o_totalprice::DECIMAL(18,2)) * 100)::BIGINT)::BIGINT AS sum_price_c2
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
             ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
@@ -974,7 +1087,7 @@ def oracle_sql() -> dict[str, str]:
               FROM tax t JOIN resolved r ON t.parent = r.name),
             cats AS (
               SELECT doc_id,
-                     CASE regexp_extract(source, '(\\d+)', 1)::INT % 5
+                     CASE coalesce(nullif(regexp_extract(source, '(\\d+)', 1), ''), '-1')::INT % 5
                        WHEN 0 THEN 'news' WHEN 1 THEN 'threads'
                        WHEN 2 THEN 'archive' WHEN 3 THEN 'adult'
                        ELSE 'forums' END AS category

@@ -55,6 +55,9 @@ IMAGE_INFO_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType(), True),
         T.StructField("channels", T.IntegerType(), True),
         T.StructField("n_bytes", T.LongType(), True),
+        # exact sum of decoded payload bytes: an integer "feature" the
+        # DuckDB oracle can recompute digit-exactly from the raw blob
+        T.StructField("px_sum", T.LongType(), True),
     ]
 )
 
@@ -119,7 +122,7 @@ def image_info(media: DataFrame) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "width": [], "height": [], "channels": [],
-                   "n_bytes": []}
+                   "n_bytes": [], "px_sum": []}
             for mid, data in zip(pdf["media_id"], pdf["data"]):
                 dec = decode_image_py(data)
                 out["media_id"].append(mid)
@@ -127,6 +130,7 @@ def image_info(media: DataFrame) -> DataFrame:
                 out["height"].append(dec[1] if dec else None)
                 out["channels"].append(dec[2] if dec else None)
                 out["n_bytes"].append(len(data) if data is not None else None)
+                out["px_sum"].append(int(dec[3].sum()) if dec else None)
             yield pd.DataFrame(out)
 
     return (

@@ -38,6 +38,11 @@ def test_image_info(media_df):
         r = got[i]
         assert (r["width"], r["height"], r["channels"]) == (8 + i, 6, 3)
         assert r["n_bytes"] == 19 + (8 + i) * 6 * 3
+        # px_sum must equal an independent numpy sum over the raw payload
+        blob = MM.encode_fake_image(8 + i, 6, 3, seed=i)
+        assert r["px_sum"] == int(
+            np.frombuffer(blob[19:], dtype=np.uint8).sum()
+        )
 
 
 def test_image_features_deterministic_and_normed(media_df):
