@@ -645,14 +645,22 @@ def q30_ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-k (the inverted-file ANN scale path named in
     the build brief): deterministic k-means coarse quantizer, queries
     probe their n_probe nearest cells, exact cosine rerank within the
-    probed cells.  Approximate + engine-defined quantizer — rows-only;
-    recall/determinism proven in tests/test_similarity.py."""
-    from fscrawler_spark.operators.similarity import ivf_topk
+    probed cells.  Runs the MATERIALIZED-index path (r03): the
+    cell-partitioned index is written once and the probe partition-
+    prunes to n_probe cell directories — indexed == in-memory parity
+    and the PartitionFilters plan are pytest-asserted.  Approximate +
+    engine-defined quantizer — rows-only."""
+    from fscrawler_spark.operators.similarity import (
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
 
     e = _load(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 8)
+    path = "/tmp/fscrawler_spark_q30_ivf"
+    write_ivf_index(e, path, n_centroids=16)
     return (
-        ivf_topk(q, e, k=5, n_centroids=16, n_probe=4)
+        ivf_topk_from_index(spark, q, path, k=5, n_probe=4)
         .select("qid", "cid", "rank", F.round("sim", 6).alias("sim6"))
         .orderBy("qid", "rank")
     )

@@ -70,24 +70,32 @@ def politeness_take(
     if salt_buckets > 1:
         salt = F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
         w1 = Window.partitionBy("host", "_salt").orderBy("priority", "url")
-        df = (
-            df.withColumn("_salt", salt)
-            .withColumn("_r1", F.row_number().over(w1))
-            .drop("_salt")
+        df = df.withColumn("_salt", salt).withColumn(
+            "_r1", F.row_number().over(w1)
         )
         trunc = F.col("_r1") > F.col("_budget")
 
-    # Phase 2 — exact per-host rank.  Truncated rows sort AFTER every
-    # survivor within their host, so survivor ranks equal what they'd be
-    # with truncated rows absent; and any host that truncated kept
-    # >= budget survivors, so a truncated row's raw rank is > budget by
-    # construction.  host_rank is masked to NULL for truncated rows
-    # (they were never really ranked — provably > budget).
+    # Phase 2 — exact per-host rank over SURVIVORS ONLY.  The window
+    # partition key splits each host: survivors rank together in
+    # (host, -1) — bounded at <= salt_buckets*budget rows by phase 1,
+    # which is the whole point of the salt — while truncated rows stay
+    # spread across their (host, salt) buckets (they need no rank:
+    # host_rank is NULL and any host that truncated kept >= budget
+    # survivors, so a truncated row is provably past the budget).
+    # Ranking truncated rows through the host-wide window re-created
+    # the hot-host single-task skew the salt exists to prevent (r02
+    # advisory); the key split keeps it one plan — no filter+union
+    # branch re-executing the un-persisted upstream.
     df = df.withColumn("_trunc", trunc.cast("int"))
     if salt_buckets > 1:
+        part2 = F.when(F.col("_trunc") == 1, F.col("_salt")).otherwise(F.lit(-1))
         df = df.drop("_r1")
-    w2 = Window.partitionBy("host").orderBy("_trunc", "priority", "url")
+    else:
+        part2 = F.lit(-1)
+    w2 = Window.partitionBy("host", part2).orderBy("priority", "url")
     df = df.withColumn("_hr", F.row_number().over(w2))
+    if salt_buckets > 1:
+        df = df.drop("_salt")
     df = df.withColumn(
         "host_rank",
         F.when(F.col("_trunc") == 1, F.lit(None).cast("int")).otherwise(

@@ -423,6 +423,7 @@ def embedding_dedup_pairs(
     target_miss: float = 1e-9,
     seed: int = 42,
     dim: int = 64,
+    max_tables: int = 128,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= threshold).
 
@@ -437,7 +438,19 @@ def embedding_dedup_pairs(
     equals the exact result up to the (negligible, seeded-deterministic)
     miss probability; a shuffle is keyed on (table, bucket) instead of
     the cross product, so cost scales with bucket occupancy, not n^2.
-    Output (id_a, id_b, cos6)."""
+    Output (id_a, id_b, cos6).
+
+    Cost knobs (target_miss, max_tables) — regime table at t=0.9
+    (n_planes, n_tables from _auto_lsh_params):
+        miss 1e-9, tables<=128 -> (12, 123)   the q26 oracle config
+        miss 1e-6, tables<=64  -> (10,  58)   bench config: ~half the
+                                              bucketize/explode/join
+                                              volume, miss still 1e-6
+        miss 1e-9, tables<=32  -> ( 4,  27)   dense buckets: cheap
+                                              hashing, fat candidates
+    Relaxing target_miss at fixed max_tables mostly buys SELECTIVITY
+    (higher n_planes at similar table count), not fewer tables; capping
+    max_tables is what cuts per-vector work."""
     if method == "exact":
         a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
         b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
@@ -452,7 +465,7 @@ def embedding_dedup_pairs(
     if method != "lsh":
         raise ValueError(f"unknown method: {method!r}")
 
-    n_planes, n_tables = _auto_lsh_params(threshold, target_miss)
+    n_planes, n_tables = _auto_lsh_params(threshold, target_miss, max_tables)
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
     bucketize = _hyperplane_bucket_udf(planes)
@@ -554,6 +567,14 @@ def train_ivf_centroids(
     job: assign via the BLAS nearest-centroid UDF, recompute means via
     posexplode + groupBy(cell, position) — the centroids (k x dim
     doubles, config-scale) are the only thing the driver ever holds.
+
+    Order-independent means (r02 advisory): a double F.avg's partial-
+    aggregate combine order varies with partitioning, so centroids
+    could drift in ulps across runs and flip near-boundary cell
+    assignments.  Each coordinate is instead rounded onto a 1e-12
+    fixed-point grid (decimal cast) and summed EXACTLY — decimal
+    addition is associative+commutative — then divided once
+    driver-side; identical at any parallelism.
     """
     v = corpus.select(F.col(vec_col).alias("v"))
     init_rows = (
@@ -571,12 +592,15 @@ def train_ivf_centroids(
         means = (
             assigned.select("cid", F.posexplode("v").alias("pos", "val"))
             .groupBy("cid", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(
+                F.sum(F.col("val").cast("decimal(28,12)")).alias("s"),
+                F.count("*").alias("n"),
+            )
             .collect()
         )
         new = cents.copy()
         for r in means:
-            new[r["cid"], r["pos"]] = r["m"]
+            new[r["cid"], r["pos"]] = float(r["s"]) / r["n"]
         if np.allclose(new, cents, atol=1e-12):
             break
         cents = new
@@ -622,6 +646,104 @@ def ivf_topk(
         .select("qid", "cid", cosine_sim(F.col("qv"), F.col("cv")).alias("sim"))
         # a (qid,cid) pair can only meet in ONE cell (corpus side is
         # assigned to exactly one), so no distinct needed
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 5,
+    seed: int = 42,
+    dim: int = 64,
+) -> np.ndarray:
+    """Materialize the IVF index: the cell-assigned corpus written
+    ``partitionBy("cell")`` plus a `_centroids.parquet` sidecar (the
+    underscore prefix hides it from spark.read).  This is what makes
+    the "reads ~n_probe/n_centroids of the corpus" claim executable
+    (r02 verdict, Performance #3): ivf_topk recomputed the assignment
+    and shuffled the whole corpus per call; a probe against this layout
+    partition-prunes instead — the write_inverted_index recipe
+    (textsearch.py) applied to the vector corpus."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cents = train_ivf_centroids(corpus, vec_col, n_centroids, iters, seed, dim)
+    assign1 = _nearest_centroid_udf(cents, 1)
+    (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .withColumn("cell", F.element_at(assign1(F.col("cv")), 1))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "cid": pa.array(range(len(cents)), pa.int32()),
+                "centroid": pa.array(
+                    [[float(x) for x in c] for c in cents],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        ),
+        os.path.join(path, "_centroids.parquet"),
+    )
+    return cents
+
+
+def read_ivf_centroids(path: str) -> np.ndarray:
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(path, "_centroids.parquet"))
+    rows = sorted(zip(t.column("cid").to_pylist(), t.column("centroid").to_pylist()))
+    return np.asarray([c for _, c in rows], np.float64)
+
+
+def ivf_topk_from_index(
+    spark,
+    queries: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF top-k against a materialized index (write_ivf_index): each
+    query batch probes its n_probe nearest cells and the scan PRUNES to
+    those cell directories — a literal IN predicate on the partition
+    column, asserted in tests via PartitionFilters (mirroring the
+    term-partitioned posting table's plan test).
+
+    The probed-cell set is collected driver-side: <= |queries|*n_probe
+    cell ids, capped at n_centroids (config-scale).  A query batch that
+    probes every cell degenerates to the full scan — which is then the
+    correct plan anyway.  Results are identical to ivf_topk with the
+    same quantizer parameters (pytest-asserted)."""
+    cents = read_ivf_centroids(path)
+    corpus = spark.read.parquet(path)
+    assignp = _nearest_centroid_udf(cents, n_probe)
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).withColumn("cell", F.explode(assignp(F.col("qv"))))
+    cells = sorted(int(r["cell"]) for r in q.select("cell").distinct().collect())
+    pruned = corpus.where(F.col("cell").isin(cells))
+    scored = (
+        q.join(pruned, "cell")
+        .where(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", cosine_sim(F.col("qv"), F.col("cv")).alias("sim"))
     )
     from pyspark.sql import Window
 

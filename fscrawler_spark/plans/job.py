@@ -50,13 +50,39 @@ class CrawlJob:
     # the crossover only matters for job-overhead-dominated waves.
     small_wave_threshold: int = 100_000
     # Broadcast the scheduled set into the fetch join (and the rank map
-    # back over the extracted cache) only when the wave's frontier is
-    # below this row count; above it the broadcast would be a hard hint
-    # that OOMs the driver (10^8 hosts x budget rows), so the plan falls
-    # back to a plain equi-join and AQE picks the strategy.  ~2M slim
-    # rows (url+4 ints, <200 B) ~ 400 MB on the driver — the safe edge
-    # for the default 8g driver; raise on bigger drivers.
+    # back over the extracted cache) only when the wave's SCHEDULED set
+    # is below this row count; above it the broadcast would be a hard
+    # hint that OOMs the driver (10^8 hosts x budget rows), so the plan
+    # falls back to a plain equi-join and AQE picks the strategy.  ~2M
+    # slim rows (url+4 ints, <200 B) ~ 400 MB on the driver — the safe
+    # edge for the default 8g driver; raise on bigger drivers.  (r02
+    # advisory: the guard keys off the scheduled bound — wave_cap, then
+    # the exact ranked count — not the pending frontier size, so a huge
+    # frontier with a tight budget keeps the fast broadcast path.)
     broadcast_wave_threshold: int = 2_000_000
+    # Seen-prefilter probe routing (operators/dedup.py anti_join_seen):
+    # "auto" broadcasts small banks and shard-routes big ones; "routed"
+    # / "broadcast" force a path (tests / known deployments).
+    probe_mode: str = "auto"
+    # The prefilter bank is built once sized for factor x current seen
+    # count, then maintained incrementally from per-wave deltas; a full
+    # rebuild happens only when the count outgrows capacity (geometric
+    # doubling -> O(log n) rebuilds over a crawl, amortized O(n)).
+    prefilter_capacity_factor: float = 8.0
+    # Re-crawl horizon: a URL seen in wave w blocks re-scheduling for
+    # the next seen_horizon_waves waves, then ages out of BOTH the
+    # exact seen table and the prefilter (cuckoo: incremental cohort
+    # delete; bloom: dropped at the next rebuild).  None = never
+    # re-crawl (reference semantics).
+    seen_horizon_waves: int | None = None
+    # Load fraction of prefilter capacity above which expired cohorts
+    # are evicted from the cuckoo bank (aging is lazy: stale filter
+    # positives are safe — they just fall through to the exact join).
+    cuckoo_age_load: float = 0.7
+    # Repartition+persist the pages table by url once before the loop
+    # so non-broadcast fetch joins never re-shuffle the html side (the
+    # bucketed-table analog; r02 advisory on wave_loop fetch_join).
+    prepartition_pages: bool = False
 
 
 def accept_seeds(seed_rows: list[dict]) -> list[dict]:

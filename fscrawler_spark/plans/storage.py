@@ -148,3 +148,8 @@ class CheckpointStore:
 
     def read_frontier(self, spark: SparkSession, wave: int) -> DataFrame:
         return spark.read.parquet(self._dir("frontier", wave))
+
+    def read_seen_delta(self, spark: SparkSession, wave: int) -> DataFrame:
+        """URLs first examined in exactly wave `wave` — the unit of the
+        prefilter's incremental maintenance (delta merge / cohort age-out)."""
+        return spark.read.parquet(self._dir("seen", wave))

@@ -51,7 +51,12 @@ from fscrawler_spark.functions.urls import (
     url_path,
 )
 from fscrawler_spark.functions.extract import extract_hrefs_udf
-from fscrawler_spark.operators.dedup import anti_join_seen, build_bloom, build_cuckoo
+from fscrawler_spark.operators.dedup import (
+    anti_join_seen,
+    build_bloom,
+    build_cuckoo,
+    merge_cuckoo_delta,
+)
 from fscrawler_spark.operators.links import expand_from_hrefs
 from fscrawler_spark.operators.politeness import politeness_take, wave_rank
 from fscrawler_spark.plans.job import CrawlJob, accept_seeds
@@ -93,6 +98,25 @@ def seeds_to_frontier(spark: SparkSession, seed_rows: list[dict]) -> DataFrame:
     )
 
 
+def resolve_can_broadcast(
+    frontier_n: int,
+    wave_cap: int | None,
+    threshold: int,
+    scheduled_count_fn,
+) -> bool:
+    """Decide the fetch-join strategy from the SCHEDULED set's bound
+    (r02 advisory): the pending-frontier size is a cheap upper bound, a
+    wave_cap is a tighter one, and only when both exceed the threshold
+    is the exact scheduled count (one traversal of the already-persisted
+    ranked frame) consulted — so a huge frontier under a tight budget
+    keeps the fast broadcast probe without ever calling the counter."""
+    if frontier_n <= threshold:
+        return True
+    if wave_cap is not None and wave_cap <= threshold:
+        return True
+    return scheduled_count_fn() <= threshold
+
+
 def fetch_join(
     pages: DataFrame, sched_slim: DataFrame, can_broadcast: bool
 ) -> DataFrame:
@@ -131,6 +155,16 @@ def run_crawl(
     drops at the first anti-join"."""
     store = CheckpointStore(checkpoint_dir or tempfile.mkdtemp(prefix="fsc_ckpt_"))
 
+    pages_prepartitioned = False
+    if job.prepartition_pages:
+        # Bucketed-table analog: hash-partition the fat side by the join
+        # key ONCE, so every later non-broadcast fetch join reuses this
+        # partitioning and only the slim scheduled side crosses an
+        # exchange — html bytes never re-shuffle per wave.
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        pages = pages.repartition(nparts, "url").persist()
+        pages_prepartitioned = True
+
     # Page metadata view (no html) — Catalyst prunes the binary column out
     # of every pass except the fetch join.  `size` must still read html
     # (schema has no length column), so the metadata view is persisted
@@ -162,10 +196,20 @@ def run_crawl(
         skip_pred = ~F.coalesce(skip_pred, F.lit(False))
     notify_pred = or_any(list(job.notify_filters))
 
-    def _load_seen() -> DataFrame | None:
-        """Committed seen-set plus the warm-start seen_init (if any)."""
+    def _load_seen(wave_now: int) -> DataFrame | None:
+        """Committed seen-set plus the warm-start seen_init (if any).
+
+        With seen_horizon_waves=k set, only the last k cohorts block
+        re-scheduling (a URL seen in wave w is retained while
+        w >= wave_now - k): older URLs age out of the exact table —
+        and, in lockstep, out of the cuckoo prefilter (cohort delete)
+        — becoming re-crawlable.  The warm-start seen_init ages as a
+        wave=-1 cohort."""
         committed = store.read_seen(spark)
-        if seen_init is None:
+        horizon = job.seen_horizon_waves
+        if committed is not None and horizon is not None:
+            committed = committed.where(F.col("wave") >= F.lit(wave_now - horizon))
+        if seen_init is None or (horizon is not None and -1 < wave_now - horizon):
             return committed
         base = seen_init.select("url").withColumn("wave", F.lit(-1))
         if committed is None:
@@ -178,13 +222,19 @@ def run_crawl(
         start_wave = store.last_wave() + 1
         frontier = store.read_frontier(spark, store.last_wave())
         frontier_n = frontier.count()  # parquet-footer count, cheap
-        seen_df = _load_seen()
+        seen_df = _load_seen(start_wave)
         seen_count = seen_df.count() if seen_df is not None else 0
     else:
         frontier = seeds_to_frontier(spark, seed_rows)
         frontier_n = len(accept_seeds(seed_rows))
-        seen_df = _load_seen()
+        seen_df = _load_seen(start_wave)
         seen_count = seen_df.count() if seen_df is not None else 0
+
+    # Seen-prefilter bank: built ONCE (sized with capacity headroom),
+    # then maintained incrementally from per-wave seen deltas — the
+    # per-wave O(|seen|) full rebuild was round 2's top scale-killer.
+    prefilter = None
+    prefilter_cohorts: dict[int, int] = {}  # cohort wave -> rows inserted
 
     waves_run = start_wave
     all_timings: list[dict] = []
@@ -200,16 +250,37 @@ def run_crawl(
         queued = frontier.select(*_FRONTIER_COLS)
 
         # --- seen anti-join (J2): two-tier when a pre-filter enabled -----
+        prefilter_probe_log: dict | None = None
         if seen_df is not None:
-            prefilter = None
-            if job.use_bloom:
+            if job.use_bloom and prefilter is None:
+                # the ONLY full build: first filtered wave, or a
+                # capacity resize scheduled by the maintenance step
+                capacity = max(
+                    int(job.prefilter_capacity_factor * max(seen_count, 1)), 4096
+                )
                 if job.seen_filter == "cuckoo":
-                    prefilter = build_cuckoo(seen_df, "url", max(seen_count, 1))
+                    prefilter = build_cuckoo(seen_df, "url", capacity)
                 else:
-                    prefilter = build_bloom(
-                        seen_df, "url", max(seen_count, 1), job.bloom_fpp
-                    )
-            new = anti_join_seen(queued, seen_df, "url", prefilter)
+                    prefilter = build_bloom(seen_df, "url", capacity, job.bloom_fpp)
+                prefilter.n_added = seen_count
+                prefilter_cohorts = {}
+                if job.seen_filter == "cuckoo" and job.seen_horizon_waves is not None:
+                    # aging needs per-cohort row counts; footer counts only,
+                    # and only on the O(log n) full builds
+                    lo = wave - job.seen_horizon_waves
+                    prefilter_cohorts = {
+                        w: store.read_seen_delta(spark, w).count()
+                        for w in store.committed_waves()
+                        if w >= lo
+                    }
+                prefilter_probe_log = {
+                    "action": "full_build", "rows_hashed": seen_count,
+                }
+            elif job.use_bloom:
+                prefilter_probe_log = {"action": "reuse", "rows_hashed": 0}
+            new = anti_join_seen(
+                queued, seen_df, "url", prefilter, probe_mode=job.probe_mode
+            )
         else:
             new = queued
 
@@ -269,12 +340,23 @@ def run_crawl(
         # The scheduled set is bounded by (hosts x budget) — typically far
         # smaller than pages — broadcast it so the big pages scan is
         # probed in place with no shuffle of the html bytes.  Broadcast
-        # is a HARD hint though: above broadcast_wave_threshold (the
-        # scheduled set is <= frontier_n, already known) it would OOM
-        # the driver, so large waves take a plain equi-join and let AQE
-        # choose (shuffled-hash; the html column still only crosses the
-        # exchange for matching rows because the join is inner on url).
-        can_broadcast = frontier_n <= job.broadcast_wave_threshold
+        # is a HARD hint though: past the threshold it would OOM the
+        # driver.  The guard keys off the SCHEDULED set (r02 advisory):
+        # frontier_n bounds it cheaply; a tight wave_cap bounds it
+        # tighter; past both, one count over the persisted ranked frame
+        # (about to be materialized anyway) decides exactly — so a huge
+        # frontier with a small budget keeps the fast broadcast probe.
+        # In the non-broadcast regime a shuffled join exchanges the
+        # ENTIRE pages side, html included, every wave (the r02-flagged
+        # comment here claimed otherwise) — job.prepartition_pages
+        # hash-partitions pages by url once outside the loop so that
+        # exchange disappears and only the slim side shuffles.
+        can_broadcast = resolve_can_broadcast(
+            frontier_n,
+            job.wave_cap,
+            job.broadcast_wave_threshold,
+            lambda: ranked.where(F.col("scheduled")).count(),
+        )
         fetched = fetch_join(
             pages, scheduled.drop("warc_ts", "size"), can_broadcast
         )
@@ -439,8 +521,67 @@ def run_crawl(
         t0 = _time.time()
         frontier = store.read_frontier(spark, wave)
         frontier_n = frontier.count()  # parquet-footer count, cheap
-        seen_df = _load_seen()
+        seen_df = _load_seen(wave + 1)
         wave_timings["reload_state"] = round(_time.time() - t0, 3)
+
+        # --- prefilter incremental maintenance ---------------------------
+        # Merge ONLY this wave's seen delta into the held bank (bloom:
+        # same-geometry build + bitwise OR; cuckoo: cogroup insert into
+        # the existing shard tables).  The O(|seen|) work happens only
+        # on capacity resizes — scheduled here, executed as the next
+        # wave's full build.
+        if prefilter is not None:
+            t0 = _time.time()
+            delta_df = store.read_seen_delta(spark, wave)
+            delta_n = delta_df.count()  # footer count, cheap
+            upd_log: dict = {}
+            # epoch aging FIRST (cuckoo + horizon): once projected load
+            # crosses the threshold, evict cohorts past the re-crawl
+            # horizon — they leave the exact seen table via _load_seen
+            # in the same move, so filter and table age in lockstep
+            # (FP-safety) — and the freed slots can absorb the delta,
+            # avoiding a resize rebuild entirely.
+            if job.seen_filter == "cuckoo" and job.seen_horizon_waves is not None:
+                evicted = []
+                while (
+                    prefilter_cohorts
+                    and prefilter.n_added + delta_n
+                    > job.cuckoo_age_load * prefilter.capacity_items
+                ):
+                    oldest = min(prefilter_cohorts)
+                    if oldest >= (wave + 1) - job.seen_horizon_waves:
+                        break  # oldest cohort still inside the horizon
+                    prefilter = merge_cuckoo_delta(
+                        prefilter,
+                        store.read_seen_delta(spark, oldest),
+                        "url",
+                        "delete",
+                    )
+                    prefilter.n_added -= prefilter_cohorts.pop(oldest)
+                    evicted.append(oldest)
+                if evicted:
+                    upd_log["evicted_cohorts"] = evicted
+            if prefilter.n_added + delta_n > prefilter.capacity_items:
+                prefilter = None
+                upd_log.update(action="rebuild_scheduled", rows_hashed=delta_n)
+            else:
+                if job.seen_filter == "cuckoo":
+                    prefilter = merge_cuckoo_delta(
+                        prefilter, delta_df, "url", "insert"
+                    )
+                else:
+                    prefilter.merge_delta(
+                        build_bloom(
+                            delta_df, "url", delta_n, geometry=prefilter.geometry
+                        )
+                    )
+                prefilter.n_added += delta_n
+                prefilter_cohorts[wave] = delta_n
+                upd_log.update(action="delta_merge", rows_hashed=delta_n)
+            upd_log["secs"] = round(_time.time() - t0, 3)
+            wave_timings["prefilter_update"] = upd_log
+        if prefilter_probe_log is not None:
+            wave_timings["prefilter"] = prefilter_probe_log
         all_timings.append(wave_timings)
         # bloom sizing: examined-this-wave = everything except deferred
         # rows (still queued) and the 'fetched' cache-warm duplicate of
@@ -450,4 +591,6 @@ def run_crawl(
         )
 
     pages_meta.unpersist()
+    if pages_prepartitioned:
+        pages.unpersist()
     return CrawlResult(store=store, waves_run=waves_run, timings=all_timings)

@@ -1,0 +1,292 @@
+"""Round-3 scale mechanics (r02 verdict items 2/3/7/8 + advisories):
+
+- incremental seen-prefilter maintenance: the per-wave filter job reads
+  ONLY the wave's seen delta (never the full seen set), full rebuilds
+  happen only on capacity resizes, and results stay identical to the
+  exact-only run;
+- shard-routed probe: broadcast vs routed parity, and the routed path's
+  1/n_shards payload contract;
+- seen-horizon aging: cuckoo cohort eviction in lockstep with the exact
+  table, re-crawl actually occurs, parity with the no-filter run;
+- scheduled-bound broadcast guard;
+- prepartitioned pages: no exchange above the cached html side in the
+  non-broadcast fetch join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fscrawler_spark.operators.dedup import (
+    anti_join_seen,
+    build_bloom,
+    build_cuckoo,
+    merge_cuckoo_delta,
+    routed_probe,
+)
+from fscrawler_spark.plans.job import CrawlJob
+from fscrawler_spark.plans.wave_loop import (
+    fetch_join,
+    resolve_can_broadcast,
+    run_crawl,
+)
+
+
+def _urls(spark, lo, hi, prefix="http://h/"):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit(prefix), F.col("id")).alias("url")
+    )
+
+
+# --------------------------------------------------------------------------
+# incremental bloom / cuckoo maintenance (unit level)
+
+
+def test_bloom_delta_merge_equals_full_rebuild(spark):
+    seen = _urls(spark, 0, 500)
+    delta = _urls(spark, 500, 700)
+    b0 = build_bloom(seen, "url", 2000, n_shards=8)
+    b0.merge_delta(build_bloom(delta, "url", 200, geometry=b0.geometry))
+    bfull = build_bloom(seen.unionByName(delta), "url", 2000, n_shards=8)
+    assert set(b0.shards) == set(bfull.shards)
+    for s in bfull.shards:
+        assert np.array_equal(b0.shards[s].bits, bfull.shards[s].bits), s
+
+
+def test_bloom_geometry_mismatch_raises(spark):
+    seen = _urls(spark, 0, 100)
+    b0 = build_bloom(seen, "url", 1000, n_shards=4)
+    b1 = build_bloom(seen, "url", 1000, n_shards=8)
+    with pytest.raises(RuntimeError):
+        b0.merge_delta(b1)
+
+
+def test_cuckoo_delta_insert_and_probe_power(spark):
+    seen = _urls(spark, 0, 500)
+    delta = _urls(spark, 500, 700)
+    c0 = build_cuckoo(seen, "url", 4000, n_shards=8)
+    occ0 = sum((cf.table != 0).sum() for cf in c0.shards.values())
+    c1 = merge_cuckoo_delta(c0, delta, "url", "insert")
+    occ1 = sum((cf.table != 0).sum() for cf in c1.shards.values())
+    assert occ1 == occ0 + 200  # every delta fingerprint landed
+    assert not c1.saturated
+    # inserted cohort now has full pre-filter coverage
+    tagged = routed_probe(delta, "url", c1).collect()
+    assert all(r["_maybe_seen"] for r in tagged) and len(tagged) == 200
+
+
+def test_cuckoo_cohort_delete_is_multiset_safe(spark):
+    seen = _urls(spark, 0, 500)
+    delta = _urls(spark, 500, 700)
+    c1 = merge_cuckoo_delta(
+        build_cuckoo(seen, "url", 4000, n_shards=8), delta, "url", "insert"
+    )
+    c2 = merge_cuckoo_delta(c1, delta, "url", "delete")
+    # occupancy returns exactly to the pre-insert level
+    assert sum((cf.table != 0).sum() for cf in c2.shards.values()) == sum(
+        (cf.table != 0).sum()
+        for cf in build_cuckoo(seen, "url", 4000, n_shards=8).shards.values()
+    )
+    # retained cohort keeps FULL coverage (no false negatives from the
+    # delete — the multiset property)
+    kept = routed_probe(seen, "url", c2).collect()
+    assert all(r["_maybe_seen"] for r in kept)
+
+
+# --------------------------------------------------------------------------
+# shard-routed probe
+
+
+@pytest.mark.parametrize("kind", ["bloom", "cuckoo"])
+def test_routed_probe_parity_with_broadcast(spark, kind):
+    seen = _urls(spark, 0, 600)
+    cand = _urls(spark, 300, 900)
+    bank = (
+        build_bloom(seen, "url", 2400, n_shards=8)
+        if kind == "bloom"
+        else build_cuckoo(seen, "url", 2400, n_shards=8)
+    )
+    exact = {r["url"] for r in anti_join_seen(cand, seen).collect()}
+    bcast = {
+        r["url"]
+        for r in anti_join_seen(
+            cand, seen, bloom=bank, probe_mode="broadcast"
+        ).collect()
+    }
+    routed = {
+        r["url"]
+        for r in anti_join_seen(
+            cand, seen, bloom=bank, probe_mode="routed"
+        ).collect()
+    }
+    assert bcast == exact and routed == exact
+
+
+def test_routed_probe_ships_one_shard_per_task(spark):
+    """The routed path's payload table has exactly one row per shard, so
+    a cogroup task holds 1/n_shards of the bank's bytes by construction;
+    per-shard payload must be well under the bank total."""
+    seen = _urls(spark, 0, 4000)
+    bank = build_bloom(seen, "url", 8000, n_shards=8)
+    per_shard = max(b.bits.nbytes for b in bank.shards.values())
+    assert len(bank.shards) == 8
+    assert per_shard * 4 <= bank.total_bytes()  # >=4 real shards' worth
+
+
+# --------------------------------------------------------------------------
+# wave-loop integration: delta-only maintenance + parity
+
+
+def test_crawl_prefilter_delta_only_and_parity(
+    spark, pages_df, robots_df, tiny, tmp_path
+):
+    job_exact = CrawlJob(politeness_budget=4, max_waves=4, use_bloom=False)
+    job_inc = CrawlJob(politeness_budget=4, max_waves=4, use_bloom=True)
+    r_exact = run_crawl(
+        spark, pages_df, tiny["seeds"], job_exact, robots=robots_df,
+        checkpoint_dir=str(tmp_path / "exact"),
+    )
+    r_inc = run_crawl(
+        spark, pages_df, tiny["seeds"], job_inc, robots=robots_df,
+        checkpoint_dir=str(tmp_path / "inc"),
+    )
+    a = {
+        (r["url"], r["wave"], r["rank_in_wave"])
+        for r in r_exact.results(spark).collect()
+    }
+    b = {
+        (r["url"], r["wave"], r["rank_in_wave"])
+        for r in r_inc.results(spark).collect()
+    }
+    assert a == b
+    # maintenance log: exactly one full build (first filtered wave);
+    # every later update is a delta merge whose row count < total seen
+    probe_actions = [t.get("prefilter", {}).get("action") for t in r_inc.timings]
+    upd = [t["prefilter_update"] for t in r_inc.timings if "prefilter_update" in t]
+    assert probe_actions.count("full_build") == 1
+    assert upd, "no maintenance records"
+    total_seen = r_inc.seen(spark).count()
+    for u in upd:
+        assert u["action"] == "delta_merge"
+        assert u["rows_hashed"] < total_seen
+
+
+def test_crawl_routed_probe_e2e_parity(spark, pages_df, robots_df, tiny, tmp_path):
+    base = dict(politeness_budget=4, max_waves=4, use_bloom=True)
+    r_b = run_crawl(
+        spark, pages_df, tiny["seeds"], CrawlJob(**base, probe_mode="broadcast"),
+        robots=robots_df, checkpoint_dir=str(tmp_path / "b"),
+    )
+    r_r = run_crawl(
+        spark, pages_df, tiny["seeds"], CrawlJob(**base, probe_mode="routed"),
+        robots=robots_df, checkpoint_dir=str(tmp_path / "r"),
+    )
+    a = {
+        (r["url"], r["wave"], r["rank_in_wave"])
+        for r in r_b.results(spark).collect()
+    }
+    b = {
+        (r["url"], r["wave"], r["rank_in_wave"])
+        for r in r_r.results(spark).collect()
+    }
+    assert a == b
+
+
+# --------------------------------------------------------------------------
+# seen-horizon aging
+
+
+def _order(res, spark):
+    return {
+        (r["url"], r["wave"], r["rank_in_wave"])
+        for r in res.results(spark).collect()
+    }
+
+
+def test_seen_horizon_recrawls_and_cuckoo_parity(
+    spark, pages_df, robots_df, tiny, tmp_path
+):
+    base = dict(
+        politeness_budget=4, max_waves=6, seen_horizon_waves=2,
+    )
+    r_exact = run_crawl(
+        spark, pages_df, tiny["seeds"], CrawlJob(**base, use_bloom=False),
+        robots=robots_df, checkpoint_dir=str(tmp_path / "ex"),
+    )
+    r_ck = run_crawl(
+        spark, pages_df, tiny["seeds"],
+        CrawlJob(
+            **base, use_bloom=True, seen_filter="cuckoo",
+            # tight capacity + low age threshold so eviction provably fires
+            prefilter_capacity_factor=40.0, cuckoo_age_load=0.01,
+        ),
+        robots=robots_df, checkpoint_dir=str(tmp_path / "ck"),
+    )
+    assert _order(r_exact, spark) == _order(r_ck, spark)
+    # the horizon made at least one URL re-crawlable (appears in 2 waves)
+    re_crawled = (
+        r_exact.results(spark)
+        .where("stage = 'EXTRACTED'")
+        .groupBy("url")
+        .count()
+        .where("count > 1")
+        .count()
+    )
+    assert re_crawled > 0, "horizon produced no re-crawl; fixture too small?"
+    # and the cuckoo bank evicted at least one expired cohort
+    evicted = [
+        w
+        for t in r_ck.timings
+        for w in t.get("prefilter_update", {}).get("evicted_cohorts", [])
+    ]
+    assert evicted, f"no cohort eviction recorded: {r_ck.timings}"
+
+
+# --------------------------------------------------------------------------
+# scheduled-bound broadcast guard
+
+
+def test_resolve_can_broadcast_uses_tightest_cheap_bound():
+    calls = []
+
+    def counter():
+        calls.append(1)
+        return 7
+
+    # frontier small -> broadcast, no count
+    assert resolve_can_broadcast(10, None, 100, counter) and not calls
+    # huge frontier, tight wave_cap -> broadcast, STILL no count (r02 #7)
+    assert resolve_can_broadcast(10**9, 50, 100, counter) and not calls
+    # huge frontier, no cap -> exact count decides
+    assert resolve_can_broadcast(10**9, None, 100, counter) and len(calls) == 1
+    assert not resolve_can_broadcast(10**9, None, 5, counter)
+
+
+# --------------------------------------------------------------------------
+# prepartitioned pages: fat side never re-shuffles
+
+
+def test_prepartitioned_pages_no_fat_side_exchange(spark):
+    pages = spark.range(0, 5000).select(
+        F.concat(F.lit("http://h/"), F.col("id")).alias("url"),
+        F.sha2(F.col("id").cast("string"), 256).cast("binary").alias("html"),
+    )
+    slim = _urls(spark, 0, 400)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pre = pages.repartition(8, "url").persist()
+        pre.count()
+        joined = fetch_join(pre, slim, can_broadcast=False)
+        joined.count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # pages branch prints above its InMemoryTableScan: no Exchange
+        # there means the html side reused the cached partitioning
+        cut = plan.find("InMemoryTableScan")
+        assert cut > 0, plan
+        assert "Exchange" not in plan[:cut], plan[:cut]
+        pre.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

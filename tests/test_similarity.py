@@ -141,3 +141,55 @@ def test_ivf_corpus_partitioning_is_single_cell(spark):
     cells = e.select(F.element_at(assign(F.col("embedding")), 1).alias("cell"))
     n = cells.count()
     assert cells.where(F.col("cell").between(0, 7)).count() == n
+
+
+def test_ivf_materialized_index_parity_and_pruning(spark, tmp_path):
+    """write_ivf_index + ivf_topk_from_index: identical results to the
+    in-memory ivf_topk (same quantizer params), and the probe's scan
+    carries a PartitionFilters IN-predicate on the cell directories —
+    the executed form of the "reads n_probe/n_centroids" claim."""
+    from fscrawler_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_from_index,
+        read_ivf_centroids,
+        train_ivf_centroids,
+        write_ivf_index,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 6)
+    path = str(tmp_path / "ivf")
+    cents = write_ivf_index(e, path, n_centroids=8, iters=3)
+    # the sidecar round-trips the quantizer exactly
+    assert np.array_equal(cents, read_ivf_centroids(path))
+    assert np.array_equal(cents, train_ivf_centroids(e, n_centroids=8, iters=3))
+
+    mem = {
+        (r["qid"], r["cid"], r["rank"])
+        for r in ivf_topk(q, e, k=3, n_centroids=8, n_probe=2, iters=3).collect()
+    }
+    idx_df = ivf_topk_from_index(spark, q, path, k=3, n_probe=2)
+    idx = {(r["qid"], r["cid"], r["rank"]) for r in idx_df.collect()}
+    assert idx == mem and idx
+
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        idx_df.explain("formatted")
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and re.search(r"cell#\d+ IN \(", pf[0]), pf
+
+
+def test_ivf_centroids_order_independent(spark):
+    """r02 advisory: centroid means must not depend on partitioning —
+    decimal-grid sums make them bit-identical across repartitionings."""
+    from fscrawler_spark.operators.similarity import train_ivf_centroids
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = train_ivf_centroids(e.repartition(3), n_centroids=8, iters=3)
+    b = train_ivf_centroids(e.repartition(17), n_centroids=8, iters=3)
+    assert np.array_equal(a, b)
