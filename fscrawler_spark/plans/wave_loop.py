@@ -174,7 +174,7 @@ def run_crawl(
     pages_meta = pages.select(
         "url", "warc_ts", F.length("html").cast("long").alias("size")
     ).persist()
-    path_rules = None
+    rules_arr = None
     host_budgets = None
     if robots is not None and job.respect_robots:
         # REP longest-match precedence: BOTH allow and deny prefixes
@@ -182,9 +182,25 @@ def run_crawl(
         # allow winning length ties ('Disallow: /' + 'Allow: /public'
         # keeps /public crawlable — r01 advisory).  Crawl-delay carrier
         # rows are budget metadata, not path rules.
+        #
+        # Shape (r03 — the r02 gate cost ~10% of the whole crawl): rules
+        # collapse ONCE, outside the loop, into one array row per
+        # DENY-governed host (allow-only hosts can never deny, so their
+        # rows carry no rules and decide instantly); each wave then
+        # broadcast-joins the array and decides per URL with
+        # higher-order functions — a pure projection, no per-wave
+        # groupBy shuffle and no hit-set join-backs.  At a 10^8-host
+        # rule table the broadcast would switch to a shuffled join on
+        # host, same plan shape otherwise.
         path_rules = robots.where(F.col("crawl_delay_tokens").isNull()).select(
             "host", "path_prefix", "allow"
         )
+        governed = path_rules.where(~F.col("allow")).select("host").distinct()
+        rules_arr = (
+            path_rules.join(governed, "host", "left_semi")
+            .groupBy("host")
+            .agg(F.collect_list(F.struct("path_prefix", "allow")).alias("_rules"))
+        ).persist()
         host_budgets = (
             robots.where(F.col("allow") & F.col("crawl_delay_tokens").isNotNull())
             .groupBy("host")
@@ -287,43 +303,59 @@ def run_crawl(
         # --- stat join + classification ----------------------------------
         # persisted: consumed by missing/skipped/authorized branches, the
         # seen delta and the metrics aggregate (one compute, many readers).
-        stat = _stat_join(new, pages_meta).persist()
+        # The REP decision is baked in as a boolean column BEFORE the
+        # persist, so the rules join + longest-match lambdas run exactly
+        # once per row — every downstream branch is then a pure filter
+        # on the cache.  (r02's hit-set shape — broadcast joins +
+        # groupBy(url) + semi/anti join-backs, re-executed per consumer
+        # — was re-measured as the whole of round 2's crawl regression.)
+        stat_raw = _stat_join(new, pages_meta)
+        if rules_arr is not None:
+            # Longest-match REP as a projection: denied iff the longest
+            # matching deny prefix is strictly longer than the longest
+            # matching allow prefix (tie -> allow; no matching deny or
+            # no rules -> allow).  `_path` is computed once as a column
+            # BEFORE the lambdas — Catalyst does no CSE inside
+            # higher-order-function lambdas, so inlining the regex
+            # would re-run it per rule element.
+            def _longest(want_allow: bool):
+                return F.array_max(
+                    F.transform(
+                        F.filter(
+                            F.col("_rules"),
+                            lambda r: (r["allow"] == F.lit(want_allow))
+                            & F.col("_path").startswith(r["path_prefix"]),
+                        ),
+                        lambda r: F.length(r["path_prefix"]),
+                    )
+                )
+
+            stat_raw = (
+                stat_raw.join(F.broadcast(rules_arr), "host", "left")
+                .withColumn("_path", url_path(F.col("url")))
+                .withColumn(
+                    "_rep_denied",
+                    F.coalesce(
+                        _longest(False) > F.coalesce(_longest(True), F.lit(-1)),
+                        F.lit(False),
+                    ),
+                )
+                .drop("_rules", "_path")
+            )
+        else:
+            stat_raw = stat_raw.withColumn("_rep_denied", F.lit(False))
+        stat = stat_raw.persist()
         missing = stat.where(F.col("is_missing"))
         present = stat.where(~F.col("is_missing")).drop("is_missing")
 
-        authorized = present.where(F.coalesce(skip_pred, F.lit(False)))
-        skipped = present.where(~F.coalesce(skip_pred, F.lit(False)))
-
+        skipped = present.where(~F.coalesce(skip_pred, F.lit(False))).drop(
+            "_rep_denied"
+        )
+        passed = present.where(F.coalesce(skip_pred, F.lit(False)))
         robots_denied = None
-        if path_rules is not None:
-            # Only hosts with at least one DENY rule need the REP
-            # decision — allow-only hosts can never be denied, so their
-            # rows skip the gate entirely (without this, the fixture's
-            # per-host 'Allow: /' rows routed EVERY url through the
-            # match join + groupBy shuffle each wave).
-            governed = path_rules.where(~F.col("allow")).select("host").distinct()
-            rules_governed = path_rules.join(governed, "host", "left_semi")
-            # longest matching prefix wins; struct-max on (len, allow)
-            # makes an Allow beat a Disallow of equal length (REP)
-            hit = (
-                authorized.select("url", "host")
-                .join(F.broadcast(governed), "host", "left_semi")
-                .join(F.broadcast(rules_governed), "host")
-                .where(url_path(F.col("url")).startswith(F.col("path_prefix")))
-                .groupBy("url")
-                .agg(
-                    F.max(
-                        F.struct(
-                            F.length("path_prefix").alias("l"),
-                            F.col("allow").alias("a"),
-                        )
-                    ).alias("m")
-                )
-                .where(~F.col("m.a"))
-                .select("url")
-            )
-            robots_denied = authorized.join(hit, "url", "left_semi")
-            authorized = authorized.join(hit, "url", "left_anti")
+        if rules_arr is not None:
+            robots_denied = passed.where(F.col("_rep_denied")).drop("_rep_denied")
+        authorized = passed.where(~F.col("_rep_denied")).drop("_rep_denied")
 
         # --- politeness window -------------------------------------------
         ranked = politeness_take(
@@ -591,6 +623,8 @@ def run_crawl(
         )
 
     pages_meta.unpersist()
+    if rules_arr is not None:
+        rules_arr.unpersist()
     if pages_prepartitioned:
         pages.unpersist()
     return CrawlResult(store=store, waves_run=waves_run, timings=all_timings)
