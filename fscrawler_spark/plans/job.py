@@ -83,6 +83,13 @@ class CrawlJob:
     # so non-broadcast fetch joins never re-shuffle the html side (the
     # bucketed-table analog; r02 advisory on wave_loop fetch_join).
     prepartition_pages: bool = False
+    # Parquet codec for the per-wave checkpoint writes (storage.py;
+    # lz4_raw = the parquet-standard LZ4 frame, readable by DuckDB/Arrow
+    # — Spark's plain "lz4" writes hadoop-framed files they reject).
+    # Checkpoints are write-once/read-once: lz4 halves encode CPU vs
+    # snappy at ~5-10% bigger files.  Use zstd when checkpoints land on
+    # remote object storage and network bytes dominate.
+    checkpoint_codec: str = "lz4_raw"
 
 
 def accept_seeds(seed_rows: list[dict]) -> list[dict]:

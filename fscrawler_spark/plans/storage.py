@@ -30,6 +30,12 @@ from pyspark.sql import DataFrame, SparkSession
 @dataclass
 class CheckpointStore:
     root: str
+    # Parquet codec for the per-wave data writes.  Checkpoints are
+    # write-once/read-next-wave, so cheap-and-fast beats dense: lz4_raw
+    # cuts encode CPU vs snappy at slightly larger files.  On a
+    # real cluster with remote object storage, flip to zstd (network
+    # bytes dominate); the knob is CrawlJob.checkpoint_codec.
+    codec: str = "lz4_raw"
 
     def _dir(self, table: str, wave: int) -> str:
         return os.path.join(self.root, table, f"wave={wave}")
@@ -57,7 +63,9 @@ class CheckpointStore:
         def _write(name_df):
             name, df = name_df
             t0 = _time.time()
-            df.write.mode("overwrite").parquet(self._dir(name, wave))
+            df.write.mode("overwrite").option(
+                "compression", self.codec
+            ).parquet(self._dir(name, wave))
             return f"write_{name}", round(_time.time() - t0, 3)
 
         with ThreadPoolExecutor(max_workers=3) as pool:

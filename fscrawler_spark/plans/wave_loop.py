@@ -153,7 +153,10 @@ def run_crawl(
     re-crawls — the reference's warm re-run (README.md:111-115, 156x
     speedup via the DB probe) becomes "every previously-examined URL
     drops at the first anti-join"."""
-    store = CheckpointStore(checkpoint_dir or tempfile.mkdtemp(prefix="fsc_ckpt_"))
+    store = CheckpointStore(
+        checkpoint_dir or tempfile.mkdtemp(prefix="fsc_ckpt_"),
+        codec=job.checkpoint_codec,
+    )
 
     pages_prepartitioned = False
     if job.prepartition_pages:
@@ -254,9 +257,12 @@ def run_crawl(
 
     waves_run = start_wave
     all_timings: list[dict] = []
+    import time as _wtime
+
     for wave in range(start_wave, job.max_waves):
         if frontier_n == 0:
             break
+        _wave_t0 = _wtime.time()
         waves_run = wave + 1
         # Adaptive physical path: small pending frontiers skip the salt
         # phase and use the single-window rank (same results, fewer jobs).
@@ -498,6 +504,11 @@ def run_crawl(
         # the same cached intermediates).
         import time as _time
 
+        # Driver-side lazy-DAG construction + any pre-collect eager jobs
+        # (prefilter build, broadcast-guard count) — everything between
+        # wave start and the first materialization.
+        _plan_build_s = round(_time.time() - _wave_t0, 3)
+
         status_counts_df = (
             scheduled.select(F.lit("scheduled").alias("s"), "size")
             # 'fetched' duplicates 'scheduled' informationally, but pulls
@@ -523,12 +534,14 @@ def run_crawl(
         t_collect = _time.time()
         status_counts = status_counts_df.collect()
         t_collect = round(_time.time() - t_collect, 3)
+        t_write = _time.time()
         wave_timings = store.write_wave_data(
             wave,
             results=results_out,
             seen_delta=seen_delta,
             frontier=merged,
         )
+        wave_timings["write_phase"] = round(_time.time() - t_write, 3)
         wave_timings["collect_metrics"] = t_collect
         wave_timings["wave"] = wave
         stats = {r["s"]: {"n": r["n"], "bytes": r["bytes"] or 0} for r in status_counts}
@@ -537,6 +550,7 @@ def run_crawl(
         ] or [(wave, "empty", 0)]
         # per-partition lineage counters (north rule: checkpoints carry
         # per-partition lineage) — one cheap agg over the warm cache
+        t_lc = _time.time()
         lineage_rows = [
             (wave, int(r["pid"]), int(r["rows"]), int(r["bytes"] or 0))
             for r in extracted.groupBy(F.spark_partition_id().alias("pid"))
@@ -544,6 +558,7 @@ def run_crawl(
             .collect()
         ]
         store.commit_wave(wave, metrics_rows, stats, lineage_rows)
+        wave_timings["lineage_commit"] = round(_time.time() - t_lc, 3)
 
         for cached in (stat, ranked, pre_rank, extracted):
             cached.unpersist()
@@ -614,6 +629,8 @@ def run_crawl(
             wave_timings["prefilter_update"] = upd_log
         if prefilter_probe_log is not None:
             wave_timings["prefilter"] = prefilter_probe_log
+        wave_timings["plan_build"] = _plan_build_s
+        wave_timings["wall"] = round(_wtime.time() - _wave_t0, 3)
         all_timings.append(wave_timings)
         # bloom sizing: examined-this-wave = everything except deferred
         # rows (still queued) and the 'fetched' cache-warm duplicate of
