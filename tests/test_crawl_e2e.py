@@ -235,3 +235,23 @@ def test_crawl_results_feed_dedup_pipeline(spark, engine, sim):
         for r in results.select(fingerprint(F.col("text")).alias("fp")).collect()
     )
     assert all_fp == cnt and cnt, "fingerprint multiset must match scalar"
+
+
+def test_checkpoint_files_duckdb_readable(spark, engine):
+    """External-tool contract: checkpoint directories are plain parquet
+    that DuckDB/Arrow can read directly (operators can inspect a live
+    crawl without Spark).  Guards the codec choice — Spark's plain
+    "lz4" writes hadoop-framed files DuckDB rejects; the default is
+    the parquet-standard lz4_raw (plans/storage.py CheckpointStore)."""
+    import duckdb
+
+    root = engine.store.root
+    n_spark = engine.results(spark).count()
+    n_duck = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{root}/results/*/*.parquet')"
+    ).fetchone()[0]
+    assert n_duck == n_spark and n_spark > 0
+    for table in ("seen", "frontier"):
+        duckdb.sql(
+            f"SELECT * FROM read_parquet('{root}/{table}/*/*.parquet') LIMIT 1"
+        ).fetchall()
