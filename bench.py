@@ -74,16 +74,19 @@ def bench_simhash(spark, sf_dir):
 
 def bench_embedding_lsh(spark, sf_dir):
     """LSH-bucketed embedding dedup at the selective-regime threshold.
-    Bench cost knob (r02 verdict #9): miss 1e-6 / tables<=64 ->
-    (10 planes, 58 tables) instead of the q26 oracle's 1e-9/128 ->
-    (12, 123) — about half the bucketize+explode+join volume at a
-    still-negligible miss probability (regime table in
-    embedding_dedup_pairs' docstring)."""
+    Bench cost knob (r02 verdict #9, re-measured r3): miss 1e-6 /
+    tables<=128 -> (14 planes, 114 tables).  Relaxing target_miss at
+    FULL max_tables buys selectivity (16384 buckets/table), which is
+    what cuts the dominant cost — the within-bucket candidate join.
+    The r2-suggested knob (1e-6, max 64 -> 10 planes) was measured a
+    4-5x PESSIMIZATION at sf0.1 because dropping planes quadruples
+    bucket occupancy (interleaved A/B in BENCH/BASELINE.md round-3
+    section; regime table in embedding_dedup_pairs' docstring)."""
     from fscrawler_spark.operators.similarity import embedding_dedup_pairs
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return embedding_dedup_pairs(
-        e, threshold=0.9, method="lsh", target_miss=1e-6, max_tables=64
+        e, threshold=0.9, method="lsh", target_miss=1e-6, max_tables=128
     )
 
 

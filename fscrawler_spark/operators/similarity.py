@@ -441,16 +441,18 @@ def embedding_dedup_pairs(
     Output (id_a, id_b, cos6).
 
     Cost knobs (target_miss, max_tables) — regime table at t=0.9
-    (n_planes, n_tables from _auto_lsh_params):
-        miss 1e-9, tables<=128 -> (12, 123)   the q26 oracle config
-        miss 1e-6, tables<=64  -> (10,  58)   bench config: ~half the
-                                              bucketize/explode/join
-                                              volume, miss still 1e-6
-        miss 1e-9, tables<=32  -> ( 4,  27)   dense buckets: cheap
-                                              hashing, fat candidates
-    Relaxing target_miss at fixed max_tables mostly buys SELECTIVITY
-    (higher n_planes at similar table count), not fewer tables; capping
-    max_tables is what cuts per-vector work."""
+    (n_planes, n_tables from _auto_lsh_params), with measured sf0.1
+    wall times (interleaved A/B, BENCH/BASELINE.md round-3 section):
+        miss 1e-6, tables<=128 -> (14, 114)   bench config: 1.7-2.4s
+        miss 1e-9, tables<=128 -> (12, 123)   q26 oracle config: ~3.3s
+        miss 1e-6, tables<=64  -> (10,  58)   6.2-12.4s — a TRAP
+        miss 1e-9, tables<=32  -> ( 4,  27)   dense buckets: worse
+    The dominant cost is the within-bucket candidate join, which
+    scales ~ n_tables / 2^n_planes per pair of colliding rows — so
+    SELECTIVITY (n_planes) beats table count.  Relax target_miss at
+    FULL max_tables to climb to a higher n_planes; capping max_tables
+    forces n_planes DOWN and quadruples bucket occupancy per plane
+    lost, swamping the saved bucketize/explode volume."""
     if method == "exact":
         a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
         b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))

@@ -57,6 +57,14 @@ def test_embedding_dedup_lsh_equals_exact_realistic_threshold(spark):
     exact = _pairs(embedding_dedup_pairs(e, threshold=0.9, method="exact"))
     lsh = _pairs(embedding_dedup_pairs(e, threshold=0.9, method="lsh"))
     assert lsh == exact
+    # the bench cost knob (miss 1e-6, full table cap -> 14 planes /
+    # 114 tables, the measured-fastest regime) must stay exact too
+    fast = _pairs(
+        embedding_dedup_pairs(
+            e, threshold=0.9, method="lsh", target_miss=1e-6, max_tables=128
+        )
+    )
+    assert fast == exact
     planted = {(i, 100 + i) for i in range(10)}
     assert planted <= {(a, b) for a, b, _ in exact}
 
