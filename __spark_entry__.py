@@ -796,6 +796,247 @@ _QUALITY_E4_SQL = f"""
 """
 
 
+_Q21_PAGES_DIR = "/tmp/fscrawler_spark_q21_pages"
+
+
+def _ensure_q21_pages() -> str:
+    """Materialize the deterministic tiny crawl fixture's (url, html)
+    as parquet so the DuckDB oracle reads the exact page bytes the
+    Spark query crawls (datagen.generate_pages is seed-deterministic,
+    so these records equal the DataFrame q21 builds in-process).
+    Always rewritten — cheap (~500 rows) and immune to stale files."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fscrawler_spark.datagen import generate_pages
+
+    path = os.path.join(_Q21_PAGES_DIR, "pages.parquet")
+    os.makedirs(_Q21_PAGES_DIR, exist_ok=True)
+    pages, _, _ = generate_pages("tiny", seed=42)
+    tbl = pa.table({
+        "url": pa.array([p["url"] for p in pages], pa.string()),
+        "html": pa.array([p["html"] for p in pages], pa.binary()),
+    })
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+# Python-regex semantics ported to RE2 (DuckDB) — same patterns as
+# functions/urls.py + functions/extract.py scalar twins.
+_Q21_HREF_RE_SQL = r"""'(?is)<a\s[^>]*?href\s*=\s*["'']([^"'']*)["'']'"""
+
+
+def _q21_sql_path(u: str) -> str:
+    return f"regexp_replace({u}, '^[a-z][a-z0-9+.-]*://[^/]+', '')"
+
+
+def _q21_sql_host(u: str) -> str:
+    return f"regexp_extract({u}, '^[a-z][a-z0-9+.-]*://([^/]+)', 1)"
+
+
+def _q21_sql_ext(p: str) -> str:
+    """url_extension_py over a PATH expression: last segment of the
+    trailing-slash-stripped path, then the 1-12-char dot suffix
+    (lowercased; NULL when absent)."""
+    name = f"regexp_extract(regexp_replace({p}, '/+$', ''), '[^/]*$')"
+    return (
+        f"nullif(lower(regexp_extract({name},"
+        f" '\\.([A-Za-z0-9_]{{1,12}})$', 1)), '')"
+    )
+
+
+def _q21_sql_depth(u: str) -> str:
+    trimmed = f"regexp_replace({_q21_sql_path(u)}, '^/+|/+$', '', 'g')"
+    return (
+        f"CASE WHEN {trimmed} = '' THEN 0"
+        f" ELSE len(regexp_split_to_array({trimmed}, '/+')) END"
+    )
+
+
+def _q21_sql_norm(nf: str) -> str:
+    """url_normalize_py over an already-defragmented URL expression:
+    lowercase scheme+host, collapse duplicate slashes in the tail,
+    strip trailing slashes; non-URL strings pass through."""
+    tail = (
+        f"regexp_replace(regexp_replace(regexp_replace({nf},"
+        f" '^[a-z][a-z0-9+.-]*://[^/]+', ''),"
+        f" '/{{2,}}', '/', 'g'), '/+$', '')"
+    )
+    return (
+        f"CASE WHEN regexp_matches({nf}, '^[a-z][a-z0-9+.-]*://[^/]+')"
+        f" THEN lower(regexp_extract({nf},"
+        f" '^([a-z][a-z0-9+.-]*://[^/]+)', 1)) || {tail}"
+        f" ELSE {nf} END"
+    )
+
+
+def _q21_oracle_sql() -> str:
+    """Independent SQL twin of q21's 4-wave tiny crawl: the wave loop
+    UNROLLED into plain CTE stages (max_waves=4 is a fixed job
+    parameter, so the iteration is finite and SQL-expressible after
+    all).  Mirrors plans/simulator.py stage by stage — root-overlap
+    seed accept (recursive-CTE greedy), per-wave seen anti-join,
+    DepthFilter(4) + junk ExtensionFilter, REP longest-match with
+    allow-beats-deny ties, per-host politeness rank with crawl-delay
+    token budget override, global (priority, host, url) wave rank,
+    href extraction / resolution / normalization, md5 extraction.
+    Only fixture DATA (seed/robots literals, the pages parquet) comes
+    from the engine package; every transformation is re-expressed in
+    SQL."""
+    from fscrawler_spark.datagen import generate_seeds_robots
+
+    pages_path = _ensure_q21_pages()
+    seeds, robots = generate_seeds_robots("tiny")
+    seed_vals = ", ".join(f"({s['seed_id']}, '{s['url']}')" for s in seeds)
+    rule_vals = ", ".join(
+        f"('{r['host']}', '{r['path_prefix']}', {str(bool(r['allow'])).upper()})"
+        for r in robots
+        if r["crawl_delay_tokens"] is None
+    )
+    tok: dict[str, int] = {}
+    for r in robots:
+        if r["crawl_delay_tokens"] is not None and r["allow"]:
+            tok[r["host"]] = min(
+                tok.get(r["host"], 1 << 30), r["crawl_delay_tokens"]
+            )
+    budget_vals = ", ".join(f"('{h}', {b})" for h, b in sorted(tok.items()))
+
+    MAX_WAVES, DEFAULT_BUDGET, MAX_DEPTH = 4, 4, 4
+    JUNK = "'tmp', 'log', 'bak', 'pyc'"
+
+    seed_nf = "regexp_replace(url, '#.*$', '')"
+    w = [
+        f"""
+pages AS (SELECT url, html FROM read_parquet('{pages_path}')),
+rawseeds(seed_id, url) AS (VALUES {seed_vals}),
+sord AS (SELECT seed_id, url,
+                row_number() OVER (ORDER BY seed_id) AS rn
+         FROM rawseeds),
+acc AS (
+  SELECT 0 AS i, []::VARCHAR[] AS urls
+  UNION ALL
+  SELECT acc.i + 1,
+         CASE WHEN len(list_filter(acc.urls,
+                u -> starts_with(s.url, u) OR starts_with(u, s.url))) > 0
+              THEN acc.urls ELSE list_append(acc.urls, s.url) END
+  FROM acc JOIN sord s ON s.rn = acc.i + 1),
+accepted AS (
+  SELECT s.seed_id, s.url FROM sord s
+  WHERE s.url IN (SELECT unnest(urls) FROM
+                  (SELECT urls FROM acc ORDER BY i DESC LIMIT 1))),
+rules(host, prefix, allow) AS (VALUES {rule_vals}),
+budget(host, b) AS (VALUES {budget_vals}),
+f0 AS (
+  SELECT url, depth, priority, seed_id FROM (
+    SELECT nu AS url, d AS depth, d AS priority, seed_id,
+           row_number() OVER (PARTITION BY nu ORDER BY d, seed_id) AS rn
+    FROM (SELECT {_q21_sql_norm(seed_nf)} AS nu,
+                 {_q21_sql_depth('url')} AS d, seed_id
+          FROM accepted))
+  WHERE rn = 1),
+seen0 AS (SELECT ''::VARCHAR AS url WHERE FALSE)"""
+    ]
+    for k in range(MAX_WAVES):
+        w.append(f"""
+new{k} AS (SELECT * FROM f{k}
+           WHERE url NOT IN (SELECT url FROM seen{k})),
+stat{k} AS (
+  SELECT n.url, n.depth, n.priority, n.seed_id, p.html,
+         {_q21_sql_host('n.url')} AS host,
+         {_q21_sql_path('n.url')} AS path,
+         {_q21_sql_ext(_q21_sql_path('n.url'))} AS ext
+  FROM new{k} n LEFT JOIN pages p USING (url)),
+miss{k} AS (SELECT url FROM stat{k} WHERE html IS NULL),
+skip{k} AS (SELECT url FROM stat{k}
+            WHERE html IS NOT NULL AND NOT (depth <= {MAX_DEPTH}
+              AND NOT coalesce(ext IN ({JUNK}), FALSE))),
+auth{k} AS (SELECT * FROM stat{k}
+            WHERE html IS NOT NULL AND depth <= {MAX_DEPTH}
+              AND NOT coalesce(ext IN ({JUNK}), FALSE)),
+rep{k} AS (
+  SELECT url, NOT best_allow AS denied FROM (
+    SELECT a.url, r.allow AS best_allow,
+           row_number() OVER (PARTITION BY a.url
+             ORDER BY len(r.prefix) DESC, r.allow DESC) AS rn
+    FROM auth{k} a JOIN rules r
+      ON r.host = a.host AND starts_with(a.path, r.prefix))
+  WHERE rn = 1),
+den{k} AS (SELECT url FROM rep{k} WHERE denied),
+hr{k} AS (
+  SELECT a.*, coalesce(b.b, {DEFAULT_BUDGET}) AS bud,
+         row_number() OVER (PARTITION BY a.host
+           ORDER BY a.priority, a.url) AS hr
+  FROM auth{k} a LEFT JOIN budget b ON b.host = a.host
+  WHERE a.url NOT IN (SELECT url FROM den{k})),
+sched{k} AS (SELECT * FROM hr{k} WHERE hr <= bud),
+defer{k} AS (SELECT url, depth, priority, seed_id
+             FROM hr{k} WHERE hr > bud),
+ranked{k} AS (
+  SELECT url, CAST({k} AS INTEGER) AS wave,
+         CAST(row_number() OVER (ORDER BY priority, host, url) AS INTEGER)
+           AS rank_in_wave,
+         md5(decode(html)) AS md5_hex, ext AS extension
+  FROM sched{k}),
+child{k} AS (
+  SELECT url, depth, priority, seed_id FROM (
+    SELECT cu AS url, pdepth + 1 AS depth, pdepth + 1 AS priority,
+           seed_id,
+           row_number() OVER (PARTITION BY cu
+             ORDER BY pdepth + 1, seed_id) AS rn
+    FROM (
+      SELECT pdepth, seed_id, {_q21_sql_norm('nf')} AS cu FROM (
+        SELECT pdepth, seed_id,
+               regexp_replace(rs, '#.*$', '') AS nf FROM (
+          SELECT pdepth, seed_id,
+                 CASE
+                   WHEN regexp_matches(href, '^https?://') THEN href
+                   WHEN starts_with(href, '//') THEN 'http:' || href
+                   WHEN starts_with(href, '/') THEN sh || href
+                   WHEN regexp_matches(href, '^[a-z][a-z0-9+.-]*:')
+                        OR href = '' THEN NULL
+                   ELSE CASE WHEN len(bd) - len(replace(bd, '/', '')) < 3
+                             THEN sh || '/' ELSE bd END || href
+                 END AS rs
+          FROM (
+            SELECT s.depth AS pdepth, s.seed_id,
+                   unnest(regexp_extract_all(decode(s.html),
+                          {_Q21_HREF_RE_SQL}, 1)) AS href,
+                   regexp_extract(s.url,
+                     '^([a-z][a-z0-9+.-]*://[^/]+)', 1) AS sh,
+                   regexp_replace(s.url, '[^/]*$', '') AS bd
+            FROM sched{k} s))
+        WHERE rs IS NOT NULL))
+    WHERE starts_with(cu, 'http://') OR starts_with(cu, 'https://'))
+  WHERE rn = 1),
+f{k + 1} AS (
+  SELECT url, depth, priority, seed_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY url
+               ORDER BY depth, priority, seed_id) AS rn
+    FROM (SELECT * FROM child{k}
+          UNION ALL
+          SELECT * FROM defer{k}))
+  WHERE rn = 1),
+seen{k + 1} AS (
+  SELECT url FROM seen{k}
+  UNION SELECT url FROM sched{k}
+  UNION SELECT url FROM skip{k}
+  UNION SELECT url FROM miss{k}
+  UNION SELECT url FROM den{k})""")
+
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM ranked{k}" for k in range(MAX_WAVES)
+    )
+    return (
+        "WITH RECURSIVE " + ",".join(w)
+        + f"\nSELECT url, wave, rank_in_wave, md5_hex, extension"
+        f" FROM ({union})\nORDER BY wave, rank_in_wave"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     # q24's input blobs live in a parquet BOTH engines read (written
     # deterministically here too, so oracle-before-query ordering works)
@@ -1105,7 +1346,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE r.eff IS NULL OR r.eff <= 14
             GROUP BY category ORDER BY category
         """,
-        # q19 (approximate ANN), q20 (engine-defined simhash) and q21
-        # (iterative wave loop) are non-SQL-expressible -> rows-only;
-        # q21 is fully verified against the scalar simulator in pytest.
+        # The 4-wave crawl: unrolled wave-loop SQL twin (max_waves is
+        # a fixed job parameter, so the iteration is finite and the
+        # whole crawl — seeds, filters, REP, politeness, rank,
+        # extraction — is SQL-expressible after all).
+        "q21_crawl_waves": _q21_oracle_sql(),
+        # q19 (approximate ANN) and q20 (engine-defined simhash) stay
+        # rows-only: their outputs depend on seeded hyperplanes /
+        # xxhash64, which no independent SQL engine reproduces.
     }
