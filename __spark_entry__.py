@@ -666,6 +666,47 @@ def q30_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q31_ivf_full_probe(spark, sf_dir):
+    """IVF exactness gate: with n_probe == n_centroids a query probes
+    EVERY cell, and because the quantizer partitions the corpus (each
+    vector is assigned to exactly one cell) the probed union is the
+    whole corpus — the 'approximate' path must return exactly the
+    brute-force cosine top-k.  That makes the full IVF machinery
+    (deterministic k-means, cell assignment, cell-keyed probe join,
+    within-cell exact rerank) oracle-checkable against an independent
+    brute-force SQL twin; q30 then exercises the same machinery in its
+    pruned n_probe<n_centroids regime (rows-only by design)."""
+    from fscrawler_spark.operators.similarity import ivf_topk
+
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 61 == 3)
+    return (
+        ivf_topk(q, e, k=7, n_centroids=8, n_probe=8)
+        .select("qid", "cid", "rank", F.round("sim", 6).alias("sim6"))
+        .orderBy("qid", "rank")
+    )
+
+
+def q32_lsh_full_bucket(spark, sf_dir):
+    """Hyperplane-LSH exactness gate (the q31 pattern applied to LSH):
+    n_planes=0 hashes every vector to the single empty-prefix bucket,
+    so the candidate set is the whole corpus and the 'approximate'
+    pipeline — bucketize, exploded bucket join, ids-only candidate
+    dedup, vector rejoin, exact cosine rerank — must return exactly
+    the brute-force top-k, checkable against an independent SQL twin.
+    q19 exercises the same machinery in its selective multi-table
+    regime (rows-only by design: seeded hyperplanes)."""
+    from fscrawler_spark.operators.similarity import hyperplane_lsh_topk
+
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 83 == 5)
+    return (
+        hyperplane_lsh_topk(q, e, k=4, n_planes=0, n_tables=1)
+        .select("qid", "cid", "rank", F.round("sim", 6).alias("sim6"))
+        .orderBy("qid", "rank")
+    )
+
+
 _TAXONOMY_ROWS = [
     {"name": "web", "parent": None},
     {"name": "news", "parent": "web", "min_age": 8},
@@ -748,6 +789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_merge_actions": q28_merge_actions,
         "q29_age_gate": q29_age_gate,
         "q30_ann_ivf_topk": q30_ann_ivf_topk,
+        "q31_ivf_full_probe": q31_ivf_full_probe,
+        "q32_lsh_full_bucket": q32_lsh_full_bucket,
     }
 
 
@@ -1351,6 +1394,46 @@ def oracle_sql() -> dict[str, str]:
         # whole crawl — seeds, filters, REP, politeness, rank,
         # extraction — is SQL-expressible after all).
         "q21_crawl_waves": _q21_oracle_sql(),
+        # IVF at full probe == exact top-k (quantizer partitions the
+        # corpus; probing all cells covers it) -> brute-force twin.
+        "q31_ivf_full_probe": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                       WHERE vec_id % 61 = 3),
+            c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+            s AS (SELECT qid, cid,
+                    list_sum([qv[i]::DOUBLE * cv[i]::DOUBLE
+                              for i in generate_series(1, len(qv))])
+                    / (sqrt(list_sum([qv[i]::DOUBLE * qv[i]::DOUBLE
+                                      for i in generate_series(1, len(qv))]))
+                     * sqrt(list_sum([cv[i]::DOUBLE * cv[i]::DOUBLE
+                                      for i in generate_series(1, len(cv))]))) AS sim
+                  FROM q JOIN c ON qid <> cid)
+            SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY sim DESC, cid)::INTEGER AS rank,
+                   round(sim, 6) AS sim6
+            FROM s QUALIFY rank <= 7 ORDER BY qid, rank
+        """,
+        # LSH at n_planes=0: one bucket == full candidate set == exact
+        # top-k (the q31 gate applied to the hyperplane-LSH pipeline).
+        "q32_lsh_full_bucket": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                       WHERE vec_id % 83 = 5),
+            c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+            s AS (SELECT qid, cid,
+                    list_sum([qv[i]::DOUBLE * cv[i]::DOUBLE
+                              for i in generate_series(1, len(qv))])
+                    / (sqrt(list_sum([qv[i]::DOUBLE * qv[i]::DOUBLE
+                                      for i in generate_series(1, len(qv))]))
+                     * sqrt(list_sum([cv[i]::DOUBLE * cv[i]::DOUBLE
+                                      for i in generate_series(1, len(cv))]))) AS sim
+                  FROM q JOIN c ON qid <> cid)
+            SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY sim DESC, cid)::INTEGER AS rank,
+                   round(sim, 6) AS sim6
+            FROM s QUALIFY rank <= 4 ORDER BY qid, rank
+        """,
         # q19 (approximate ANN) and q20 (engine-defined simhash) stay
         # rows-only: their outputs depend on seeded hyperplanes /
         # xxhash64, which no independent SQL engine reproduces.

@@ -797,7 +797,11 @@ def hyperplane_lsh_topk(
                 ).otherwise(F.lit(0))
                 for p in range(n_planes)
             ]
-            out.append(sum(bits[1:], bits[0]).alias(f"b{t}"))
+            # n_planes=0 degenerates to ONE bucket (the whole corpus
+            # becomes the candidate set) — the exactness gate q32 uses:
+            # full-bucket LSH must equal brute-force top-k.
+            bucket = sum(bits[1:], bits[0]) if bits else F.lit(0)
+            out.append(bucket.alias(f"b{t}"))
         return out
 
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
