@@ -139,6 +139,8 @@ def main() -> None:
                     help="pin each leg to cores*this many CPUs (0 = unpinned)."
                          " 4 gives local[2]->8 cores vs local[8]->32 cores:"
                          " resources scale exactly 4x, like real executors")
+    ap.add_argument("--frontier", default="full", choices=["full", "delta"],
+                    help="frontier checkpoint layout (CrawlJob.frontier_checkpoint)")
     args = ap.parse_args()
 
     fix_dir = write_fixture(
@@ -150,6 +152,7 @@ def main() -> None:
         skip_filters=(
             ExtensionFilter(excluded=frozenset({"tmp", "log", "bak", "pyc"})),
         ),
+        frontier_checkpoint=args.frontier,
     )
     seed_rows = None
     if args.seed_hosts:

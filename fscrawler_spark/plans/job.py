@@ -83,6 +83,22 @@ class CrawlJob:
     # so non-broadcast fetch joins never re-shuffle the html side (the
     # bucketed-table analog; r02 advisory on wave_loop fetch_join).
     prepartition_pages: bool = False
+    # Frontier checkpoint layout.  "full" rewrites the entire pending
+    # frontier every wave — simple, read == write, but O(|frontier|)
+    # write volume per wave: at the 10^10-row frontier the north star
+    # targets that is ~1 TB of object-store writes per wave while the
+    # actual change is ~1000x smaller (hosts x budget consumed rows +
+    # the wave's children).  "delta" writes only the wave's discovered
+    # children (the consumed rows are already recorded in the seen
+    # delta — no second copy) plus a full compaction snapshot every
+    # frontier_compact_every waves: the Iceberg merge-on-read model.
+    # In-loop lineage is truncated with localCheckpoint (executor-local
+    # blocks, released at each compaction); resume replays the last
+    # snapshot + deltas + per-wave seen anti-joins (exact under
+    # seen_horizon_waves aging too, because the replay applies the same
+    # horizon-filtered seen view wave by wave).
+    frontier_checkpoint: str = "full"
+    frontier_compact_every: int = 8
     # Parquet codec for the per-wave checkpoint writes (storage.py;
     # lz4_raw = the parquet-standard LZ4 frame, readable by DuckDB/Arrow
     # — Spark's plain "lz4" writes hadoop-framed files they reject).

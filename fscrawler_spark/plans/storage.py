@@ -50,15 +50,23 @@ class CheckpointStore:
         results: DataFrame,
         seen_delta: DataFrame,
         frontier: DataFrame,
+        frontier_kind: str = "full",
     ) -> dict[str, float]:
         """Write the wave's three data tables concurrently (independent
         Spark jobs; shared cached stages are computed once under the
         block manager's per-partition locks).  Returns per-write wall
-        seconds.  NOT a commit — commit_wave() writes the marker."""
+        seconds.  NOT a commit — commit_wave() writes the marker.
+
+        frontier_kind: "full" writes the complete pending frontier to
+        frontier/wave=K (read back directly); "delta" writes only the
+        wave's newly-discovered children to frontier_delta/wave=K —
+        the Iceberg merge-on-read layout; readers reconstruct via the
+        wave loop's replay (last full snapshot + deltas + seen)."""
         import time as _time
         from concurrent.futures import ThreadPoolExecutor
 
         timings: dict[str, float] = {}
+        fdir = "frontier" if frontier_kind == "full" else "frontier_delta"
 
         def _write(name_df):
             name, df = name_df
@@ -71,9 +79,10 @@ class CheckpointStore:
         with ThreadPoolExecutor(max_workers=3) as pool:
             for key, secs in pool.map(
                 _write,
-                [("results", results), ("seen", seen_delta), ("frontier", frontier)],
+                [("results", results), ("seen", seen_delta), (fdir, frontier)],
             ):
-                timings[key] = secs
+                timings[key.replace("frontier_delta", "frontier")] = secs
+        timings["frontier_kind"] = frontier_kind
         return timings
 
     def commit_wave(
@@ -132,8 +141,12 @@ class CheckpointStore:
         waves = self.committed_waves()
         return waves[-1] if waves else None
 
-    def _read_committed(self, spark: SparkSession, table: str) -> DataFrame | None:
+    def _read_committed(
+        self, spark: SparkSession, table: str, upto: int | None = None
+    ) -> DataFrame | None:
         waves = self.committed_waves()
+        if upto is not None:
+            waves = [w for w in waves if w <= upto]
         paths = [self._dir(table, w) for w in waves if os.path.isdir(self._dir(table, w))]
         paths = [p for p in paths if any(f.endswith(".parquet") for f in os.listdir(p))]
         if not paths:
@@ -143,8 +156,12 @@ class CheckpointStore:
     def read_results(self, spark: SparkSession) -> DataFrame | None:
         return self._read_committed(spark, "results")
 
-    def read_seen(self, spark: SparkSession) -> DataFrame | None:
-        return self._read_committed(spark, "seen")
+    def read_seen(
+        self, spark: SparkSession, upto: int | None = None
+    ) -> DataFrame | None:
+        """Committed seen deltas; upto=w restricts to waves <= w — the
+        'seen as of wave w+1' view the delta-frontier replay needs."""
+        return self._read_committed(spark, "seen", upto=upto)
 
     def read_metrics(self, spark: SparkSession) -> DataFrame | None:
         return self._read_committed(spark, "metrics")
@@ -156,6 +173,17 @@ class CheckpointStore:
 
     def read_frontier(self, spark: SparkSession, wave: int) -> DataFrame:
         return spark.read.parquet(self._dir("frontier", wave))
+
+    def has_full_frontier(self, wave: int) -> bool:
+        d = self._dir("frontier", wave)
+        return os.path.isdir(d) and any(
+            f.endswith(".parquet") for f in os.listdir(d)
+        )
+
+    def read_frontier_delta(self, spark: SparkSession, wave: int) -> DataFrame:
+        """The children discovered in exactly wave `wave` (delta-mode
+        frontier checkpoint; see write_wave_data)."""
+        return spark.read.parquet(self._dir("frontier_delta", wave))
 
     def read_seen_delta(self, spark: SparkSession, wave: int) -> DataFrame:
         """URLs first examined in exactly wave `wave` — the unit of the

@@ -136,6 +136,98 @@ def _stat_join(queued: DataFrame, pages_meta: DataFrame) -> DataFrame:
     )
 
 
+def _merge_frontier(children: DataFrame, deferred: DataFrame) -> DataFrame:
+    """Next-wave frontier: children U deferred, one row per URL keeping
+    the lexicographically-min (depth, priority, seed_id) struct —
+    earliest/shallowest discovery wins (simulator semantics, SURVEY
+    §7.3).  Struct-min is associative + commutative, which is what lets
+    the delta-frontier replay recompose the same frontier from
+    per-wave children deltas."""
+    return (
+        children.select(*_FRONTIER_COLS)
+        .unionByName(deferred.select(*_FRONTIER_COLS))
+        .groupBy("url", "host")
+        .agg(F.min(F.struct("depth", "priority", "seed_id")).alias("_m"))
+        .select(
+            "url", "host",
+            F.col("_m.depth").alias("depth"),
+            F.col("_m.priority").alias("priority"),
+            F.col("_m.seed_id").alias("seed_id"),
+        )
+    )
+
+
+def _committed_seen(
+    spark: SparkSession,
+    store: CheckpointStore,
+    wave_now: int,
+    horizon: int | None,
+    seen_init: DataFrame | None,
+    upto: int | None = None,
+) -> DataFrame | None:
+    """The seen-set view wave `wave_now`'s anti-join uses: committed
+    per-wave deltas (restricted to waves <= upto when replaying
+    history) + the warm-start seen_init as a wave=-1 cohort, with
+    cohorts older than seen_horizon_waves aged out."""
+    committed = store.read_seen(spark, upto=upto)
+    if committed is not None and horizon is not None:
+        committed = committed.where(F.col("wave") >= F.lit(wave_now - horizon))
+    if seen_init is None or (horizon is not None and -1 < wave_now - horizon):
+        return committed
+    base = seen_init.select("url").withColumn("wave", F.lit(-1))
+    if committed is None:
+        return base
+    return committed.select("url", "wave").unionByName(base)
+
+
+def reconstruct_frontier(
+    spark: SparkSession,
+    store: CheckpointStore,
+    upto_wave: int,
+    seed_frontier: DataFrame,
+    horizon: int | None = None,
+    seen_init: DataFrame | None = None,
+) -> DataFrame:
+    """Frontier AFTER wave `upto_wave` from a delta-mode checkpoint:
+    start at the newest full snapshot <= upto_wave (or the seed
+    frontier when none exists) and replay each later wave w as
+
+        frontier_{w+1} = merge(children_w,
+                               frontier_w ANTI-JOIN seen_as_of_{w+1})
+
+    which is exactly what the live loop computes: rows leave the
+    frontier either at the wave's seen anti-join (url seen in an
+    earlier wave) or by being examined (url lands in wave w's own seen
+    delta).  The anti-join view is the one the LIVE wave-w anti-join
+    used — wave_now=w, so its horizon bound keeps cohort w-h — plus
+    wave w's own delta, which the 'deltas <= w at horizon >= w-h'
+    read already contains (w >= w-h).  Using the post-wave view
+    (wave_now=w+1) instead would drop cohort w-h a wave early and
+    resurrect rows the live loop removed.  The view is rebuilt per
+    replayed wave (not once at the end) so seen_horizon_waves aging
+    replays exactly.  The whole replay is one lazy plan over <=
+    frontier_compact_every delta files."""
+    waves = [w for w in store.committed_waves() if w <= upto_wave]
+    base_wave = max(
+        (w for w in waves if store.has_full_frontier(w)), default=None
+    )
+    if base_wave is None:
+        fr = seed_frontier
+        replay = waves
+    else:
+        fr = store.read_frontier(spark, base_wave)
+        replay = [w for w in waves if w > base_wave]
+    for w in replay:
+        seen = _committed_seen(
+            spark, store, wave_now=w, horizon=horizon,
+            seen_init=seen_init, upto=w,
+        )
+        if seen is not None:
+            fr = fr.join(seen.select("url"), "url", "left_anti")
+        fr = _merge_frontier(store.read_frontier_delta(spark, w), fr)
+    return fr
+
+
 def run_crawl(
     spark: SparkSession,
     pages: DataFrame,
@@ -224,22 +316,28 @@ def run_crawl(
         and, in lockstep, out of the cuckoo prefilter (cohort delete)
         — becoming re-crawlable.  The warm-start seen_init ages as a
         wave=-1 cohort."""
-        committed = store.read_seen(spark)
-        horizon = job.seen_horizon_waves
-        if committed is not None and horizon is not None:
-            committed = committed.where(F.col("wave") >= F.lit(wave_now - horizon))
-        if seen_init is None or (horizon is not None and -1 < wave_now - horizon):
-            return committed
-        base = seen_init.select("url").withColumn("wave", F.lit(-1))
-        if committed is None:
-            return base
-        return committed.select("url", "wave").unionByName(base)
+        return _committed_seen(
+            spark, store, wave_now, job.seen_horizon_waves, seen_init
+        )
+
+    delta_mode = job.frontier_checkpoint == "delta"
+    lc_frontiers: list[DataFrame] = []  # localCheckpoints freed at compaction
 
     start_wave = 0
     seen_count = 0
     if resume and store.last_wave() is not None:
-        start_wave = store.last_wave() + 1
-        frontier = store.read_frontier(spark, store.last_wave())
+        lw = store.last_wave()
+        start_wave = lw + 1
+        if store.has_full_frontier(lw):
+            frontier = store.read_frontier(spark, lw)
+        else:
+            # delta-mode checkpoint whose last wave wasn't a compaction:
+            # replay (last snapshot + children deltas + seen anti-joins)
+            frontier = reconstruct_frontier(
+                spark, store, lw, seeds_to_frontier(spark, seed_rows),
+                horizon=job.seen_horizon_waves, seen_init=seen_init,
+            ).localCheckpoint(eager=True)
+            lc_frontiers.append(frontier)
         frontier_n = frontier.count()  # parquet-footer count, cheap
         seen_df = _load_seen(start_wave)
         seen_count = seen_df.count() if seen_df is not None else 0
@@ -468,18 +566,13 @@ def run_crawl(
         children = expand_from_hrefs(
             extracted.select("url", "hrefs", "depth", "seed_id")
         )
-        merged = (
-            children.unionByName(
-                deferred.select("url", "host", "depth", "priority", "seed_id")
-            )
-            .groupBy("url", "host")
-            .agg(F.min(F.struct("depth", "priority", "seed_id")).alias("_m"))
-            .select(
-                "url", "host",
-                F.col("_m.depth").alias("depth"),
-                F.col("_m.priority").alias("priority"),
-                F.col("_m.seed_id").alias("seed_id"),
-            )
+        merged = _merge_frontier(children, deferred)
+        # Delta mode checkpoints only `children` on non-compaction waves:
+        # the consumed frontier rows are already recorded in the seen
+        # delta, so children are the wave's ONLY new frontier
+        # information — O(wave) write volume instead of O(|frontier|).
+        compact = (not delta_mode) or (
+            (wave + 1) % max(job.frontier_compact_every, 1) == 0
         )
 
         # --- commit wave ---------------------------------------------------
@@ -539,7 +632,8 @@ def run_crawl(
             wave,
             results=results_out,
             seen_delta=seen_delta,
-            frontier=merged,
+            frontier=merged if compact else children,
+            frontier_kind="full" if compact else "delta",
         )
         wave_timings["write_phase"] = round(_time.time() - t_write, 3)
         wave_timings["collect_metrics"] = t_collect
@@ -560,13 +654,25 @@ def run_crawl(
         store.commit_wave(wave, metrics_rows, stats, lineage_rows)
         wave_timings["lineage_commit"] = round(_time.time() - t_lc, 3)
 
+        # Truncate frontier lineage (no exponential plan growth across
+        # waves).  Full/compaction waves re-read the committed snapshot
+        # (resume path == normal path).  Delta waves localCheckpoint the
+        # merged frame instead — executor-local blocks, no second full
+        # write — BEFORE the caches below are released so the merge
+        # reads warm data; accumulated blocks are released at the next
+        # compaction (reference drop -> ContextCleaner unpersists the
+        # checkpointed RDDs asynchronously).
+        t0 = _time.time()
+        if not compact:
+            frontier = merged.localCheckpoint(eager=True)
+            lc_frontiers.append(frontier)
         for cached in (stat, ranked, pre_rank, extracted):
             cached.unpersist()
-
-        # Re-read committed state — truncates lineage (no exponential plan
-        # growth across waves) and makes resume path == normal path.
-        t0 = _time.time()
-        frontier = store.read_frontier(spark, wave)
+        if compact:
+            frontier = store.read_frontier(spark, wave)
+            for f in lc_frontiers:
+                f.unpersist()
+            lc_frontiers.clear()
         frontier_n = frontier.count()  # parquet-footer count, cheap
         seen_df = _load_seen(wave + 1)
         wave_timings["reload_state"] = round(_time.time() - t0, 3)
