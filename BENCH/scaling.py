@@ -139,21 +139,24 @@ def main() -> None:
                     help="pin each leg to cores*this many CPUs (0 = unpinned)."
                          " 4 gives local[2]->8 cores vs local[8]->32 cores:"
                          " resources scale exactly 4x, like real executors")
-    ap.add_argument("--frontier", default="full", choices=["full", "delta"],
-                    help="frontier checkpoint layout (CrawlJob.frontier_checkpoint)")
+    ap.add_argument("--frontier", default=None, choices=["full", "delta"],
+                    help="frontier checkpoint layout override"
+                         " (unset = CrawlJob default, currently delta)")
     args = ap.parse_args()
 
     fix_dir = write_fixture(
         os.path.join(REPO, ".bench_cache", args.scale), args.scale
     )
-    job = CrawlJob(
+    job_kw = dict(
         politeness_budget=args.budget,
         max_waves=args.waves,
         skip_filters=(
             ExtensionFilter(excluded=frozenset({"tmp", "log", "bak", "pyc"})),
         ),
-        frontier_checkpoint=args.frontier,
     )
+    if args.frontier is not None:
+        job_kw["frontier_checkpoint"] = args.frontier
+    job = CrawlJob(**job_kw)
     seed_rows = None
     if args.seed_hosts:
         from fscrawler_spark.datagen import host_root

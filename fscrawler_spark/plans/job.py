@@ -96,8 +96,12 @@ class CrawlJob:
     # blocks, released at each compaction); resume replays the last
     # snapshot + deltas + per-wave seen anti-joins (exact under
     # seen_horizon_waves aging too, because the replay applies the same
-    # horizon-filtered seen view wave by wave).
-    frontier_checkpoint: str = "full"
+    # horizon-filtered seen view wave by wave).  Delta is the default —
+    # outputs are identical (pytest-pinned), it measured 25-30% faster
+    # wall on deferred-dominated crawls and neutral otherwise
+    # (BENCH/BASELINE.md round-3 A/B) — "full" remains for debugging
+    # and for stores where read-simplicity beats write volume.
+    frontier_checkpoint: str = "delta"
     frontier_compact_every: int = 8
     # Parquet codec for the per-wave checkpoint writes (storage.py;
     # lz4_raw = the parquet-standard LZ4 frame, readable by DuckDB/Arrow

@@ -251,7 +251,18 @@ def test_checkpoint_files_duckdb_readable(spark, engine):
         f"SELECT count(*) FROM read_parquet('{root}/results/*/*.parquet')"
     ).fetchone()[0]
     assert n_duck == n_spark and n_spark > 0
-    for table in ("seen", "frontier"):
+    # frontier layout depends on CrawlJob.frontier_checkpoint: "full"
+    # writes frontier/wave=K snapshots, "delta" (the default) writes
+    # frontier_delta/wave=K children plus periodic snapshots — whatever
+    # exists must be plain DuckDB-readable parquet
+    import os
+
+    frontier_dirs = [
+        d for d in ("frontier", "frontier_delta")
+        if os.path.isdir(os.path.join(root, d))
+    ]
+    assert frontier_dirs, "no frontier checkpoint directory written"
+    for table in ["seen", *frontier_dirs]:
         duckdb.sql(
             f"SELECT * FROM read_parquet('{root}/{table}/*/*.parquet') LIMIT 1"
         ).fetchall()

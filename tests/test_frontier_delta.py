@@ -27,7 +27,10 @@ _FILTERS = (
     ExtensionFilter(excluded=frozenset({"tmp", "log", "bak", "pyc"})),
 )
 
-JOB_FULL = CrawlJob(politeness_budget=5, max_waves=4, skip_filters=_FILTERS)
+JOB_FULL = CrawlJob(
+    politeness_budget=5, max_waves=4, skip_filters=_FILTERS,
+    frontier_checkpoint="full",
+)
 JOB_DELTA = CrawlJob(
     politeness_budget=5,
     max_waves=4,
@@ -138,7 +141,7 @@ def test_delta_mode_replay_under_seen_horizon_aging(
         politeness_budget=5, max_waves=5, skip_filters=_FILTERS,
         seen_horizon_waves=2,
     )
-    jf = CrawlJob(**base)
+    jf = CrawlJob(**base, frontier_checkpoint="full")
     jd = CrawlJob(
         **base, frontier_checkpoint="delta", frontier_compact_every=5
     )
