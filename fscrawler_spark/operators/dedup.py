@@ -626,12 +626,40 @@ def routed_probe(
     )
 
 
+def _flip_resolve(maybe: DataFrame, seen: DataFrame, url_col: str) -> DataFrame:
+    """`maybe` rows whose url is NOT in `seen`, computed WITHOUT
+    shuffling the seen side.
+
+    A plain ``maybe LEFT ANTI seen`` is a sort-merge join: Spark can
+    only broadcast-build the RIGHT side of an anti-join, and at
+    10^10-URL scale `seen` is far past broadcast range — so the entire
+    seen table re-shuffles every wave, the one O(|seen|)-per-wave cost
+    the prefilter cannot remove (it only shrinks the candidate side).
+    Flipped, the set algebra is identical:
+
+        found = seen LEFT SEMI broadcast(maybe.urls)   -- seen is scan-
+                                                       -- only: a BHJ
+                                                       -- probe, no
+                                                       -- exchange
+        out   = maybe LEFT ANTI broadcast(found)       -- found <= |maybe|
+
+    Caller must guarantee `maybe` is broadcast-bounded (the wave loop
+    keys this off the same scheduled/frontier bound as the fetch join).
+    """
+    maybe_urls = maybe.select(url_col)
+    found = seen.select(url_col).join(
+        F.broadcast(maybe_urls), url_col, "left_semi"
+    )
+    return maybe.join(F.broadcast(found), url_col, "left_anti")
+
+
 def anti_join_seen(
     candidates: DataFrame,
     seen: DataFrame,
     url_col: str = "url",
     bloom: "NumpyBloom | CuckooFilter | ShardedBloom | ShardedCuckoo | None" = None,
     probe_mode: str = "auto",
+    flip_broadcast: bool = False,
 ) -> DataFrame:
     """Rows of `candidates` whose url is NOT in `seen` — exact.
 
@@ -646,8 +674,14 @@ def anti_join_seen(
           its shard's bytes (the 10^10 path; see routed_probe);
       "auto"      — routed when the bank is sharded and exceeds
           ROUTED_PROBE_BYTES, else broadcast.
+
+    flip_broadcast: resolve the exact membership via _flip_resolve
+    (seen is scanned, never shuffled) — set it when the candidate side
+    is broadcast-bounded; the seen side can be any size.
     """
     if bloom is None:
+        if flip_broadcast:
+            return _flip_resolve(candidates, seen, url_col)
         return candidates.join(
             seen.select(F.col(url_col).alias(url_col)), url_col, "left_anti"
         )
@@ -681,7 +715,10 @@ def anti_join_seen(
         )
     sure_new = tagged.where(~F.col("_maybe_seen")).drop("_maybe_seen")
     maybe = tagged.where(F.col("_maybe_seen")).drop("_maybe_seen")
-    resolved = maybe.join(seen.select(url_col), url_col, "left_anti")
+    if flip_broadcast:
+        resolved = _flip_resolve(maybe, seen, url_col)
+    else:
+        resolved = maybe.join(seen.select(url_col), url_col, "left_anti")
     return sure_new.unionByName(resolved)
 
 

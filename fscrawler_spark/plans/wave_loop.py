@@ -398,8 +398,15 @@ def run_crawl(
                 }
             elif job.use_bloom:
                 prefilter_probe_log = {"action": "reuse", "rows_hashed": 0}
+            # Exact-resolution strategy: when the pending frontier is
+            # broadcast-bounded, flip the anti-join so the seen table
+            # is scanned but NEVER shuffled (at 10^10 seen URLs the
+            # plain left_anti re-shuffles all of seen every wave —
+            # Spark cannot broadcast-build the left side of an anti).
             new = anti_join_seen(
-                queued, seen_df, "url", prefilter, probe_mode=job.probe_mode
+                queued, seen_df, "url", prefilter,
+                probe_mode=job.probe_mode,
+                flip_broadcast=frontier_n <= job.broadcast_wave_threshold,
             )
         else:
             new = queued

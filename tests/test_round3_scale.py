@@ -290,3 +290,62 @@ def test_prepartitioned_pages_no_fat_side_exchange(spark):
         pre.unpersist()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# --------------------------------------------------------------------------
+# flipped exact resolution: seen is scanned, never shuffled
+
+
+def test_flip_resolve_parity(spark):
+    seen = _urls(spark, 0, 600)
+    cand = _urls(spark, 300, 900)
+    exact = {r["url"] for r in anti_join_seen(cand, seen).collect()}
+    flip = {
+        r["url"]
+        for r in anti_join_seen(cand, seen, flip_broadcast=True).collect()
+    }
+    bank = build_bloom(seen, "url", 2400, n_shards=8)
+    flip_bloom = {
+        r["url"]
+        for r in anti_join_seen(
+            cand, seen, bloom=bank, probe_mode="broadcast",
+            flip_broadcast=True,
+        ).collect()
+    }
+    flip_routed = {
+        r["url"]
+        for r in anti_join_seen(
+            cand, seen, bloom=bank, probe_mode="routed", flip_broadcast=True
+        ).collect()
+    }
+    assert flip == exact and flip_bloom == exact and flip_routed == exact
+
+
+def test_flip_resolve_never_shuffles_seen(spark, tmp_path):
+    """With auto-broadcast off (the 10^10-seen stand-in: seen is too
+    big for Spark to broadcast on its own), the plain left_anti is a
+    SortMergeJoin — the whole seen table crosses an exchange every
+    wave — while the flipped plan stays exchange-free: seen feeds a
+    BroadcastHashJoin LeftSemi probe as a pure scan."""
+    seen = _urls(spark, 0, 5000)
+    seen.write.mode("overwrite").parquet(str(tmp_path / "seen"))
+    seen_pq = spark.read.parquet(str(tmp_path / "seen"))
+    cand = _urls(spark, 4000, 6000)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = anti_join_seen(cand, seen_pq)
+        plain.count()
+        plan_plain = plain._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan_plain, plan_plain
+
+        flip = anti_join_seen(cand, seen_pq, flip_broadcast=True)
+        flip.count()
+        plan_flip = flip._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan_flip, plan_flip
+        # BroadcastExchange is fine (that's the point); a shuffle of the
+        # seen scan would print as "Exchange hashpartitioning"
+        assert "Exchange hashpartitioning" not in plan_flip, plan_flip
+        assert "BroadcastHashJoin" in plan_flip and "LeftSemi" in plan_flip
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
