@@ -60,6 +60,17 @@ class CrawlJob:
     # the exact ranked count — not the pending frontier size, so a huge
     # frontier with a tight budget keeps the fast broadcast path.)
     broadcast_wave_threshold: int = 2_000_000
+    # Flip the EXACT tier of the seen anti-join to the seen-scan-only
+    # broadcast semi/anti pair (dedup._flip_resolve) only when the seen
+    # table is at least this many times the pending frontier.  Above
+    # the ratio the plain left_anti sort-merge re-shuffles a seen side
+    # far bigger than the candidates (the 10^10-seen regime — the flip
+    # removes that entirely); below it the two sides are comparable, a
+    # same-size SMJ is cheap, and two per-wave driver broadcasts are
+    # pure overhead (measured: +67% plan_build on the 4N scaling leg
+    # when flipping at seen:frontier ~ 2:1).  The frontier must also be
+    # under broadcast_wave_threshold for the flip to be safe.
+    flip_seen_factor: float = 4.0
     # Seen-prefilter probe routing (operators/dedup.py anti_join_seen):
     # "auto" broadcasts small banks and shard-routes big ones; "routed"
     # / "broadcast" force a path (tests / known deployments).

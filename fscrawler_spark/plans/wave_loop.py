@@ -399,14 +399,20 @@ def run_crawl(
             elif job.use_bloom:
                 prefilter_probe_log = {"action": "reuse", "rows_hashed": 0}
             # Exact-resolution strategy: when the pending frontier is
-            # broadcast-bounded, flip the anti-join so the seen table
+            # broadcast-bounded AND the seen table dwarfs it
+            # (flip_seen_factor), flip the anti-join so the seen table
             # is scanned but NEVER shuffled (at 10^10 seen URLs the
             # plain left_anti re-shuffles all of seen every wave —
             # Spark cannot broadcast-build the left side of an anti).
+            # At comparable sizes the plain SMJ is cheaper than two
+            # per-wave broadcasts, so the gate keeps it.
             new = anti_join_seen(
                 queued, seen_df, "url", prefilter,
                 probe_mode=job.probe_mode,
-                flip_broadcast=frontier_n <= job.broadcast_wave_threshold,
+                flip_broadcast=(
+                    frontier_n <= job.broadcast_wave_threshold
+                    and seen_count >= job.flip_seen_factor * max(frontier_n, 1)
+                ),
             )
         else:
             new = queued
