@@ -707,6 +707,32 @@ def q32_lsh_full_bucket(spark, sf_dir):
     )
 
 
+def q33_simhash_exact_gate(spark, sf_dir):
+    """SimHash exactness gate (the q31/q32 pattern applied to q20's
+    machinery, round-3 verdict "Next round" #5): run the banded
+    pigeonhole join in its EXACT regime (max_hamming = chunks-1, where
+    any pair within distance must share an identical block) with a
+    token hash BOTH engines compute identically (md5 hex -> 60-bit
+    int), so signature aggregation, banding, candidate dedup and the
+    popcount verify are all value-hash-checked against an independent
+    all-pairs hamming join in DuckDB.  q20 then exercises the same
+    machinery with the engine hash (xxhash64) — rows-only by design."""
+    from fscrawler_spark.functions.textstats import tokens
+    from fscrawler_spark.operators.similarity import simhash_pairs
+
+    d = _load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.lower(F.col("text"))).alias("tk"))
+
+    def md5h(t):
+        # 15 hex chars = 60 bits, always positive in an int64 — the
+        # same value DuckDB's ('0x'||substr(md5(t),1,15))::BIGINT yields
+        return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+    return simhash_pairs(
+        toks, "doc_id", F.col("tk"), max_hamming=3, chunks=4, hash_fn=md5h
+    ).orderBy("id_a", "id_b")
+
+
 _TAXONOMY_ROWS = [
     {"name": "web", "parent": None},
     {"name": "news", "parent": "web", "min_age": 8},
@@ -791,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_ann_ivf_topk": q30_ann_ivf_topk,
         "q31_ivf_full_probe": q31_ivf_full_probe,
         "q32_lsh_full_bucket": q32_lsh_full_bucket,
+        "q33_simhash_exact_gate": q33_simhash_exact_gate,
     }
 
 
@@ -1434,7 +1461,40 @@ def oracle_sql() -> dict[str, str]:
                    round(sim, 6) AS sim6
             FROM s QUALIFY rank <= 4 ORDER BY qid, rank
         """,
+        # SimHash exactness gate: same signatures in both engines (md5
+        # token hash), banded join in its exact regime == all-pairs
+        # hamming join.  Covers q20's machinery value-exactly.
+        "q33_simhash_exact_gate": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(
+                         trim(lower(coalesce(text,''))), '\\s+')) AS t
+              FROM documents WHERE trim(coalesce(text,'')) <> ''
+            ),
+            h AS (SELECT doc_id,
+                         ('0x' || substr(md5(t),1,15))::BIGINT AS hv
+                  FROM tok),
+            bits AS (
+              SELECT doc_id, b,
+                     sum(((hv >> b) & 1)::BIGINT) AS ones, count(*) AS n
+              FROM h CROSS JOIN
+                   (SELECT unnest(generate_series(0,59)) AS b) g
+              GROUP BY doc_id, b
+            ),
+            sig0 AS (SELECT doc_id,
+                            sum(CASE WHEN 2*ones > n
+                                THEN (1::BIGINT << b) ELSE 0 END) AS sh
+                     FROM bits GROUP BY doc_id),
+            sig AS (SELECT d.doc_id, coalesce(s.sh, 0) AS sh
+                    FROM documents d LEFT JOIN sig0 s USING (doc_id))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.sh, b.sh))::INTEGER AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3
+            ORDER BY id_a, id_b
+        """,
         # q19 (approximate ANN) and q20 (engine-defined simhash) stay
         # rows-only: their outputs depend on seeded hyperplanes /
-        # xxhash64, which no independent SQL engine reproduces.
+        # xxhash64, which no independent SQL engine reproduces; q33
+        # value-hash-checks the simhash machinery with a SQL-twin hash.
     }

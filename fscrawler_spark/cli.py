@@ -85,8 +85,15 @@ def cmd_crawl(args: argparse.Namespace) -> None:
         salt_buckets=cfg.get("salt_buckets", 32),
         small_wave_threshold=cfg.get("small_wave_threshold", 100_000),
         broadcast_wave_threshold=cfg.get("broadcast_wave_threshold", 2_000_000),
-        frontier_checkpoint=cfg.get("frontier_checkpoint", args.frontier),
+        # an explicitly passed CLI flag wins over the config (r03
+        # advisory: default=None on the flag marks "not given")
+        frontier_checkpoint=(
+            args.frontier
+            if args.frontier is not None
+            else cfg.get("frontier_checkpoint", "delta")
+        ),
         frontier_compact_every=cfg.get("frontier_compact_every", 8),
+        prefilter_store=cfg.get("prefilter_store", "memory"),
     )
     res = run_crawl(
         spark,
@@ -190,7 +197,7 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--waves", type=int, default=50)
     c.add_argument("--bloom", action="store_true")
     c.add_argument("--resume", action="store_true")
-    c.add_argument("--frontier", default="delta", choices=["full", "delta"],
+    c.add_argument("--frontier", default=None, choices=["full", "delta"],
                    help="frontier checkpoint layout (delta = children-only"
                         " writes + periodic compaction snapshots)")
     c.set_defaults(fn=cmd_crawl)

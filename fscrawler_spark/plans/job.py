@@ -80,6 +80,17 @@ class CrawlJob:
     # rebuild happens only when the count outgrows capacity (geometric
     # doubling -> O(log n) rebuilds over a crawl, amortized O(n)).
     prefilter_capacity_factor: float = 8.0
+    # Where the prefilter bank lives.  "memory": driver-held
+    # ShardedBloom/ShardedCuckoo — fastest for small crawls (no table
+    # IO per wave) but the bank transits the driver on every merge and
+    # probe.  "table": parquet table of shard blobs inside the
+    # checkpoint dir (operators/bankstore.StoredBank) — build, delta
+    # merge and probe are executor-side jobs touching O(|delta| +
+    # touched shards) bytes, the driver never holds a payload, and a
+    # resumed crawl reloads the bank instead of rebuilding it.  The
+    # 10^10 deployment setting (a ~12 GB bank neither fits nor should
+    # transit the driver).
+    prefilter_store: str = "memory"
     # Re-crawl horizon: a URL seen in wave w blocks re-scheduling for
     # the next seen_horizon_waves waves, then ages out of BOTH the
     # exact seen table and the prefilter (cuckoo: incremental cohort

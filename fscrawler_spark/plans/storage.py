@@ -51,7 +51,7 @@ class CheckpointStore:
         seen_delta: DataFrame,
         frontier: DataFrame,
         frontier_kind: str = "full",
-    ) -> dict[str, float]:
+    ) -> dict[str, float | str]:
         """Write the wave's three data tables concurrently (independent
         Spark jobs; shared cached stages are computed once under the
         block manager's per-partition locks).  Returns per-write wall
@@ -65,7 +65,9 @@ class CheckpointStore:
         import time as _time
         from concurrent.futures import ThreadPoolExecutor
 
-        timings: dict[str, float] = {}
+        # values are per-write seconds plus the frontier_kind tag — a
+        # numeric aggregation must filter to float values (r03 advisory)
+        timings: dict[str, float | str] = {}
         fdir = "frontier" if frontier_kind == "full" else "frontier_delta"
 
         def _write(name_df):

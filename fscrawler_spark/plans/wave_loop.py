@@ -27,6 +27,7 @@ parallelism, which is what the two-cluster-size scaling check relies on.
 
 from __future__ import annotations
 
+import os
 import tempfile
 from dataclasses import dataclass, field
 
@@ -51,6 +52,7 @@ from fscrawler_spark.functions.urls import (
     url_path,
 )
 from fscrawler_spark.functions.extract import extract_hrefs_udf
+from fscrawler_spark.operators.bankstore import StoredBank
 from fscrawler_spark.operators.dedup import (
     anti_join_seen,
     build_bloom,
@@ -347,6 +349,23 @@ def run_crawl(
         seen_df = _load_seen(start_wave)
         seen_count = seen_df.count() if seen_df is not None else 0
 
+    # Under a re-crawl horizon, seen_count must TRACK the horizon-
+    # filtered view (r03 advisory: a monotone accumulator overstates
+    # the seen:frontier ratio once cohorts age out, engaging the flip
+    # and oversizing the bank).  Per-cohort counts reproduce it: the
+    # initial view count decomposes into committed-wave footer counts
+    # (+ seen_init as the wave=-1 cohort), later waves append theirs.
+    seen_wave_counts: dict[int, int] = {}
+    if job.seen_horizon_waves is not None:
+        lo = start_wave - job.seen_horizon_waves
+        seen_wave_counts = {
+            w: store.read_seen_delta(spark, w).count()
+            for w in store.committed_waves()
+            if w >= lo
+        }
+        if seen_init is not None and -1 >= lo:
+            seen_wave_counts[-1] = seen_init.count()
+
     # Seen-prefilter bank: built ONCE (sized with capacity headroom),
     # then maintained incrementally from per-wave seen deltas — the
     # per-wave O(|seen|) full rebuild was round 2's top scale-killer.
@@ -374,28 +393,73 @@ def run_crawl(
         if seen_df is not None:
             if job.use_bloom and prefilter is None:
                 # the ONLY full build: first filtered wave, or a
-                # capacity resize scheduled by the maintenance step
+                # capacity resize scheduled by the maintenance step.
+                # prefilter_store="table" first tries to RELOAD the
+                # parquet bank a previous run left in the checkpoint
+                # dir (resume only — at 10^10 URLs the reload-vs-
+                # rebuild difference is the whole seen set): the bank's
+                # merged_upto lineage says which committed seen-deltas
+                # it already contains; any it missed (killed between
+                # wave commit and bank save) are replayed as ordinary
+                # delta merges.
                 capacity = max(
                     int(job.prefilter_capacity_factor * max(seen_count, 1)), 4096
                 )
-                if job.seen_filter == "cuckoo":
+                if job.prefilter_store == "table":
+                    bank_path = os.path.join(store.root, "prefilter")
+                    if (
+                        resume
+                        and wave == start_wave
+                        and StoredBank.exists(bank_path)
+                    ):
+                        cand_bank = StoredBank.open(bank_path)
+                        if cand_bank.kind == job.seen_filter:
+                            replayed = 0
+                            for w in store.committed_waves():
+                                if cand_bank.merged_upto < w < wave:
+                                    d = store.read_seen_delta(spark, w)
+                                    dn = d.count()
+                                    cand_bank.merge_delta(d, "url", "insert")
+                                    cand_bank.n_added += dn
+                                    cand_bank.cohorts[w] = dn
+                                    cand_bank.merged_upto = w
+                                    replayed += dn
+                            cand_bank.save()
+                            prefilter = cand_bank
+                            prefilter_cohorts = dict(prefilter.cohorts)
+                            prefilter_probe_log = {
+                                "action": "loaded", "rows_hashed": replayed,
+                            }
+                    if prefilter is None:
+                        prefilter = StoredBank.build(
+                            seen_df, "url", bank_path,
+                            kind=job.seen_filter, n_items=capacity,
+                            fpp=job.bloom_fpp,
+                        )
+                        prefilter.n_added = seen_count
+                        prefilter.merged_upto = wave - 1
+                elif job.seen_filter == "cuckoo":
                     prefilter = build_cuckoo(seen_df, "url", capacity)
                 else:
                     prefilter = build_bloom(seen_df, "url", capacity, job.bloom_fpp)
-                prefilter.n_added = seen_count
-                prefilter_cohorts = {}
-                if job.seen_filter == "cuckoo" and job.seen_horizon_waves is not None:
-                    # aging needs per-cohort row counts; footer counts only,
-                    # and only on the O(log n) full builds
-                    lo = wave - job.seen_horizon_waves
-                    prefilter_cohorts = {
-                        w: store.read_seen_delta(spark, w).count()
-                        for w in store.committed_waves()
-                        if w >= lo
+                if prefilter_probe_log is None:
+                    prefilter.n_added = seen_count
+                    prefilter_cohorts = {}
+                    if job.seen_filter == "cuckoo" and job.seen_horizon_waves is not None:
+                        # aging needs per-cohort row counts; footer counts only,
+                        # and only on the O(log n) full builds
+                        lo = wave - job.seen_horizon_waves
+                        prefilter_cohorts = {
+                            w: store.read_seen_delta(spark, w).count()
+                            for w in store.committed_waves()
+                            if w >= lo
+                        }
+                    if hasattr(prefilter, "save"):
+                        prefilter.cohorts = dict(prefilter_cohorts)
+                        prefilter.save()
+                    prefilter_probe_log = {
+                        "action": "full_build", "rows_hashed": seen_count,
                     }
-                prefilter_probe_log = {
-                    "action": "full_build", "rows_hashed": seen_count,
-                }
             elif job.use_bloom:
                 prefilter_probe_log = {"action": "reuse", "rows_hashed": 0}
             # Exact-resolution strategy: when the pending frontier is
@@ -698,6 +762,7 @@ def run_crawl(
         # wave's full build.
         if prefilter is not None:
             t0 = _time.time()
+            stored_bank = hasattr(prefilter, "bank_df")
             delta_df = store.read_seen_delta(spark, wave)
             delta_n = delta_df.count()  # footer count, cheap
             upd_log: dict = {}
@@ -717,12 +782,13 @@ def run_crawl(
                     oldest = min(prefilter_cohorts)
                     if oldest >= (wave + 1) - job.seen_horizon_waves:
                         break  # oldest cohort still inside the horizon
-                    prefilter = merge_cuckoo_delta(
-                        prefilter,
-                        store.read_seen_delta(spark, oldest),
-                        "url",
-                        "delete",
-                    )
+                    old_delta = store.read_seen_delta(spark, oldest)
+                    if stored_bank:
+                        prefilter.merge_delta(old_delta, "url", "delete")
+                    else:
+                        prefilter = merge_cuckoo_delta(
+                            prefilter, old_delta, "url", "delete"
+                        )
                     prefilter.n_added -= prefilter_cohorts.pop(oldest)
                     evicted.append(oldest)
                 if evicted:
@@ -731,7 +797,11 @@ def run_crawl(
                 prefilter = None
                 upd_log.update(action="rebuild_scheduled", rows_hashed=delta_n)
             else:
-                if job.seen_filter == "cuckoo":
+                if stored_bank:
+                    # executor-side cogroup against the touched shards'
+                    # blobs only — the bank never transits the driver
+                    prefilter.merge_delta(delta_df, "url", "insert")
+                elif job.seen_filter == "cuckoo":
                     prefilter = merge_cuckoo_delta(
                         prefilter, delta_df, "url", "insert"
                     )
@@ -744,6 +814,12 @@ def run_crawl(
                 prefilter.n_added += delta_n
                 prefilter_cohorts[wave] = delta_n
                 upd_log.update(action="delta_merge", rows_hashed=delta_n)
+            if prefilter is not None and stored_bank:
+                # persist the bank's lineage (which committed waves it
+                # contains) so a resumed run reloads instead of rebuilds
+                prefilter.merged_upto = wave
+                prefilter.cohorts = dict(prefilter_cohorts)
+                prefilter.save()
             upd_log["secs"] = round(_time.time() - t0, 3)
             wave_timings["prefilter_update"] = upd_log
         if prefilter_probe_log is not None:
@@ -751,16 +827,33 @@ def run_crawl(
         wave_timings["plan_build"] = _plan_build_s
         wave_timings["wall"] = round(_wtime.time() - _wave_t0, 3)
         all_timings.append(wave_timings)
-        # bloom sizing: examined-this-wave = everything except deferred
-        # rows (still queued) and the 'fetched' cache-warm duplicate of
-        # 'scheduled'
-        seen_count += sum(
+        # bloom sizing + flip gate: examined-this-wave = everything
+        # except deferred rows (still queued) and the 'fetched'
+        # cache-warm duplicate of 'scheduled'.  With a horizon, the
+        # count is re-derived from the in-horizon cohorts so aged-out
+        # URLs stop counting (they ARE re-crawlable again).
+        wave_examined = sum(
             v["n"] for k, v in stats.items() if k not in ("deferred", "fetched")
         )
+        if job.seen_horizon_waves is None:
+            seen_count += wave_examined
+        else:
+            seen_wave_counts[wave] = wave_examined
+            lo = (wave + 1) - job.seen_horizon_waves
+            seen_count = sum(
+                n for w, n in seen_wave_counts.items() if w >= lo
+            )
 
     pages_meta.unpersist()
     if rules_arr is not None:
         rules_arr.unpersist()
     if pages_prepartitioned:
         pages.unpersist()
+    # Release frontier localCheckpoint blocks accumulated since the
+    # last compaction (r03 advisory: a crawl ending on a non-compaction
+    # wave pinned up to frontier_compact_every-1 frontier copies in
+    # executor storage).  The FINAL frontier stays referenced by the
+    # caller-visible plan only on non-compaction exits — keep its block.
+    for f in lc_frontiers[:-1]:
+        f.unpersist()
     return CrawlResult(store=store, waves_run=waves_run, timings=all_timings)

@@ -75,10 +75,18 @@ def test_audio_duration_jvm_side(media_df):
         assert r["duration_sec"] == round(r["n_samples"] / 16000, 6)
 
 
-def test_real_decoder_is_stubbed():
+def test_real_decoder_boundary():
+    # PNG is a real decode path since round 4: a truncated PNG is a
+    # corrupt file (ValueError), not a missing codec
+    with pytest.raises(ValueError):
+        MM.decode_image_py(b"\x89PNG\r\n\x1a\n....")
+    # formats with no stdlib decoder stay honestly stubbed
     with pytest.raises(NotImplementedError):
-        MM.decode_image_py(b"\x89PNG\r\n\x1a\n....")  # real format -> stub
+        MM.decode_image_py(b"\xff\xd8\xff\xe0" + b"0" * 32)  # JPEG
+    with pytest.raises(NotImplementedError):
+        MM.decode_audio_py(b"OggS" + b"0" * 32)
     assert MM.decode_image_py(None) is None
+    assert MM.decode_audio_py(None) is None
 
 
 def test_audio_features_windows(spark):
@@ -105,3 +113,160 @@ def test_audio_features_windows(spark):
         zcr = int((np.diff(signs[nz]) != 0).sum()) / max(1, len(chunk) - 1)
         assert abs(rows[w][0] - rms) < 1e-12, w
         assert abs(rows[w][1] - zcr) < 1e-12, w
+
+
+# ---------------------------------------------------------------------------
+# round 4: REAL decoders, stdlib-only (PNG via zlib, WAV via wave)
+
+
+def _encode_png(arr: np.ndarray, color_type: int, row_filters) -> bytes:
+    """Test-side PNG encoder: applies the spec's per-row filter
+    transforms (the exact inverses the decoder must undo), deflates,
+    frames the chunks.  CRCs via zlib.crc32."""
+    import struct
+    import zlib
+
+    h, w, c = arr.shape
+    stride = w * c
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        raw = arr[y].ravel().astype(np.uint8)
+        filt = row_filters[y % len(row_filters)]
+        left = np.zeros(stride, dtype=np.uint8)
+        left[c:] = raw[:-c]
+        ul = np.zeros(stride, dtype=np.uint8)
+        ul[c:] = prev[:-c]
+        if filt == 0:
+            enc = raw
+        elif filt == 1:
+            enc = raw - left
+        elif filt == 2:
+            enc = raw - prev
+        elif filt == 3:
+            enc = raw - (
+                (left.astype(np.int32) + prev.astype(np.int32)) // 2
+            ).astype(np.uint8)
+        elif filt == 4:
+            enc = raw - MM._paeth(left, prev, ul)
+        out.append(filt)
+        out += enc.tobytes()
+        prev = raw
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        MM.PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize(
+    "color_type,channels", [(0, 1), (2, 3), (4, 2), (6, 4)]
+)
+def test_png_roundtrip_all_color_types_all_filters(color_type, channels):
+    rng = np.random.Generator(np.random.PCG64(color_type + 10))
+    arr = rng.integers(0, 256, (7, 5, channels), dtype=np.uint8)
+    # 7 rows cycle through every filter type 0..4 (plus 0,1 again)
+    blob = _encode_png(arr, color_type, row_filters=[0, 1, 2, 3, 4])
+    w, h, c, dec = MM.decode_image_py(blob)
+    assert (w, h, c) == (5, 7, channels)
+    assert np.array_equal(dec, arr), f"filter unfiltering broke (ct={color_type})"
+
+
+def test_png_known_pixels():
+    """A hand-built 2x2 gray PNG decodes to exactly the known pixels."""
+    arr = np.array([[[10], [200]], [[255], [0]]], dtype=np.uint8)
+    blob = _encode_png(arr, 0, row_filters=[0])
+    w, h, c, dec = MM.decode_image_py(blob)
+    assert (w, h, c) == (2, 2, 1)
+    assert dec.tolist() == arr.tolist()
+
+
+def test_png_unsupported_profiles_raise():
+    import struct
+    import zlib as _z
+
+    def ihdr_png(depth, color, interlace):
+        body = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
+        crc = struct.pack(">I", _z.crc32(b"IHDR" + body) & 0xFFFFFFFF)
+        return MM.PNG_MAGIC + struct.pack(">I", len(body)) + b"IHDR" + body + crc
+
+    with pytest.raises(NotImplementedError):  # 16-bit depth
+        MM.decode_image_py(ihdr_png(16, 0, 0))
+    with pytest.raises(NotImplementedError):  # palette
+        MM.decode_image_py(ihdr_png(8, 3, 0))
+    with pytest.raises(NotImplementedError):  # Adam7
+        MM.decode_image_py(ihdr_png(8, 0, 1))
+
+
+def _encode_wav(samples: np.ndarray, sr: int, nch: int, width: int) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(nch)
+        wf.setsampwidth(width)
+        wf.setframerate(sr)
+        wf.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def test_wav_decode_known_samples_16bit():
+    samples = np.array([0, 1000, -1000, 32767, -32768, 5], dtype="<i2")
+    sr, pcm = MM.decode_audio_py(_encode_wav(samples, 8000, 1, 2))
+    assert sr == 8000
+    assert pcm.tolist() == samples.astype(np.float64).tolist()
+
+
+def test_wav_decode_8bit_centering_and_stereo_mixdown():
+    # 8-bit PCM is unsigned: 128 is silence -> centered to 0.0
+    s8 = np.array([128, 129, 127, 255, 0], dtype=np.uint8)
+    sr, pcm = MM.decode_audio_py(_encode_wav(s8, 16000, 1, 1))
+    assert pcm.tolist() == [0.0, 1.0, -1.0, 127.0, -128.0]
+    # stereo interleaved (L0,R0,L1,R1) mixes down to per-frame mean
+    st = np.array([100, 200, -50, 50], dtype="<i2")
+    _sr, pcm2 = MM.decode_audio_py(_encode_wav(st, 16000, 2, 2))
+    assert pcm2.tolist() == [150.0, 0.0]
+
+
+def test_audio_features_on_real_wav_matches_numpy(spark):
+    samples = (np.sin(np.linspace(0, 40, 1600)) * 12000).astype("<i2")
+    blob = _encode_wav(samples, 8000, 1, 2)
+    media = spark.createDataFrame(
+        [(1, "u", "audio", blob, {})], MM.MEDIA_SCHEMA
+    )
+    rows = {
+        r["window"]: (r["rms"], r["zcr"])
+        for r in MM.audio_features(media, n_windows=4).collect()
+    }
+    pcm = samples.astype(np.float64)
+    for w, chunk in enumerate(np.array_split(pcm, 4)):
+        rms = float(np.sqrt((chunk**2).mean()))
+        signs = np.sign(chunk)
+        nz = signs != 0
+        zcr = int((np.diff(signs[nz]) != 0).sum()) / max(1, len(chunk) - 1)
+        assert abs(rows[w][0] - rms) < 1e-9
+        assert abs(rows[w][1] - zcr) < 1e-12
+
+
+def test_image_info_on_real_png_through_spark(spark):
+    rng = np.random.Generator(np.random.PCG64(77))
+    arr = rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)
+    blob = _encode_png(arr, 2, row_filters=[0, 1, 2, 3, 4])
+    media = spark.createDataFrame(
+        [(1, "u", "image", blob, {})], MM.MEDIA_SCHEMA
+    )
+    r = MM.image_info(media).collect()[0]
+    assert (r["width"], r["height"], r["channels"]) == (9, 6, 3)
+    assert r["px_sum"] == int(arr.astype(np.int64).sum())
