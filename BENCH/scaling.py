@@ -142,6 +142,10 @@ def main() -> None:
     ap.add_argument("--frontier", default=None, choices=["full", "delta"],
                     help="frontier checkpoint layout override"
                          " (unset = CrawlJob default, currently delta)")
+    ap.add_argument("--out", default="scaling_result.json",
+                    help="result filename under BENCH/ (default overwrites"
+                         " the canonical scaling_result.json — pass a"
+                         " distinct name for smoke/regime runs)")
     ap.add_argument("--regime", default="default", choices=["default", "full10"],
                     help="full10 = the complete 10^10-URL feature set ON:"
                          " seen prefilter (bloom) stored as a parquet shard"
@@ -194,7 +198,7 @@ def main() -> None:
     result = {"N": r8, "fourN": r32, "scaling_efficiency": round(eff, 3)}
     print(json.dumps(result))
 
-    with open(os.path.join(REPO, "BENCH", "scaling_result.json"), "w") as fh:
+    with open(os.path.join(REPO, "BENCH", args.out), "w") as fh:
         json.dump(result, fh, indent=2)
 
     # BASELINE.md is hand-maintained as of round 3 (the header presents

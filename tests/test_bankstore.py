@@ -317,3 +317,33 @@ def test_crawl_stored_cuckoo_horizon_aging_parity(
         for w in t.get("prefilter_update", {}).get("evicted_cohorts", [])
     ]
     assert evicted, f"no cohort eviction recorded: {r_tab.timings}"
+
+
+def test_crawl_full10_regime_parity(
+    spark, pages_df, robots_df, tiny, tmp_path
+):
+    """The COMPLETE 10^10-URL knob set, on together (VERDICT r3 #6):
+    stored bloom bank + forced routed probe + horizon aging machinery +
+    flip-gated exact resolution + delta frontier.  With the horizon ==
+    max_waves no cohort ages out inside the run, so the schedule must
+    equal the all-defaults crawl exactly."""
+    base = dict(politeness_budget=4, max_waves=4)
+    r_def = run_crawl(
+        spark, pages_df, tiny["seeds"], CrawlJob(**base),
+        robots=robots_df, checkpoint_dir=str(tmp_path / "def"),
+    )
+    r_f10 = run_crawl(
+        spark, pages_df, tiny["seeds"],
+        CrawlJob(
+            **base, use_bloom=True, seen_filter="bloom",
+            prefilter_store="table", probe_mode="routed",
+            seen_horizon_waves=4, frontier_checkpoint="delta",
+        ),
+        robots=robots_df, checkpoint_dir=str(tmp_path / "f10"),
+    )
+    assert _order(r_def, spark) == _order(r_f10, spark)
+    # every feature actually engaged
+    assert StoredBank.exists(str(tmp_path / "f10" / "prefilter"))
+    assert {t.get("frontier_kind") for t in r_f10.timings} == {"delta"}
+    upd = [t for t in r_f10.timings if "prefilter_update" in t]
+    assert upd, "stored bank never delta-merged"
