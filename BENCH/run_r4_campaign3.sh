@@ -1,0 +1,22 @@
+#!/bin/bash
+# Round-4 campaign, leg 3: a third default crawl run (probe-bracketed)
+# so the round-4 default-regime efficiency has a 3-run median.
+set -e
+cd "$(dirname "$0")/.."
+P () {
+  python BENCH/scaling_alu.py --mode shuffle --chain 24 \
+      --rows 60000000 --rounds 3 2>/dev/null | tail -1 \
+      > "BENCH/probe_r4_$1.json"
+  python - "$1" <<'EOF'
+import json, sys
+d = json.load(open(f"BENCH/probe_r4_{sys.argv[1]}.json"))
+print(f"probe {sys.argv[1]}: eff={d['scaling_efficiency']}"
+      f" N={d['N']['seconds']}s 4N={d['fourN']['seconds']}s", flush=True)
+EOF
+}
+echo "=== campaign3 start $(date) ==="
+P e
+echo "--- crawl default run 3 $(date) ---"
+python BENCH/scaling.py --out scaling_result_r4_3.json 2>/dev/null | tail -1
+P f
+echo "=== campaign3 end $(date) ==="
