@@ -3,16 +3,20 @@ with typed metadata, processed by Arrow-batched ``mapInPandas`` /
 pandas UDFs.
 
 Decoders (magic-byte dispatch, round 4):
-  image — real PNG (stdlib zlib inflate + scanline unfilter; baseline
-          profile: depth 8, gray/RGB/gray-alpha/RGBA, non-interlaced)
-          plus the deterministic FAKEIMG fixture; other formats raise
-          ``NotImplementedError`` behind a PIL import-try (drop-in once
-          PIL ships).
+  image — real PNG (stdlib zlib inflate + bytewise scanline unfilter;
+          8/16-bit gray/RGB/gray-alpha/RGBA plus 8-bit palette,
+          non-interlaced) and real BMP (uncompressed 8/24-bit, both
+          row orders) plus the deterministic FAKEIMG fixture; other
+          formats raise ``NotImplementedError`` behind a PIL
+          import-try (drop-in once PIL ships).
   audio — real RIFF/WAVE via the stdlib ``wave`` module (8/16/32-bit
           PCM, multi-channel mixdown) plus the FAKEAUD fixture; other
           formats raise.
-  video — FAKEVID fixture only (no stdlib video codec exists; the
-          frame-sampling plumbing is real, the codec boundary honest).
+  video — real uncompressed RIFF/AVI (BI_RGB 'vids' stream, 8/24-bit
+          DIB frames normalized to top-down RGB/gray) plus the FAKEVID
+          fixture; compressed codecs raise (no stdlib video codec
+          exists — the honest boundary is now the codec, not the
+          container).
 The FAKE* formats remain the oracle fixtures: DuckDB recomputes their
 features digit-exactly from the raw blobs (q24).
 
@@ -107,7 +111,8 @@ def encode_fake_video(n_frames: int, w: int, h: int, seed: int) -> bytes:
 
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> channels
+# color type -> channels IN THE SCANLINE (palette rows carry 1 index byte)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
@@ -121,12 +126,15 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 def _decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
     """Real PNG decode, stdlib-only (zlib inflate + per-row unfilter).
 
-    Supports the baseline-profile subset a pipeline's own artifacts use:
-    bit depth 8, color types gray/RGB/gray-alpha/RGBA, non-interlaced.
-    Palette/16-bit/Adam7 raise NotImplementedError (honest boundary —
-    wire PIL for the full format zoo)."""
+    Supports bit depths 8 and 16 across gray/RGB/gray-alpha/RGBA plus
+    8-bit palette (PLTE lookup -> RGB).  PNG filters operate on BYTES
+    with a left-neighbor offset of bpp (= channels x bytes-per-sample),
+    so one bytewise unfilter serves every depth.  Sub-byte depths and
+    Adam7 raise NotImplementedError (honest boundary — wire PIL for the
+    full format zoo)."""
     pos, w = 8, None
     idat = bytearray()
+    plte = None
     while pos + 8 <= len(data):
         (length,), ctype = struct.unpack_from(">I", data, pos), data[pos + 4: pos + 8]
         body = data[pos + 8: pos + 8 + length]
@@ -134,12 +142,16 @@ def _decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
             w, h, depth, color, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8:
-                raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
             if color not in _PNG_CHANNELS:
                 raise NotImplementedError(f"PNG color type {color}")
+            if depth not in (8, 16) or (color == 3 and depth != 8):
+                raise NotImplementedError(
+                    f"PNG bit depth {depth} for color type {color}"
+                )
             if interlace:
                 raise NotImplementedError("Adam7-interlaced PNG")
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -148,18 +160,19 @@ def _decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
     if w is None:
         raise ValueError("PNG missing IHDR")
     c = _PNG_CHANNELS[color]
+    bpp = c * (depth // 8)  # filter lane width in bytes
     raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
-    stride = w * c
+    stride = w * bpp
     rows = raw.reshape(h, stride + 1)  # each scanline: filter byte + pixels
     out = np.zeros((h, stride), dtype=np.uint8)
-    zero = np.zeros(c, dtype=np.uint8)
+    zero = np.zeros(bpp, dtype=np.uint8)
     for y in range(h):
         filt, line = int(rows[y, 0]), rows[y, 1:].copy()
         up = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
         if filt == 0:
             out[y] = line
-        elif filt == 1:  # Sub: left-neighbor running sum per channel lane
-            lane = line.reshape(-1, c)
+        elif filt == 1:  # Sub: left-neighbor running sum per byte lane
+            lane = line.reshape(-1, bpp)
             out[y] = np.cumsum(lane.astype(np.uint64), axis=0).astype(
                 np.uint8
             ).ravel()
@@ -168,24 +181,74 @@ def _decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
         elif filt == 3:  # Average (sequential left-dependency)
             cur = out[y]
             for x in range(stride):
-                left = cur[x - c] if x >= c else 0
+                left = cur[x - bpp] if x >= bpp else 0
                 cur[x] = (int(line[x]) + (int(left) + int(up[x])) // 2) & 0xFF
         elif filt == 4:  # Paeth (sequential left-dependency)
             cur = out[y]
-            for x0 in range(0, stride, c):
-                left = cur[x0 - c: x0] if x0 else zero
-                ul = up[x0 - c: x0] if x0 else zero
-                pred = _paeth(left, up[x0: x0 + c], ul)
-                cur[x0: x0 + c] = line[x0: x0 + c] + pred
+            for x0 in range(0, stride, bpp):
+                left = cur[x0 - bpp: x0] if x0 else zero
+                ul = up[x0 - bpp: x0] if x0 else zero
+                pred = _paeth(left, up[x0: x0 + bpp], ul)
+                cur[x0: x0 + bpp] = line[x0: x0 + bpp] + pred
         else:
             raise ValueError(f"PNG filter type {filt}")
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return w, h, 3, plte[out.reshape(h, w)]
+    if depth == 16:
+        px = out.reshape(h, w, c, 2)
+        wide = (px[..., 0].astype(np.uint16) << 8) | px[..., 1]  # big-endian
+        return w, h, c, wide
     return w, h, c, out.reshape(h, w, c)
+
+
+def _decode_bmp(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Real BMP decode, stdlib-only (BITMAPINFOHEADER, uncompressed
+    BI_RGB): 24-bit BGR and 8-bit palette rows, 4-byte row padding,
+    bottom-up or top-down (negative biHeight).  RLE/bitfield
+    compression and other bit counts raise."""
+    if len(data) < 54:
+        raise ValueError("BMP too short")
+    (off_bits,) = struct.unpack_from("<I", data, 10)
+    (hdr_size,) = struct.unpack_from("<I", data, 14)
+    if hdr_size < 40:
+        raise NotImplementedError("BMP core-header (pre-v3) variant")
+    w, h_signed = struct.unpack_from("<ii", data, 18)
+    (bitcount,) = struct.unpack_from("<H", data, 28)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if compression != 0:
+        raise NotImplementedError(f"BMP compression {compression} (BI_RGB only)")
+    top_down, h = h_signed < 0, abs(h_signed)
+    if bitcount == 24:
+        row_bytes = (w * 3 + 3) & ~3
+        px = np.zeros((h, w, 3), np.uint8)
+        for y in range(h):
+            row = np.frombuffer(
+                data, np.uint8, w * 3, off_bits + y * row_bytes
+            ).reshape(w, 3)
+            px[y if top_down else h - 1 - y] = row[:, ::-1]  # BGR -> RGB
+        return w, h, 3, px
+    if bitcount == 8:
+        (clr_used,) = struct.unpack_from("<I", data, 46)
+        n_pal = clr_used or 256
+        pal = np.frombuffer(
+            data, np.uint8, n_pal * 4, 14 + hdr_size
+        ).reshape(n_pal, 4)[:, 2::-1]  # BGRA entries -> RGB
+        row_bytes = (w + 3) & ~3
+        idx = np.zeros((h, w), np.uint8)
+        for y in range(h):
+            row = np.frombuffer(data, np.uint8, w, off_bits + y * row_bytes)
+            idx[y if top_down else h - 1 - y] = row
+        return w, h, 3, pal[idx]
+    raise NotImplementedError(f"BMP bit count {bitcount} (8/24 only)")
 
 
 def decode_image_py(data: bytes | None) -> tuple[int, int, int, np.ndarray] | None:
     """Magic-byte dispatch decoder: FAKEIMG (deterministic fixture),
-    real PNG (stdlib zlib path, baseline profile), then PIL if present;
-    other real formats raise — the honest sandbox boundary."""
+    real PNG (stdlib zlib path: 8/16-bit, gray/RGB/alpha/palette), real
+    BMP (uncompressed 8/24-bit), then PIL if present; other real
+    formats raise — the honest sandbox boundary."""
     if data is None:
         return None
     data = bytes(data)
@@ -195,10 +258,12 @@ def decode_image_py(data: bytes | None) -> tuple[int, int, int, np.ndarray] | No
         return w, h, c, arr
     if data[:8] == PNG_MAGIC:
         return _decode_png(data)
+    if data[:2] == b"BM":
+        return _decode_bmp(data)
     if HAVE_PIL:  # pragma: no cover - not in this container
         raise NotImplementedError("real image decode: wire PIL here")
     raise NotImplementedError(
-        "no decoder for this image format (FAKEIMG and PNG supported)"
+        "no decoder for this image format (FAKEIMG, PNG, BMP supported)"
     )
 
 
@@ -228,6 +293,96 @@ def _decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     if nch > 1:
         pcm = pcm.reshape(-1, nch).mean(axis=1)
     return sr, pcm
+
+
+def _riff_chunks(data: bytes, pos: int, end: int):
+    """Iterate (fourcc, body_start, body_end) over a RIFF chunk run;
+    chunk bodies are word-aligned (odd sizes padded by one byte)."""
+    while pos + 8 <= end:
+        cid = data[pos: pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = pos + 8
+        yield cid, body, min(body + size, end)
+        pos = body + size + (size & 1)
+
+
+def _decode_avi(data: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Real AVI decode, stdlib-only: RIFF('AVI ') container with an
+    UNCOMPRESSED (BI_RGB) 'vids' stream — the format a pipeline's own
+    intermediate artifacts use.  Frames are '##db'/'##dc' DIB chunks
+    following BMP pixel-array conventions (bottom-up BGR, 4-byte row
+    padding for 24-bit; raw index/gray rows for 8-bit).  Returns
+    (n_frames, w, h, frames) with every frame normalized to top-down
+    RGB (w*h*3 bytes) or gray (w*h).  Compressed codecs raise."""
+    w = h = bitcount = None
+    frames: list[bytes] = []
+    for cid, body, bend in _riff_chunks(data, 12, len(data)):
+        if cid != b"LIST":
+            continue
+        ltype = data[body: body + 4]
+        if ltype == b"hdrl":
+            for c2, b2, e2 in _riff_chunks(data, body + 4, bend):
+                if c2 == b"LIST" and data[b2: b2 + 4] == b"strl":
+                    fcc_type = strf = None
+                    for c3, b3, e3 in _riff_chunks(data, b2 + 4, e2):
+                        if c3 == b"strh":
+                            fcc_type = data[b3: b3 + 4]
+                        elif c3 == b"strf":
+                            strf = b3
+                    if fcc_type == b"vids" and strf is not None:
+                        w, h_signed = struct.unpack_from("<ii", data, strf + 4)
+                        (bitcount,) = struct.unpack_from("<H", data, strf + 14)
+                        (compression,) = struct.unpack_from("<I", data, strf + 16)
+                        if compression != 0:
+                            raise NotImplementedError(
+                                f"AVI video compression {compression} (BI_RGB only)"
+                            )
+                        h = abs(h_signed)
+        elif ltype == b"movi":
+            for c2, b2, e2 in _riff_chunks(data, body + 4, bend):
+                if c2[2:4] in (b"db", b"dc"):
+                    frames.append(data[b2:e2])
+    if w is None or not frames:
+        raise ValueError("AVI missing vids stream header or frames")
+    out = []
+    if bitcount == 24:
+        row_bytes = (w * 3 + 3) & ~3
+        for fr in frames:
+            px = np.zeros((h, w, 3), np.uint8)
+            for y in range(h):
+                row = np.frombuffer(fr, np.uint8, w * 3, y * row_bytes)
+                px[h - 1 - y] = row.reshape(w, 3)[:, ::-1]  # BGR -> RGB
+            out.append(px.tobytes())
+    elif bitcount == 8:
+        row_bytes = (w + 3) & ~3
+        for fr in frames:
+            px = np.zeros((h, w), np.uint8)
+            for y in range(h):
+                px[h - 1 - y] = np.frombuffer(fr, np.uint8, w, y * row_bytes)
+            out.append(px.tobytes())
+    else:
+        raise NotImplementedError(f"AVI bit count {bitcount} (8/24 only)")
+    return len(out), w, h, out
+
+
+def decode_video_py(data: bytes | None) -> tuple[int, int, int, list[bytes]] | None:
+    """Magic-byte dispatch: FAKEVID (deterministic fixture; raw gray
+    frame slices, byte-identical to the pre-round-4 behavior) or real
+    uncompressed RIFF/AVI.  Returns (n_frames, width, height, frames)."""
+    if data is None:
+        return None
+    data = bytes(data)
+    if data[:7] == b"FAKEVID":
+        n, w, h = struct.unpack_from("<III", data, 7)
+        fsz = w * h
+        return n, w, h, [
+            bytes(data[19 + k * fsz: 19 + (k + 1) * fsz]) for k in range(n)
+        ]
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return _decode_avi(data)
+    raise NotImplementedError(
+        "no decoder for this video format (FAKEVID and uncompressed AVI supported)"
+    )
 
 
 def decode_audio_py(data: bytes | None) -> tuple[int, np.ndarray] | None:
@@ -320,14 +475,16 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for mid, data in zip(pdf["media_id"], pdf["data"]):
-                if data is None or data[:7] != b"FAKEVID":
+                if data is None:
                     continue
-                n, w, h = struct.unpack_from("<III", data, 7)
-                fsz = w * h
+                try:
+                    n, _w, _h, decoded = decode_video_py(data)
+                except (NotImplementedError, ValueError):
+                    continue  # undecodable row: contained, not fatal (D4)
                 for k in range(0, n, every_n):
                     ids.append(mid)
                     idxs.append(k)
-                    frames.append(bytes(data[19 + k * fsz: 19 + (k + 1) * fsz]))
+                    frames.append(decoded[k])
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return (

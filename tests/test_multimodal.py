@@ -119,24 +119,35 @@ def test_audio_features_windows(spark):
 # round 4: REAL decoders, stdlib-only (PNG via zlib, WAV via wave)
 
 
-def _encode_png(arr: np.ndarray, color_type: int, row_filters) -> bytes:
+def _encode_png(
+    arr: np.ndarray, color_type: int, row_filters, depth: int = 8,
+    palette: np.ndarray | None = None,
+) -> bytes:
     """Test-side PNG encoder: applies the spec's per-row filter
-    transforms (the exact inverses the decoder must undo), deflates,
-    frames the chunks.  CRCs via zlib.crc32."""
+    transforms (the exact inverses the decoder must undo) BYTEWISE with
+    the spec's bpp left-offset, deflates, frames the chunks.  arr is
+    (h, w, c) samples (uint8 or uint16 for depth 16), or (h, w) indices
+    for palette (color type 3, with `palette` as (n, 3) RGB rows).
+    CRCs via zlib.crc32."""
     import struct
     import zlib
 
-    h, w, c = arr.shape
-    stride = w * c
+    h, w = arr.shape[:2]
+    c = arr.shape[2] if arr.ndim == 3 else 1
+    bpp = c * (depth // 8)
+    stride = w * bpp
     out = bytearray()
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
-        raw = arr[y].ravel().astype(np.uint8)
+        if depth == 16:
+            raw = np.frombuffer(arr[y].astype(">u2").tobytes(), np.uint8)
+        else:
+            raw = arr[y].ravel().astype(np.uint8)
         filt = row_filters[y % len(row_filters)]
         left = np.zeros(stride, dtype=np.uint8)
-        left[c:] = raw[:-c]
+        left[bpp:] = raw[:-bpp]
         ul = np.zeros(stride, dtype=np.uint8)
-        ul[c:] = prev[:-c]
+        ul[bpp:] = prev[:-bpp]
         if filt == 0:
             enc = raw
         elif filt == 1:
@@ -161,13 +172,11 @@ def _encode_png(arr: np.ndarray, color_type: int, row_filters) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    return (
-        MM.PNG_MAGIC
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(out)))
-        + chunk(b"IEND", b"")
-    )
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    blob = MM.PNG_MAGIC + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        blob += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    return blob + chunk(b"IDAT", zlib.compress(bytes(out))) + chunk(b"IEND", b"")
 
 
 @pytest.mark.parametrize(
@@ -201,12 +210,185 @@ def test_png_unsupported_profiles_raise():
         crc = struct.pack(">I", _z.crc32(b"IHDR" + body) & 0xFFFFFFFF)
         return MM.PNG_MAGIC + struct.pack(">I", len(body)) + b"IHDR" + body + crc
 
-    with pytest.raises(NotImplementedError):  # 16-bit depth
-        MM.decode_image_py(ihdr_png(16, 0, 0))
-    with pytest.raises(NotImplementedError):  # palette
-        MM.decode_image_py(ihdr_png(8, 3, 0))
+    with pytest.raises(NotImplementedError):  # sub-byte depth
+        MM.decode_image_py(ihdr_png(4, 0, 0))
+    with pytest.raises(NotImplementedError):  # 16-bit palette (spec-invalid)
+        MM.decode_image_py(ihdr_png(16, 3, 0))
     with pytest.raises(NotImplementedError):  # Adam7
         MM.decode_image_py(ihdr_png(8, 0, 1))
+
+
+def test_png_16bit_roundtrip_all_filters():
+    """16-bit samples survive the bytewise unfilter (bpp=2c lanes) and
+    come back as big-endian-decoded uint16 exactly."""
+    rng = np.random.Generator(np.random.PCG64(21))
+    for c, color_type in [(1, 0), (3, 2)]:
+        arr = rng.integers(0, 65536, (7, 5, c), dtype=np.uint16)
+        blob = _encode_png(arr, color_type, row_filters=[0, 1, 2, 3, 4], depth=16)
+        w, h, cc, dec = MM.decode_image_py(blob)
+        assert (w, h, cc) == (5, 7, c)
+        assert dec.dtype == np.uint16
+        assert np.array_equal(dec, arr)
+
+
+def test_png_palette_roundtrip():
+    """8-bit palette PNG: indices unfilter, then PLTE lookup -> RGB."""
+    rng = np.random.Generator(np.random.PCG64(22))
+    palette = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (6, 9), dtype=np.uint8)
+    blob = _encode_png(idx, 3, row_filters=[0, 1, 2, 3, 4], palette=palette)
+    w, h, c, dec = MM.decode_image_py(blob)
+    assert (w, h, c) == (9, 6, 3)
+    assert np.array_equal(dec, palette[idx])
+
+
+def _encode_bmp(px: np.ndarray, top_down: bool = False,
+                palette: np.ndarray | None = None) -> bytes:
+    """Test-side BMP encoder: BITMAPINFOHEADER, BI_RGB, padded rows.
+    px is (h, w, 3) RGB for 24-bit or (h, w) indices with `palette`."""
+    import struct
+
+    h, w = px.shape[:2]
+    if palette is None:
+        row_bytes = (w * 3 + 3) & ~3
+        pal_blob = b""
+        bitcount = 24
+    else:
+        row_bytes = (w + 3) & ~3
+        # BGRA palette entries
+        pal_blob = b"".join(
+            bytes([b, g, r, 0]) for r, g, b in palette.tolist()
+        )
+        bitcount = 8
+    rows = []
+    order = range(h) if top_down else range(h - 1, -1, -1)
+    for y in order:
+        if palette is None:
+            line = px[y][:, ::-1].astype(np.uint8).tobytes()  # RGB -> BGR
+        else:
+            line = px[y].astype(np.uint8).tobytes()
+        rows.append(line + b"\x00" * (row_bytes - len(line)))
+    body = b"".join(rows)
+    off_bits = 14 + 40 + len(pal_blob)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bitcount, 0,
+        len(body), 2835, 2835, len(palette) if palette is not None else 0, 0,
+    )
+    hdr = b"BM" + struct.pack("<IHHI", off_bits + len(body), 0, 0, off_bits)
+    return hdr + info + pal_blob + body
+
+
+def test_bmp_24bit_roundtrip_both_row_orders():
+    rng = np.random.Generator(np.random.PCG64(23))
+    arr = rng.integers(0, 256, (5, 3, 3), dtype=np.uint8)  # w=3 -> padded rows
+    for top_down in (False, True):
+        w, h, c, dec = MM.decode_image_py(_encode_bmp(arr, top_down=top_down))
+        assert (w, h, c) == (3, 5, 3)
+        assert np.array_equal(dec, arr), f"top_down={top_down}"
+
+
+def test_bmp_8bit_palette_roundtrip():
+    rng = np.random.Generator(np.random.PCG64(24))
+    palette = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, (4, 6), dtype=np.uint8)
+    w, h, c, dec = MM.decode_image_py(_encode_bmp(idx, palette=palette))
+    assert (w, h, c) == (6, 4, 3)
+    assert np.array_equal(dec, palette[idx])
+
+
+def test_bmp_compressed_raises():
+    import struct
+
+    blob = bytearray(_encode_bmp(np.zeros((2, 2, 3), np.uint8)))
+    struct.pack_into("<I", blob, 30, 1)  # biCompression = BI_RLE8
+    with pytest.raises(NotImplementedError):
+        MM.decode_image_py(bytes(blob))
+
+
+def _encode_avi(frames: np.ndarray, palette_8bit: bool = False) -> bytes:
+    """Test-side AVI encoder: RIFF('AVI ') / LIST hdrl (strl: strh
+    'vids' + strf BITMAPINFOHEADER, BI_RGB) / LIST movi with '00db' DIB
+    frames (bottom-up, BGR for 24-bit, padded rows)."""
+    import struct
+
+    n, h, w = frames.shape[:3]
+    bitcount = 8 if palette_8bit else 24
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    strh = b"vids" + b"\x00" * 52
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bitcount, 0, 0, 0, 0, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", b"\x00" * 56)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b""
+    for k in range(n):
+        rows = []
+        if palette_8bit:
+            row_bytes = (w + 3) & ~3
+            for y in range(h - 1, -1, -1):
+                line = frames[k, y].astype(np.uint8).tobytes()
+                rows.append(line + b"\x00" * (row_bytes - len(line)))
+        else:
+            row_bytes = (w * 3 + 3) & ~3
+            for y in range(h - 1, -1, -1):
+                line = frames[k, y][:, ::-1].astype(np.uint8).tobytes()
+                rows.append(line + b"\x00" * (row_bytes - len(line)))
+        movi_body += chunk(b"00db", b"".join(rows))
+    movi = lst(b"movi", movi_body)
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def test_avi_24bit_decode_known_frames():
+    rng = np.random.Generator(np.random.PCG64(25))
+    frames = rng.integers(0, 256, (4, 3, 5, 3), dtype=np.uint8)  # n,h,w,3
+    n, w, h, dec = MM.decode_video_py(_encode_avi(frames))
+    assert (n, w, h) == (4, 5, 3)
+    for k in range(4):
+        got = np.frombuffer(dec[k], np.uint8).reshape(3, 5, 3)
+        assert np.array_equal(got, frames[k]), f"frame {k}"
+
+
+def test_avi_8bit_gray_decode():
+    rng = np.random.Generator(np.random.PCG64(26))
+    frames = rng.integers(0, 256, (3, 2, 6), dtype=np.uint8)  # n,h,w
+    n, w, h, dec = MM.decode_video_py(_encode_avi(frames, palette_8bit=True))
+    assert (n, w, h) == (3, 6, 2)
+    for k in range(3):
+        got = np.frombuffer(dec[k], np.uint8).reshape(2, 6)
+        assert np.array_equal(got, frames[k])
+
+
+def test_avi_compressed_codec_raises():
+    import struct
+
+    blob = bytearray(_encode_avi(np.zeros((1, 2, 2, 3), np.uint8)))
+    pos = bytes(blob).find(b"strf") + 8  # strf body = BITMAPINFOHEADER
+    struct.pack_into("<I", blob, pos + 16, 0x44495643)  # biCompression='CVID'
+    with pytest.raises(NotImplementedError):
+        MM.decode_video_py(bytes(blob))
+
+
+def test_sample_frames_on_real_avi_through_spark(spark):
+    rng = np.random.Generator(np.random.PCG64(27))
+    frames = rng.integers(0, 256, (5, 3, 4, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, "u", "video", _encode_avi(frames), {})], MM.MEDIA_SCHEMA
+    )
+    rows = {r["frame_idx"]: r["frame"]
+            for r in MM.sample_frames(media, every_n=2).collect()}
+    assert sorted(rows) == [0, 2, 4]
+    for k in (0, 2, 4):
+        got = np.frombuffer(rows[k], np.uint8).reshape(3, 4, 3)
+        assert np.array_equal(got, frames[k])
 
 
 def _encode_wav(samples: np.ndarray, sr: int, nch: int, width: int) -> bytes:
