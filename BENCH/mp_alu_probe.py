@@ -10,11 +10,13 @@ frequency: 2 active cores clock higher than 8).
 
 This probe removes Spark entirely: a fixed integer-mix loop (splitmix64
 step, pure registers, zero memory traffic) partitioned statically over
-K processes via multiprocessing, wall-clocked at K=2 and K=8 with the
-parent pinned to the same CPU sets the Spark legs use.  If THIS also
-lands ~0.73, the plateau is the hardware and every Spark number this
-round inherits it; real N-vs-4N executor fleets bring their own
-sockets and clocks.
+K processes via multiprocessing, wall-clocked at K=2 and K=8.  The
+legs run UNPINNED, matching the headline (unpinned) Spark protocol —
+round 3's pinned-affinity experiment showed affinity moves nothing on
+this box, so the free-riding 2-proc leg is part of what the probe
+measures, by design.  If THIS also lands well below 1.0, the plateau
+is the hardware and every Spark number this round inherits it; real
+N-vs-4N executor fleets bring their own sockets and clocks.
 
 Usage:  python BENCH/mp_alu_probe.py [--iters 60000000]
 Writes: BENCH/mp_alu_probe_result.json

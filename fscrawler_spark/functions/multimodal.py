@@ -34,6 +34,7 @@ into the column shapes a multimodal training-data pipeline needs.
 from __future__ import annotations
 
 import struct
+import wave
 import zlib
 from typing import Iterator
 
@@ -275,7 +276,6 @@ def _decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     to their native integer scale, uncompressed only (`wave` rejects
     non-PCM)."""
     import io
-    import wave
 
     with wave.open(io.BytesIO(data), "rb") as wf:
         sr = wf.getframerate()
@@ -315,6 +315,7 @@ def _decode_avi(data: bytes) -> tuple[int, int, int, list[bytes]]:
     (n_frames, w, h, frames) with every frame normalized to top-down
     RGB (w*h*3 bytes) or gray (w*h).  Compressed codecs raise."""
     w = h = bitcount = None
+    top_down = False
     frames: list[bytes] = []
     for cid, body, bend in _riff_chunks(data, 12, len(data)):
         if cid != b"LIST":
@@ -337,7 +338,7 @@ def _decode_avi(data: bytes) -> tuple[int, int, int, list[bytes]]:
                             raise NotImplementedError(
                                 f"AVI video compression {compression} (BI_RGB only)"
                             )
-                        h = abs(h_signed)
+                        top_down, h = h_signed < 0, abs(h_signed)
         elif ltype == b"movi":
             for c2, b2, e2 in _riff_chunks(data, body + 4, bend):
                 if c2[2:4] in (b"db", b"dc"):
@@ -351,14 +352,16 @@ def _decode_avi(data: bytes) -> tuple[int, int, int, list[bytes]]:
             px = np.zeros((h, w, 3), np.uint8)
             for y in range(h):
                 row = np.frombuffer(fr, np.uint8, w * 3, y * row_bytes)
-                px[h - 1 - y] = row.reshape(w, 3)[:, ::-1]  # BGR -> RGB
-            out.append(px.tobytes())
+                px[y if top_down else h - 1 - y] = row.reshape(w, 3)[:, ::-1]
+            out.append(px.tobytes())  # BGR rows -> top-down RGB
     elif bitcount == 8:
         row_bytes = (w + 3) & ~3
         for fr in frames:
             px = np.zeros((h, w), np.uint8)
             for y in range(h):
-                px[h - 1 - y] = np.frombuffer(fr, np.uint8, w, y * row_bytes)
+                px[y if top_down else h - 1 - y] = np.frombuffer(
+                    fr, np.uint8, w, y * row_bytes
+                )
             out.append(px.tobytes())
     else:
         raise NotImplementedError(f"AVI bit count {bitcount} (8/24 only)")
@@ -479,7 +482,7 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
                     continue
                 try:
                     n, _w, _h, decoded = decode_video_py(data)
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, ValueError, struct.error):
                     continue  # undecodable row: contained, not fatal (D4)
                 for k in range(0, n, every_n):
                     ids.append(mid)
@@ -495,11 +498,27 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
 
 
 def audio_duration(media: DataFrame) -> DataFrame:
-    """Audio metadata: duration seconds from the fake header — Column
-    arithmetic over JVM byte-slicing, no Python at all (headers are
-    fixed-offset, so substring + conversion suffices)."""
-    sr = _le_u32(F.col("data"), 8)
-    n = _le_u32(F.col("data"), 12)
+    """Audio metadata: duration seconds parsed JVM-side from header
+    offsets — Column byte-slicing, no Python at all.  Format-dispatched
+    like the Python decoders: FAKEAUD uses its fixture header; RIFF/
+    WAVE uses the canonical layout the stdlib ``wave`` writer produces
+    ('fmt ' at byte 12, 'data' chunk at byte 36: sample_rate LE u32 at
+    24, block_align LE u16 at 32, data size LE u32 at 40).  Unknown or
+    non-canonical blobs yield NULLs, never garbage."""
+    d = F.col("data")
+    is_fake = F.substring(d, 1, 7) == F.lit(b"FAKEAUD")
+    is_wav = (
+        (F.substring(d, 1, 4) == F.lit(b"RIFF"))
+        & (F.substring(d, 9, 4) == F.lit(b"WAVE"))
+        & (F.substring(d, 37, 4) == F.lit(b"data"))
+    )
+    sr = F.when(is_fake, _le_u32(d, 8)).when(is_wav, _le_u32(d, 25))
+    n = F.when(is_fake, _le_u32(d, 12)).when(
+        is_wav,
+        F.floor(
+            _le_u32(d, 41) / F.greatest(_le_u16(d, 33), F.lit(1))
+        ).cast("long"),
+    )
     return (
         media.where(F.col("media_type") == "audio")
         .select(
@@ -536,7 +555,8 @@ def audio_features(media: DataFrame, n_windows: int = 8) -> DataFrame:
                     continue
                 try:
                     _sr, pcm = decode_audio_py(data)
-                except (NotImplementedError, ValueError, EOFError):
+                except (NotImplementedError, ValueError, EOFError,
+                        struct.error, wave.Error):
                     continue  # undecodable row: contained, not fatal (D4)
                 for w, chunk in enumerate(np.array_split(pcm, n_windows)):
                     if not len(chunk):
@@ -568,3 +588,12 @@ def _le_u32(data, pos1: int):
     hexed = F.hex(F.substring(data, pos1, 4))
     b = [F.substring(hexed, i * 2 + 1, 2) for i in range(4)]
     return F.conv(F.concat(b[3], b[2], b[1], b[0]), 16, 10).cast("long")
+
+
+def _le_u16(data, pos1: int):
+    """Little-endian u16 at 1-based byte offset pos1 of a binary column
+    (same hex-swap trick as :func:`_le_u32`)."""
+    hexed = F.hex(F.substring(data, pos1, 2))
+    return F.conv(
+        F.concat(F.substring(hexed, 3, 2), F.substring(hexed, 1, 2)), 16, 10
+    ).cast("long")

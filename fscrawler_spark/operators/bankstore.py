@@ -293,15 +293,19 @@ class StoredBank:
         if op == "delete" and self.kind == "bloom":
             raise ValueError("bloom banks cannot delete; use kind='cuckoo'")
         spark = delta.sparkSession
+        # persisted: the touched-shard collect below and the cogroup
+        # write both consume it — without the cache the delta would be
+        # scanned + hashed twice per wave (the hot incremental path)
         hashed = _hash_cols(delta, col).withColumn(
             "_s", F.pmod(F.col("_h1"), F.lit(self.n_shards)).cast("int")
-        )
+        ).persist()
         # touched-shard ids: config-scale collect (<= n_shards ints) so
         # the bank side scans only those blobs
         touched = [
             int(r["_s"]) for r in hashed.select("_s").distinct().collect()
         ]
         if not touched:
+            hashed.unpersist()
             return
         bank_side = self.bank_df(spark, shards=touched)
         kind, n_bits, n_hashes, psb = (
@@ -363,13 +367,16 @@ class StoredBank:
 
         v = self.next_version
         vdir = self._vdir(v)
-        (
-            hashed.groupBy("_s")
-            .cogroup(bank_side.groupBy("shard"))
-            .applyInPandas(fn, BANK_SCHEMA)
-            .write.mode("overwrite")
-            .parquet(vdir)
-        )
+        try:
+            (
+                hashed.groupBy("_s")
+                .cogroup(bank_side.groupBy("shard"))
+                .applyInPandas(fn, BANK_SCHEMA)
+                .write.mode("overwrite")
+                .parquet(vdir)
+            )
+        finally:
+            hashed.unpersist()
         written = spark.read.parquet(vdir).select("shard").collect()
         for r in written:
             self.shard_versions[int(r["shard"])] = v

@@ -305,10 +305,12 @@ def test_bmp_compressed_raises():
         MM.decode_image_py(bytes(blob))
 
 
-def _encode_avi(frames: np.ndarray, palette_8bit: bool = False) -> bytes:
+def _encode_avi(frames: np.ndarray, palette_8bit: bool = False,
+                top_down: bool = False) -> bytes:
     """Test-side AVI encoder: RIFF('AVI ') / LIST hdrl (strl: strh
     'vids' + strf BITMAPINFOHEADER, BI_RGB) / LIST movi with '00db' DIB
-    frames (bottom-up, BGR for 24-bit, padded rows)."""
+    frames (bottom-up BGR for 24-bit, padded rows; top-down rows with
+    negative biHeight when requested)."""
     import struct
 
     n, h, w = frames.shape[:3]
@@ -324,21 +326,23 @@ def _encode_avi(frames: np.ndarray, palette_8bit: bool = False) -> bytes:
 
     strh = b"vids" + b"\x00" * 52
     strf = struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, bitcount, 0, 0, 0, 0, 0, 0
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bitcount,
+        0, 0, 0, 0, 0, 0,
     )
     hdrl = lst(b"hdrl", chunk(b"avih", b"\x00" * 56)
                + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
     movi_body = b""
+    order = range(h) if top_down else range(h - 1, -1, -1)
     for k in range(n):
         rows = []
         if palette_8bit:
             row_bytes = (w + 3) & ~3
-            for y in range(h - 1, -1, -1):
+            for y in order:
                 line = frames[k, y].astype(np.uint8).tobytes()
                 rows.append(line + b"\x00" * (row_bytes - len(line)))
         else:
             row_bytes = (w * 3 + 3) & ~3
-            for y in range(h - 1, -1, -1):
+            for y in order:
                 line = frames[k, y][:, ::-1].astype(np.uint8).tobytes()
                 rows.append(line + b"\x00" * (row_bytes - len(line)))
         movi_body += chunk(b"00db", b"".join(rows))
@@ -375,6 +379,67 @@ def test_avi_compressed_codec_raises():
     struct.pack_into("<I", blob, pos + 16, 0x44495643)  # biCompression='CVID'
     with pytest.raises(NotImplementedError):
         MM.decode_video_py(bytes(blob))
+
+
+def test_avi_top_down_not_flipped():
+    """Negative biHeight (top-down DIB) must decode unflipped."""
+    rng = np.random.Generator(np.random.PCG64(28))
+    frames = rng.integers(0, 256, (2, 3, 4, 3), dtype=np.uint8)
+    n, w, h, dec = MM.decode_video_py(_encode_avi(frames, top_down=True))
+    assert (n, w, h) == (2, 4, 3)
+    for k in range(2):
+        got = np.frombuffer(dec[k], np.uint8).reshape(3, 4, 3)
+        assert np.array_equal(got, frames[k]), f"frame {k} flipped"
+
+
+def test_corrupt_rows_contained_not_fatal(spark):
+    """One undecodable blob must drop that row, not kill the job (D4):
+    wave.Error (valid RIFF magic, garbage body), struct.error
+    (truncated FAKEVID/FAKEAUD headers), and short AVIs all contained."""
+    good_a = MM.encode_fake_audio(8000, 64, seed=1)
+    bad_rows = [
+        (2, "u2", "audio", b"RIFF\x24\x00\x00\x00WAVE" + b"\x00" * 8, {}),
+        (3, "u3", "audio", b"FAKEAUD" + b"\x01", {}),  # struct.error
+    ]
+    media = spark.createDataFrame(
+        [(1, "u1", "audio", good_a, {})] + bad_rows, MM.MEDIA_SCHEMA
+    )
+    ids = {r["media_id"] for r in MM.audio_features(media, 2).collect()}
+    assert ids == {1}
+
+    good_v = MM.encode_fake_video(3, 2, 2, seed=2)
+    media_v = spark.createDataFrame(
+        [
+            (1, "v1", "video", good_v, {}),
+            (2, "v2", "video", b"FAKEVID" + b"\x02", {}),  # struct.error
+            (3, "v3", "video", b"RIFF\x10\x00\x00\x00AVI " + b"\x00" * 8, {}),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    vids = {r["media_id"] for r in MM.sample_frames(media_v, 1).collect()}
+    assert vids == {1}
+
+
+def test_audio_duration_wav_and_unknown(spark):
+    """audio_duration dispatches JVM-side: FAKEAUD and canonical WAV
+    both yield exact header values; unknown formats yield NULLs, not
+    garbage."""
+    samples = np.zeros(1234, dtype="<i2")
+    wav = _encode_wav(samples, 22050, 1, 2)
+    rows = [
+        (1, "u1", "audio", MM.encode_fake_audio(16000, 8000, seed=3), {}),
+        (2, "u2", "audio", wav, {}),
+        (3, "u3", "audio", b"OggS" + b"\x00" * 40, {}),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in MM.audio_duration(media).collect()}
+    assert (got[1]["sample_rate"], got[1]["n_samples"]) == (16000, 8000)
+    assert got[1]["duration_sec"] == 0.5
+    assert (got[2]["sample_rate"], got[2]["n_samples"]) == (22050, 1234)
+    assert abs(got[2]["duration_sec"] - round(1234 / 22050, 6)) < 1e-12
+    assert got[3]["sample_rate"] is None
+    assert got[3]["n_samples"] is None
+    assert got[3]["duration_sec"] is None
 
 
 def test_sample_frames_on_real_avi_through_spark(spark):
