@@ -579,6 +579,31 @@ def q24_media_features(spark, sf_dir):
     )
 
 
+def q34_thumbnails(spark, sf_dir):
+    """Preview/thumbnail generation (the reference's
+    PreviewFileProcessor, app/processors/preview_file_processor.py:17-62):
+    per image one cover thumbnail, per video a cover frame plus evenly
+    spaced frames, each mean-pooled to max_px=4 and re-encoded as real
+    PNG bytes (fscrawler_spark/functions/multimodal.py:thumbnails).
+    The oracle recomputes the frame-index selection and the pooled
+    output dimensions from the same blob headers with pure integer
+    SQL; the PNG pixel bytes themselves are pytest-verified by decode
+    round-trip (zlib output is not reproducible in SQL)."""
+    from fscrawler_spark.functions import multimodal as MM
+
+    media = spark.read.parquet(_ensure_q24_media())
+    return (
+        MM.thumbnails(media, max_px=4, n_frames=4, cover_offset_frac=0.1)
+        .select(
+            "media_id", "kind",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+        )
+        .orderBy("media_id", "kind", "frame_idx")
+    )
+
+
 def q23_cube_rollup(spark, sf_dir):
     """Grouping sets — cube over two dims with exact decimal sums
     (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
@@ -818,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_ivf_full_probe": q31_ivf_full_probe,
         "q32_lsh_full_bucket": q32_lsh_full_bucket,
         "q33_simhash_exact_gate": q33_simhash_exact_gate,
+        "q34_thumbnails": q34_thumbnails,
     }
 
 
@@ -1151,8 +1177,65 @@ def oracle_sql() -> dict[str, str]:
         FROM raw r JOIN agg a USING (media_id)
         ORDER BY r.media_id
     """
+    # q34: the thumbnail operator's frame-index selection and pooled
+    # output dims recomputed from the same blob headers in pure integer
+    # SQL (max_px=4, n_frames=4, cover_offset_frac=0.1 — the exact knob
+    # set q34_thumbnails passes; PNG pixel bytes are pytest-verified by
+    # decode round-trip, zlib output being non-reproducible in SQL)
+    _q34_sql = f"""
+        WITH raw AS (
+          SELECT media_id, media_type, hex(data) AS hx
+          FROM read_parquet('{_q24_path}')
+          WHERE media_type IN ('image', 'video')),
+        b AS (
+          SELECT media_id, i, {_hb.format(i='i')}::BIGINT AS bv
+          FROM (SELECT media_id, hx, unnest(range(7, 19)) AS i FROM raw)),
+        agg AS (
+          SELECT media_id,
+            sum(CASE WHEN i=7  THEN bv WHEN i=8  THEN bv*256
+                     WHEN i=9  THEN bv*65536 WHEN i=10 THEN bv*16777216
+                     ELSE 0 END)::BIGINT AS u1,
+            sum(CASE WHEN i=11 THEN bv WHEN i=12 THEN bv*256
+                     WHEN i=13 THEN bv*65536 WHEN i=14 THEN bv*16777216
+                     ELSE 0 END)::BIGINT AS u2,
+            sum(CASE WHEN i=15 THEN bv WHEN i=16 THEN bv*256
+                     WHEN i=17 THEN bv*65536 WHEN i=18 THEN bv*16777216
+                     ELSE 0 END)::BIGINT AS u3
+          FROM b GROUP BY media_id),
+        dims AS (
+          SELECT r.media_id, r.media_type,
+            CASE WHEN r.media_type='image' THEN a.u1 ELSE a.u2 END AS w,
+            CASE WHEN r.media_type='image' THEN a.u2 ELSE a.u3 END AS h,
+            CASE WHEN r.media_type='video' THEN a.u1 ELSE 1 END AS n
+          FROM raw r JOIN agg a USING (media_id)),
+        pd AS (
+          SELECT media_id, media_type, n, w, h,
+            (greatest(w, h) + 3) // 4 AS k
+          FROM dims),
+        sized AS (
+          SELECT media_id, media_type, n,
+            CASE WHEN k <= 1 THEN w ELSE greatest(1, w // k) END AS pw,
+            CASE WHEN k <= 1 THEN h ELSE greatest(1, h // k) END AS ph
+          FROM pd),
+        thumbs AS (
+          SELECT media_id, 'cover' AS kind,
+                 CASE WHEN media_type='video' THEN least(n - 1, n // 10)
+                      ELSE 0 END AS frame_idx,
+                 pw, ph
+          FROM sized
+          UNION ALL
+          SELECT DISTINCT s.media_id, 'frame' AS kind,
+                 (g.i * (s.n - 1)) // 3 AS frame_idx, s.pw, s.ph
+          FROM sized s, (SELECT unnest(range(0, 4)) AS i) g
+          WHERE s.media_type = 'video')
+        SELECT media_id, kind, frame_idx::BIGINT AS frame_idx,
+               pw::BIGINT AS width, ph::BIGINT AS height
+        FROM thumbs
+        ORDER BY media_id, kind, frame_idx
+    """
     return {
         "q24_media_features": _q24_sql,
+        "q34_thumbnails": _q34_sql,
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(((l_quantity::DECIMAL(18,2)) * 100)::BIGINT)::BIGINT AS sum_qty_c2,

@@ -581,6 +581,141 @@ def audio_features(media: DataFrame, n_windows: int = 8) -> DataFrame:
     )
 
 
+THUMBS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # cover|frame
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("thumb", T.BinaryType(), False),  # PNG bytes
+    ]
+)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Minimal stdlib PNG encoder (8-bit, filter 0 scanlines, one IDAT):
+    the write half of :func:`_decode_png`, so thumbnails round-trip
+    through this module's own decoder.  arr is (h, w) gray or (h, w, c)
+    with c in {1, 2, 3, 4}."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = b"".join(
+        b"\x00" + arr[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        PNG_MAGIC + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+
+
+def _pool_to_max(arr: np.ndarray, max_px: int) -> np.ndarray:
+    """Aspect-preserving downscale by integer mean-pooling so the longer
+    side is <= max_px (never upscales — the thumbnail analog of the
+    reference's ffmpeg `scale=W:-1`).  The pooling factor and output
+    dims are pure integer arithmetic (k = ceil(longer/max_px),
+    out = max(1, dim//k)) so an independent SQL engine can recompute
+    them from the source header alone."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.dtype == np.uint16:  # 16-bit sources preview at 8-bit
+        arr = (arr >> 8).astype(np.uint8)
+    h, w, c = arr.shape
+    k = -(-max(h, w) // max_px)  # ceil
+    if k <= 1:
+        return arr
+    hh, ww = max(1, h // k), max(1, w // k)
+    pooled = (
+        arr[: hh * k, : ww * k]
+        .reshape(hh, k, ww, k, c)
+        .mean(axis=(1, 3))
+    )
+    return pooled.astype(np.uint8)
+
+
+def thumbnails(
+    media: DataFrame,
+    max_px: int = 128,
+    n_frames: int = 4,
+    cover_offset_frac: float = 0.1,
+) -> DataFrame:
+    """Preview generation (the reference's PreviewFileProcessor,
+    app/processors/preview_file_processor.py:17-62, re-expressed
+    Spark-first): per image one 'cover' thumbnail; per video a 'cover'
+    frame at a fractional offset into the stream (its
+    thumb_cover_offset) plus n_frames evenly spaced 'frame' thumbnails
+    (its nb_additional_frames) — each decoded with this module's real
+    decoders, mean-pooled to max_px, and re-encoded as real PNG bytes
+    in the result column instead of ffmpeg writing files to a local
+    directory.  Frame indices use integer arithmetic only
+    (cover = min(n-1, floor(n*frac)); frame i = i*(n-1)//(n_frames-1))
+    so they are SQL-reproducible.  Undecodable rows are contained (D4);
+    audio has no visual preview."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "frame_idx": [],
+                   "width": [], "height": [], "thumb": []}
+
+            def emit(mid, kind, idx, arr):
+                small = _pool_to_max(arr, max_px)
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["frame_idx"].append(idx)
+                out["height"].append(small.shape[0])
+                out["width"].append(small.shape[1])
+                out["thumb"].append(encode_png(small))
+
+            for mid, mtype, data in zip(
+                pdf["media_id"], pdf["media_type"], pdf["data"]
+            ):
+                if data is None:
+                    continue
+                try:
+                    if mtype == "image":
+                        dec = decode_image_py(data)
+                        emit(mid, "cover", 0, dec[3])
+                    elif mtype == "video":
+                        n, w, h, frames = decode_video_py(data)
+                        def as_arr(fr):
+                            buf = np.frombuffer(fr, np.uint8)
+                            return (
+                                buf.reshape(h, w, 3)
+                                if len(buf) == w * h * 3
+                                else buf.reshape(h, w)
+                            )
+                        cover = min(n - 1, int(n * cover_offset_frac))
+                        emit(mid, "cover", cover, as_arr(frames[cover]))
+                        if n_frames > 1:
+                            idxs = sorted(
+                                {i * (n - 1) // (n_frames - 1)
+                                 for i in range(n_frames)}
+                            )
+                        else:
+                            idxs = [0] if n_frames == 1 else []
+                        for idx in idxs:
+                            emit(mid, "frame", idx, as_arr(frames[idx]))
+                except (NotImplementedError, ValueError, struct.error):
+                    continue  # undecodable row: contained, not fatal (D4)
+            yield pd.DataFrame(out)
+
+    return (
+        media.where(F.col("media_type").isin("image", "video"))
+        .select("media_id", "media_type", "data")
+        .mapInPandas(gen, THUMBS_SCHEMA)
+    )
+
+
 def _le_u32(data, pos1: int):
     """Little-endian u32 at 1-based byte offset pos1 of a binary column,
     as a JVM-side Column expression: slice 4 bytes, hex them (big-endian

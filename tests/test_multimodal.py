@@ -442,6 +442,59 @@ def test_audio_duration_wav_and_unknown(spark):
     assert got[3]["duration_sec"] is None
 
 
+def test_encode_png_roundtrip_through_own_decoder():
+    rng = np.random.Generator(np.random.PCG64(30))
+    for c in (1, 2, 3, 4):
+        arr = rng.integers(0, 256, (5, 7, c), dtype=np.uint8)
+        w, h, cc, dec = MM.decode_image_py(MM.encode_png(arr))
+        assert (w, h, cc) == (7, 5, c)
+        assert np.array_equal(dec, arr)
+
+
+def test_pool_to_max_exact_and_no_upscale():
+    rng = np.random.Generator(np.random.PCG64(31))
+    arr = rng.integers(0, 256, (6, 16, 3), dtype=np.uint8)
+    small = MM._pool_to_max(arr, 4)  # k = ceil(16/4) = 4
+    assert small.shape == (1, 4, 3)
+    expect = arr[:4, :16].reshape(1, 4, 4, 4, 3).mean(axis=(1, 3)).astype(np.uint8)
+    assert np.array_equal(small, expect)
+    tiny = rng.integers(0, 256, (3, 4, 3), dtype=np.uint8)
+    assert np.array_equal(MM._pool_to_max(tiny, 4), tiny)  # never upscales
+    wide16 = rng.integers(0, 65536, (4, 4, 1), dtype=np.uint16)
+    assert MM._pool_to_max(wide16, 4).dtype == np.uint8  # 16-bit previews at 8
+
+
+def test_thumbnails_image_and_video_pixels(spark):
+    """Thumbnail PNGs decode back to exactly the independently pooled
+    pixels; video rows follow the cover + evenly-spaced-frame contract."""
+    img = MM.encode_fake_image(12, 6, 3, seed=40)   # k=3 -> 4x2
+    vid = MM.encode_fake_video(6, 4, 3, seed=41)    # k=1 -> unpooled
+    media = spark.createDataFrame(
+        [(1, "u1", "image", img, {}), (2, "u2", "video", vid, {}),
+         (3, "u3", "audio", MM.encode_fake_audio(8000, 16, seed=42), {})],
+        MM.MEDIA_SCHEMA,
+    )
+    rows = MM.thumbnails(media, max_px=4, n_frames=4).collect()
+    got = {(r["media_id"], r["kind"], r["frame_idx"]): r for r in rows}
+    # image: one cover, pooled 12x6 -> 4x2
+    r = got[(1, "cover", 0)]
+    assert (r["width"], r["height"]) == (4, 2)
+    src = np.frombuffer(img, np.uint8, 12 * 6 * 3, 19).reshape(6, 12, 3)
+    expect = src.reshape(2, 3, 4, 3, 3).mean(axis=(1, 3)).astype(np.uint8)
+    _w, _h, _c, dec = MM.decode_image_py(bytes(r["thumb"]))
+    assert np.array_equal(dec, expect)
+    # video: cover at n//10 = 0 plus frames {0,1,3,5}; frame 3 exact
+    keys = {(k, i) for (m, k, i) in got if m == 2}
+    assert keys == {("cover", 0), ("frame", 0), ("frame", 1),
+                    ("frame", 3), ("frame", 5)}
+    fsz = 4 * 3
+    frame3 = np.frombuffer(vid, np.uint8, fsz, 19 + 3 * fsz).reshape(3, 4)
+    _w, _h, _c, dec3 = MM.decode_image_py(bytes(got[(2, "frame", 3)]["thumb"]))
+    assert np.array_equal(dec3.reshape(3, 4), frame3)
+    # audio rows produce no thumbnails
+    assert not any(m == 3 for (m, _k, _i) in got)
+
+
 def test_sample_frames_on_real_avi_through_spark(spark):
     rng = np.random.Generator(np.random.PCG64(27))
     frames = rng.integers(0, 256, (5, 3, 4, 3), dtype=np.uint8)
