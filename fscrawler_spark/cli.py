@@ -44,6 +44,13 @@ def _load_config(path: str | None) -> dict:
         return yaml.safe_load(fh)
 
 
+def _flag_over_config(cfg: dict, key: str, flag_value, default):
+    """Option precedence: an explicitly passed CLI flag wins over the
+    config value, which wins over the default (r03 advisory — a flag
+    with argparse default=None marks "not given")."""
+    return flag_value if flag_value is not None else cfg.get(key, default)
+
+
 def cmd_crawl(args: argparse.Namespace) -> None:
     cfg = _load_config(args.config)
     spark = get_spark("fscrawler_crawl", cores=args.cores)
@@ -85,12 +92,8 @@ def cmd_crawl(args: argparse.Namespace) -> None:
         salt_buckets=cfg.get("salt_buckets", 32),
         small_wave_threshold=cfg.get("small_wave_threshold", 100_000),
         broadcast_wave_threshold=cfg.get("broadcast_wave_threshold", 2_000_000),
-        # an explicitly passed CLI flag wins over the config (r03
-        # advisory: default=None on the flag marks "not given")
-        frontier_checkpoint=(
-            args.frontier
-            if args.frontier is not None
-            else cfg.get("frontier_checkpoint", "delta")
+        frontier_checkpoint=_flag_over_config(
+            cfg, "frontier_checkpoint", args.frontier, "delta"
         ),
         frontier_compact_every=cfg.get("frontier_compact_every", 8),
         prefilter_store=cfg.get("prefilter_store", "memory"),
