@@ -442,6 +442,40 @@ def test_audio_duration_wav_and_unknown(spark):
     assert got[3]["duration_sec"] is None
 
 
+def test_png_codec_pair_roundtrip_fuzzed():
+    """Property: encode_png(arr) always decodes back to arr, any shape/
+    channel count (hypothesis-style fuzz with a fixed seed budget)."""
+    rng = np.random.Generator(np.random.PCG64(99))
+    for _ in range(25):
+        h = int(rng.integers(1, 12))
+        w = int(rng.integers(1, 12))
+        c = int(rng.integers(1, 5))
+        arr = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+        ww, hh, cc, dec = MM.decode_image_py(MM.encode_png(arr))
+        assert (ww, hh, cc) == (w, h, c)
+        assert np.array_equal(dec, arr), (h, w, c)
+
+
+def test_png_decoder_fuzzed_all_filters_all_depths():
+    """Property: the bytewise unfilter inverts every filter type at
+    both depths and random shapes (the encoder applies the spec's
+    forward transforms)."""
+    rng = np.random.Generator(np.random.PCG64(98))
+    for _ in range(15):
+        h = int(rng.integers(2, 10))
+        w = int(rng.integers(2, 10))
+        c, color = [(1, 0), (3, 2), (2, 4), (4, 6)][int(rng.integers(0, 4))]
+        depth = int(rng.choice([8, 16]))
+        hi = 256 if depth == 8 else 65536
+        dt = np.uint8 if depth == 8 else np.uint16
+        arr = rng.integers(0, hi, (h, w, c)).astype(dt)
+        filters = [int(rng.integers(0, 5)) for _ in range(h)]
+        blob = _encode_png(arr, color, row_filters=filters, depth=depth)
+        ww, hh, cc, dec = MM.decode_image_py(blob)
+        assert (ww, hh, cc) == (w, h, c)
+        assert np.array_equal(dec, arr), (h, w, c, depth, filters)
+
+
 def test_encode_png_roundtrip_through_own_decoder():
     rng = np.random.Generator(np.random.PCG64(30))
     for c in (1, 2, 3, 4):
