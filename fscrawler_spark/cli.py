@@ -79,13 +79,15 @@ def cmd_crawl(args: argparse.Namespace) -> None:
         sys.exit("no seeds: pass --seeds parquet or config with seeds: [...]")
 
     job = CrawlJob(
-        politeness_budget=cfg.get("politeness_budget", args.budget),
-        max_waves=cfg.get("max_waves", args.waves),
+        politeness_budget=_flag_over_config(
+            cfg, "politeness_budget", args.budget, 8
+        ),
+        max_waves=_flag_over_config(cfg, "max_waves", args.waves, 50),
         wave_cap=cfg.get("wave_cap"),
         skip_filters=tuple(build_filters(cfg.get("skip_filters", []))),
         notify_filters=tuple(build_filters(cfg.get("notify_filters", []))),
         invert=cfg.get("invert", False),
-        use_bloom=cfg.get("use_bloom", args.bloom),
+        use_bloom=_flag_over_config(cfg, "use_bloom", args.bloom, False),
         seen_filter=cfg.get("seen_filter", "bloom"),
         bloom_fpp=cfg.get("bloom_fpp", 0.01),
         respect_robots=cfg.get("respect_robots", True),
@@ -196,9 +198,12 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--robots-txt", help="raw robots parquet (host, body) — parsed in-engine")
     c.add_argument("--config", help="YAML/JSON: seeds, skip_filters, budgets")
     c.add_argument("--checkpoint", required=True)
-    c.add_argument("--budget", type=int, default=8)
-    c.add_argument("--waves", type=int, default=50)
-    c.add_argument("--bloom", action="store_true")
+    # default=None marks "not given" so _flag_over_config can let an
+    # explicit flag win over the config (r03 advisory, all three flags)
+    c.add_argument("--budget", type=int, default=None)
+    c.add_argument("--waves", type=int, default=None)
+    c.add_argument("--bloom", action=argparse.BooleanOptionalAction,
+                   default=None)
     c.add_argument("--resume", action="store_true")
     c.add_argument("--frontier", default=None, choices=["full", "delta"],
                    help="frontier checkpoint layout (delta = children-only"

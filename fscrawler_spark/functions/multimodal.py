@@ -51,6 +51,13 @@ try:  # real decoder path — absent in this container
 except ImportError:
     HAVE_PIL = False
 
+# Everything an undecodable/corrupt blob can raise out of the image or
+# video decoders (zlib.error covers truncated/corrupt PNG IDAT streams).
+# Consumers contain these per-row (D4) — one bad blob never fails a job.
+DECODE_ERRORS = (NotImplementedError, ValueError, struct.error, zlib.error)
+# The audio path adds the stdlib wave module's failure modes.
+AUDIO_DECODE_ERRORS = DECODE_ERRORS + (EOFError, wave.Error)
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -222,27 +229,34 @@ def _decode_bmp(data: bytes) -> tuple[int, int, int, np.ndarray]:
         raise NotImplementedError(f"BMP compression {compression} (BI_RGB only)")
     top_down, h = h_signed < 0, abs(h_signed)
     if bitcount == 24:
-        row_bytes = (w * 3 + 3) & ~3
-        px = np.zeros((h, w, 3), np.uint8)
-        for y in range(h):
-            row = np.frombuffer(
-                data, np.uint8, w * 3, off_bits + y * row_bytes
-            ).reshape(w, 3)
-            px[y if top_down else h - 1 - y] = row[:, ::-1]  # BGR -> RGB
-        return w, h, 3, px
+        rows = _padded_rows(data, off_bits, h, (w * 3 + 3) & ~3, w * 3)
+        px = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+        return w, h, 3, np.ascontiguousarray(px if top_down else px[::-1])
     if bitcount == 8:
         (clr_used,) = struct.unpack_from("<I", data, 46)
         n_pal = clr_used or 256
         pal = np.frombuffer(
             data, np.uint8, n_pal * 4, 14 + hdr_size
         ).reshape(n_pal, 4)[:, 2::-1]  # BGRA entries -> RGB
-        row_bytes = (w + 3) & ~3
-        idx = np.zeros((h, w), np.uint8)
-        for y in range(h):
-            row = np.frombuffer(data, np.uint8, w, off_bits + y * row_bytes)
-            idx[y if top_down else h - 1 - y] = row
-        return w, h, 3, pal[idx]
+        idx = _padded_rows(data, off_bits, h, (w + 3) & ~3, w)
+        return w, h, 3, pal[idx if top_down else idx[::-1]]
     raise NotImplementedError(f"BMP bit count {bitcount} (8/24 only)")
+
+
+def _padded_rows(
+    data: bytes, offset: int, h: int, row_bytes: int, keep: int
+) -> np.ndarray:
+    """All h pixel rows of a 4-byte-padded DIB pixel array in one
+    vectorized copy (no per-row Python loop): (h, keep) uint8, file row
+    order.  Tolerates a final row whose trailing padding is omitted,
+    like the per-row reads this replaces did."""
+    need = row_bytes * (h - 1) + keep
+    buf = np.frombuffer(data, np.uint8, min(need, len(data) - offset), offset)
+    if len(buf) < need:
+        raise ValueError("DIB pixel array truncated")
+    grid = np.zeros((h, row_bytes), np.uint8)
+    grid.ravel()[: len(buf)] = buf
+    return grid[:, :keep]
 
 
 def decode_image_py(data: bytes | None) -> tuple[int, int, int, np.ndarray] | None:
@@ -347,22 +361,14 @@ def _decode_avi(data: bytes) -> tuple[int, int, int, list[bytes]]:
         raise ValueError("AVI missing vids stream header or frames")
     out = []
     if bitcount == 24:
-        row_bytes = (w * 3 + 3) & ~3
         for fr in frames:
-            px = np.zeros((h, w, 3), np.uint8)
-            for y in range(h):
-                row = np.frombuffer(fr, np.uint8, w * 3, y * row_bytes)
-                px[y if top_down else h - 1 - y] = row.reshape(w, 3)[:, ::-1]
-            out.append(px.tobytes())  # BGR rows -> top-down RGB
+            rows = _padded_rows(fr, 0, h, (w * 3 + 3) & ~3, w * 3)
+            px = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+            out.append((px if top_down else px[::-1]).tobytes())
     elif bitcount == 8:
-        row_bytes = (w + 3) & ~3
         for fr in frames:
-            px = np.zeros((h, w), np.uint8)
-            for y in range(h):
-                px[y if top_down else h - 1 - y] = np.frombuffer(
-                    fr, np.uint8, w, y * row_bytes
-                )
-            out.append(px.tobytes())
+            rows = _padded_rows(fr, 0, h, (w + 3) & ~3, w)
+            out.append((rows if top_down else rows[::-1]).tobytes())
     else:
         raise NotImplementedError(f"AVI bit count {bitcount} (8/24 only)")
     return len(out), w, h, out
@@ -421,7 +427,10 @@ def image_info(media: DataFrame) -> DataFrame:
             out = {"media_id": [], "width": [], "height": [], "channels": [],
                    "n_bytes": [], "px_sum": []}
             for mid, data in zip(pdf["media_id"], pdf["data"]):
-                dec = decode_image_py(data)
+                try:
+                    dec = decode_image_py(data)
+                except DECODE_ERRORS:
+                    dec = None  # undecodable row: NULL dims, not fatal (D4)
                 out["media_id"].append(mid)
                 out["width"].append(dec[0] if dec else None)
                 out["height"].append(dec[1] if dec else None)
@@ -448,7 +457,10 @@ def image_features(media: DataFrame, dim: int = 16) -> DataFrame:
         for pdf in batches:
             ids, feats = [], []
             for mid, data in zip(pdf["media_id"], pdf["data"]):
-                dec = decode_image_py(data)
+                try:
+                    dec = decode_image_py(data)
+                except DECODE_ERRORS:
+                    dec = None  # undecodable row: NULL features (D4)
                 if dec is None:
                     ids.append(mid)
                     feats.append(None)
@@ -482,7 +494,7 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
                     continue
                 try:
                     n, _w, _h, decoded = decode_video_py(data)
-                except (NotImplementedError, ValueError, struct.error):
+                except DECODE_ERRORS:
                     continue  # undecodable row: contained, not fatal (D4)
                 for k in range(0, n, every_n):
                     ids.append(mid)
@@ -555,8 +567,7 @@ def audio_features(media: DataFrame, n_windows: int = 8) -> DataFrame:
                     continue
                 try:
                     _sr, pcm = decode_audio_py(data)
-                except (NotImplementedError, ValueError, EOFError,
-                        struct.error, wave.Error):
+                except AUDIO_DECODE_ERRORS:
                     continue  # undecodable row: contained, not fatal (D4)
                 for w, chunk in enumerate(np.array_split(pcm, n_windows)):
                     if not len(chunk):
@@ -601,6 +612,8 @@ def encode_png(arr: np.ndarray) -> bytes:
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
+    if c not in (1, 2, 3, 4):
+        raise ValueError(f"PNG cannot encode {c} channels (1-4 only)")
     color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
     raw = b"".join(
         b"\x00" + arr[y].astype(np.uint8).tobytes() for y in range(h)
@@ -667,26 +680,29 @@ def thumbnails(
             out = {"media_id": [], "kind": [], "frame_idx": [],
                    "width": [], "height": [], "thumb": []}
 
-            def emit(mid, kind, idx, arr):
+            def emit(row_acc, mid, kind, idx, arr):
                 small = _pool_to_max(arr, max_px)
-                out["media_id"].append(mid)
-                out["kind"].append(kind)
-                out["frame_idx"].append(idx)
-                out["height"].append(small.shape[0])
-                out["width"].append(small.shape[1])
-                out["thumb"].append(encode_png(small))
+                # encode FIRST: if it raises, nothing of this source row
+                # is half-appended (the row skip must be all-or-nothing)
+                row_acc.append(
+                    (mid, kind, idx, small.shape[1], small.shape[0],
+                     encode_png(small))
+                )
 
             for mid, mtype, data in zip(
                 pdf["media_id"], pdf["media_type"], pdf["data"]
             ):
                 if data is None:
                     continue
+                acc: list[tuple] = []
                 try:
                     if mtype == "image":
                         dec = decode_image_py(data)
-                        emit(mid, "cover", 0, dec[3])
+                        emit(acc, mid, "cover", 0, dec[3])
                     elif mtype == "video":
                         n, w, h, frames = decode_video_py(data)
+                        if n <= 0:
+                            continue  # zero-frame stream: no preview
                         def as_arr(fr):
                             buf = np.frombuffer(fr, np.uint8)
                             return (
@@ -695,7 +711,7 @@ def thumbnails(
                                 else buf.reshape(h, w)
                             )
                         cover = min(n - 1, int(n * cover_offset_frac))
-                        emit(mid, "cover", cover, as_arr(frames[cover]))
+                        emit(acc, mid, "cover", cover, as_arr(frames[cover]))
                         if n_frames > 1:
                             idxs = sorted(
                                 {i * (n - 1) // (n_frames - 1)
@@ -704,9 +720,16 @@ def thumbnails(
                         else:
                             idxs = [0] if n_frames == 1 else []
                         for idx in idxs:
-                            emit(mid, "frame", idx, as_arr(frames[idx]))
-                except (NotImplementedError, ValueError, struct.error):
+                            emit(acc, mid, "frame", idx, as_arr(frames[idx]))
+                except DECODE_ERRORS:
                     continue  # undecodable row: contained, not fatal (D4)
+                for mid_, kind_, idx_, w_, h_, blob_ in acc:
+                    out["media_id"].append(mid_)
+                    out["kind"].append(kind_)
+                    out["frame_idx"].append(idx_)
+                    out["width"].append(w_)
+                    out["height"].append(h_)
+                    out["thumb"].append(blob_)
             yield pd.DataFrame(out)
 
     return (

@@ -282,14 +282,27 @@ class StoredBank:
         return self.probe(df, col)
 
     # -- incremental maintenance --------------------------------------------
-    def merge_delta(self, delta: DataFrame, col: str, op: str = "insert") -> None:
+    def merge_delta(
+        self,
+        delta: DataFrame,
+        col: str,
+        op: str = "insert",
+        meta_updates: dict | None = None,
+    ) -> None:
         """Cogroup one cohort's hashes with ONLY the touched shards'
         blobs; write updated blobs to a new version dir; repoint the
         manifest.  op="delete" is the cuckoo epoch-aging path (sound
         only when the cohort leaves the exact seen table in the same
         move — see CuckooFilter's deletion contract in dedup.py).
         Saturated shards stay pass-through: no new blob is written and
-        the manifest keeps the old (saturated) row."""
+        the manifest keeps the old (saturated) row.
+
+        meta_updates (attrs like merged_upto/cohorts/n_added) are
+        applied in the SAME atomic meta.json write that repoints the
+        payloads: a crash can never leave a bank whose blobs contain a
+        cohort its lineage does not claim (resume would replay the
+        delta — double-inserting, or double-DELETING on the aging path,
+        which would break the no-false-negative contract)."""
         if op == "delete" and self.kind == "bloom":
             raise ValueError("bloom banks cannot delete; use kind='cuckoo'")
         spark = delta.sparkSession
@@ -306,6 +319,9 @@ class StoredBank:
         ]
         if not touched:
             hashed.unpersist()
+            if meta_updates:  # empty delta still advances the lineage
+                self._apply_meta(meta_updates)
+                self.save()
             return
         bank_side = self.bank_df(spark, shards=touched)
         kind, n_bits, n_hashes, psb = (
@@ -381,10 +397,18 @@ class StoredBank:
         for r in written:
             self.shard_versions[int(r["shard"])] = v
         self.next_version = v + 1
+        if meta_updates:
+            self._apply_meta(meta_updates)
         self.save()
         self._gc()
         if len(set(self.shard_versions.values())) > self.compact_span:
             self.compact(spark)
+
+    def _apply_meta(self, updates: dict) -> None:
+        for k, val in updates.items():
+            if not hasattr(self, k):
+                raise AttributeError(f"unknown bank meta field {k!r}")
+            setattr(self, k, val)
 
     def _gc(self) -> None:
         """Drop version dirs no shard references anymore (a merge that

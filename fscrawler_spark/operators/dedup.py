@@ -711,24 +711,15 @@ def anti_join_seen(
 
     if hasattr(bloom, "bank_df"):  # StoredBank: parquet-resident, probe
         # is always shard-routed off the table scan (the bank never
-        # materializes on the driver, so broadcast is not an option)
+        # materializes on the driver, so broadcast is not an option);
+        # exact resolution below is shared with the in-memory banks
         tagged = bloom.probe(candidates, url_col)
-        sure_new = tagged.where(~F.col("_maybe_seen")).drop("_maybe_seen")
-        maybe = tagged.where(F.col("_maybe_seen")).drop("_maybe_seen")
-        if flip_broadcast:
-            resolved = _flip_resolve(maybe, seen, url_col)
-        else:
-            resolved = maybe.join(seen.select(url_col), url_col, "left_anti")
-        return sure_new.unionByName(resolved)
-
-    sharded = isinstance(bloom, (ShardedBloom, ShardedCuckoo))
-    routed = probe_mode == "routed" or (
+    elif probe_mode == "routed" or (
         probe_mode == "auto"
-        and sharded
+        and isinstance(bloom, (ShardedBloom, ShardedCuckoo))
         and bloom.total_bytes() > ROUTED_PROBE_BYTES
-    )
-    if routed:
-        if not sharded:
+    ):
+        if not isinstance(bloom, (ShardedBloom, ShardedCuckoo)):
             raise RuntimeError("probe_mode='routed' requires a sharded bank")
         tagged = routed_probe(candidates, url_col, bloom)
     else:

@@ -419,12 +419,20 @@ def run_crawl(
                                 if cand_bank.merged_upto < w < wave:
                                     d = store.read_seen_delta(spark, w)
                                     dn = d.count()
-                                    cand_bank.merge_delta(d, "url", "insert")
-                                    cand_bank.n_added += dn
-                                    cand_bank.cohorts[w] = dn
-                                    cand_bank.merged_upto = w
+                                    # lineage rides the merge's atomic
+                                    # save: a crash mid-replay never
+                                    # leaves a delta half-claimed
+                                    cand_bank.merge_delta(
+                                        d, "url", "insert",
+                                        meta_updates={
+                                            "n_added": cand_bank.n_added + dn,
+                                            "cohorts": {
+                                                **cand_bank.cohorts, w: dn
+                                            },
+                                            "merged_upto": w,
+                                        },
+                                    )
                                     replayed += dn
-                            cand_bank.save()
                             prefilter = cand_bank
                             prefilter_cohorts = dict(prefilter.cohorts)
                             prefilter_probe_log = {
@@ -784,12 +792,22 @@ def run_crawl(
                         break  # oldest cohort still inside the horizon
                     old_delta = store.read_seen_delta(spark, oldest)
                     if stored_bank:
-                        prefilter.merge_delta(old_delta, "url", "delete")
+                        evict_n = prefilter_cohorts.pop(oldest)
+                        # eviction bookkeeping rides the atomic save —
+                        # a crash can never double-delete the cohort on
+                        # resume (cuckoo false negatives)
+                        prefilter.merge_delta(
+                            old_delta, "url", "delete",
+                            meta_updates={
+                                "n_added": prefilter.n_added - evict_n,
+                                "cohorts": dict(prefilter_cohorts),
+                            },
+                        )
                     else:
                         prefilter = merge_cuckoo_delta(
                             prefilter, old_delta, "url", "delete"
                         )
-                    prefilter.n_added -= prefilter_cohorts.pop(oldest)
+                        prefilter.n_added -= prefilter_cohorts.pop(oldest)
                     evicted.append(oldest)
                 if evicted:
                     upd_log["evicted_cohorts"] = evicted
@@ -799,27 +817,32 @@ def run_crawl(
             else:
                 if stored_bank:
                     # executor-side cogroup against the touched shards'
-                    # blobs only — the bank never transits the driver
-                    prefilter.merge_delta(delta_df, "url", "insert")
+                    # blobs only — the bank never transits the driver;
+                    # the lineage (merged_upto/cohorts, so a resumed
+                    # run reloads instead of rebuilds) rides the same
+                    # atomic meta write that repoints the payloads
+                    prefilter.merge_delta(
+                        delta_df, "url", "insert",
+                        meta_updates={
+                            "n_added": prefilter.n_added + delta_n,
+                            "cohorts": {**prefilter_cohorts, wave: delta_n},
+                            "merged_upto": wave,
+                        },
+                    )
                 elif job.seen_filter == "cuckoo":
                     prefilter = merge_cuckoo_delta(
                         prefilter, delta_df, "url", "insert"
                     )
+                    prefilter.n_added += delta_n
                 else:
                     prefilter.merge_delta(
                         build_bloom(
                             delta_df, "url", delta_n, geometry=prefilter.geometry
                         )
                     )
-                prefilter.n_added += delta_n
+                    prefilter.n_added += delta_n
                 prefilter_cohorts[wave] = delta_n
                 upd_log.update(action="delta_merge", rows_hashed=delta_n)
-            if prefilter is not None and stored_bank:
-                # persist the bank's lineage (which committed waves it
-                # contains) so a resumed run reloads instead of rebuilds
-                prefilter.merged_upto = wave
-                prefilter.cohorts = dict(prefilter_cohorts)
-                prefilter.save()
             upd_log["secs"] = round(_time.time() - t0, 3)
             wave_timings["prefilter_update"] = upd_log
         if prefilter_probe_log is not None:

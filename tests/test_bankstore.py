@@ -347,3 +347,51 @@ def test_crawl_full10_regime_parity(
     assert {t.get("frontier_kind") for t in r_f10.timings} == {"delta"}
     upd = [t for t in r_f10.timings if "prefilter_update" in t]
     assert upd, "stored bank never delta-merged"
+
+
+def test_merge_delta_meta_updates_single_atomic_save(spark, tmp_path, monkeypatch):
+    """Crawl lineage (merged_upto/cohorts/n_added) must land in the
+    SAME meta.json write that repoints the payloads — a crash between
+    two separate saves would let a resume replay the delta (double-
+    insert; double-DELETE on the aging path would create cuckoo false
+    negatives).  merge_delta(meta_updates=...) does exactly one save,
+    and a reopened bank sees payloads and lineage together."""
+    seen = _urls(spark, 0, 300)
+    bank = StoredBank.build(
+        seen, "url", str(tmp_path / "bank"), kind="cuckoo",
+        n_items=4000, n_shards=4,
+    )
+    saves = []
+    orig = StoredBank.save
+
+    def spy(self):
+        saves.append((self.merged_upto, dict(self.cohorts), self.n_added))
+        orig(self)
+
+    monkeypatch.setattr(StoredBank, "save", spy)
+    delta = _urls(spark, 300, 360)
+    bank.merge_delta(
+        delta, "url", "insert",
+        meta_updates={"n_added": 360, "cohorts": {3: 60}, "merged_upto": 3},
+    )
+    assert len(saves) == 1
+    assert saves[0] == (3, {3: 60}, 360)  # lineage inside THE save
+    monkeypatch.setattr(StoredBank, "save", orig)
+
+    reopened = StoredBank.open(str(tmp_path / "bank"))
+    assert reopened.merged_upto == 3
+    assert reopened.cohorts == {3: 60}
+    assert reopened.n_added == 360
+    # and the payload repoint is in the same meta: the delta's urls
+    # now probe maybe-seen through the reopened handle
+    tagged = reopened.probe(delta, "url")
+    assert tagged.where(~F.col("_maybe_seen")).count() == 0
+
+    # an EMPTY delta still advances the lineage atomically
+    empty = _urls(spark, 0, 0)
+    reopened.merge_delta(
+        empty, "url", "insert",
+        meta_updates={"merged_upto": 4, "cohorts": {3: 60, 4: 0}},
+    )
+    again = StoredBank.open(str(tmp_path / "bank"))
+    assert again.merged_upto == 4 and again.cohorts == {3: 60, 4: 0}

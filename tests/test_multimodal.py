@@ -604,3 +604,45 @@ def test_image_info_on_real_png_through_spark(spark):
     r = MM.image_info(media).collect()[0]
     assert (r["width"], r["height"], r["channels"]) == (9, 6, 3)
     assert r["px_sum"] == int(arr.astype(np.int64).sum())
+
+
+def test_corrupt_png_bad_channels_zero_frames_contained(spark):
+    """The round-4 containment gaps, each contained per-row (D4), never
+    fatal: zlib.error from a corrupt/truncated PNG IDAT (thumbnails,
+    image_info, image_features), a FAKEIMG whose channel count PNG
+    cannot encode (ValueError from encode_png inside thumbnails), and
+    a zero-frame FAKEVID (previously frames[-1] -> IndexError)."""
+    good_img = MM.encode_fake_image(4, 4, 3, seed=7)
+    png = MM.encode_png(np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
+    corrupt = bytearray(png)
+    corrupt[45:53] = b"\x00" * 8  # stomp IDAT payload -> zlib.error
+    trunc = png[: len(png) // 2]  # truncated stream -> zlib.error
+    fake5 = MM.encode_fake_image(3, 3, 5, seed=1)  # undrawable channels
+    good_vid = MM.encode_fake_video(3, 4, 4, seed=2)
+    vid0 = MM.encode_fake_video(0, 4, 4, seed=3)  # zero-frame stream
+    media = spark.createDataFrame(
+        [
+            (1, "ok", "image", good_img, {}),
+            (2, "corrupt", "image", bytes(corrupt), {}),
+            (3, "trunc", "image", bytes(trunc), {}),
+            (4, "5ch", "image", fake5, {}),
+            (5, "okv", "video", good_vid, {}),
+            (6, "v0", "video", vid0, {}),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    thumb_ids = {r["media_id"] for r in MM.thumbnails(media).collect()}
+    assert thumb_ids == {1, 5}
+
+    info = {r["media_id"]: r for r in MM.image_info(media).collect()}
+    assert set(info) == {1, 2, 3, 4}  # every image row survives ...
+    assert info[1]["width"] == 4
+    assert info[2]["width"] is None  # ... undecodable ones as NULLs
+    assert info[3]["width"] is None
+    assert info[2]["n_bytes"] == len(corrupt)  # raw length still known
+    assert info[4]["channels"] == 5  # FAKEIMG header itself decodes
+
+    feats = {r["media_id"]: r["features"]
+             for r in MM.image_features(media, 4).collect()}
+    assert feats[1] is not None and feats[4] is not None
+    assert feats[2] is None and feats[3] is None
