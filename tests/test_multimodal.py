@@ -646,3 +646,21 @@ def test_corrupt_png_bad_channels_zero_frames_contained(spark):
              for r in MM.image_features(media, 4).collect()}
     assert feats[1] is not None and feats[4] is not None
     assert feats[2] is None and feats[3] is None
+
+
+def test_padded_rows_tolerates_missing_final_padding():
+    """DIB pixel arrays may legally omit the LAST row's 4-byte padding;
+    the vectorized reader must accept that (like the per-row reads it
+    replaced) and still reject a genuinely truncated pixel row."""
+    h, w = 3, 3  # 24-bit: 9 payload bytes/row, row_bytes=12
+    rows = [bytes(range(y * 16, y * 16 + 9)) for y in range(h)]
+    full = b"".join(r + b"\x00\x00\x00" for r in rows)
+    nopad = b"".join(r + b"\x00\x00\x00" for r in rows[:-1]) + rows[-1]
+    a = MM._padded_rows(full, 0, h, 12, 9)
+    b = MM._padded_rows(nopad, 0, h, 12, 9)
+    assert a.shape == b.shape == (3, 9)
+    assert (a == b).all()
+    assert bytes(a[2]) == rows[2]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        MM._padded_rows(nopad[:-1], 0, h, 12, 9)  # short by one byte
