@@ -5,10 +5,13 @@ pandas UDFs.
 Decoders (magic-byte dispatch, round 4):
   image — real PNG (stdlib zlib inflate + bytewise scanline unfilter;
           8/16-bit gray/RGB/gray-alpha/RGBA plus 8-bit palette,
-          non-interlaced) and real BMP (uncompressed 8/24-bit, both
-          row orders) plus the deterministic FAKEIMG fixture; other
-          formats raise ``NotImplementedError`` behind a PIL
-          import-try (drop-in once PIL ships).
+          non-interlaced), real BMP (uncompressed 8/24-bit, both
+          row orders), real baseline JPEG (from-scratch huffman +
+          vectorized IDCT codec in functions/jpeg.py: gray/RGB,
+          4:4:4/4:2:2/4:2:0, restart markers) plus the deterministic
+          FAKEIMG fixture; other formats raise
+          ``NotImplementedError`` behind a PIL import-try (drop-in
+          once PIL ships).
   audio — real RIFF/WAVE via the stdlib ``wave`` module (8/16/32-bit
           PCM, multi-channel mixdown) plus the FAKEAUD fixture; other
           formats raise.
@@ -43,6 +46,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from fscrawler_spark.functions.jpeg import decode_jpeg
 
 try:  # real decoder path — absent in this container
     import PIL.Image  # noqa: F401
@@ -262,8 +267,9 @@ def _padded_rows(
 def decode_image_py(data: bytes | None) -> tuple[int, int, int, np.ndarray] | None:
     """Magic-byte dispatch decoder: FAKEIMG (deterministic fixture),
     real PNG (stdlib zlib path: 8/16-bit, gray/RGB/alpha/palette), real
-    BMP (uncompressed 8/24-bit), then PIL if present; other real
-    formats raise — the honest sandbox boundary."""
+    BMP (uncompressed 8/24-bit), real baseline JPEG (from-scratch
+    huffman+IDCT codec, functions/jpeg.py), then PIL if present; other
+    real formats raise — the honest sandbox boundary."""
     if data is None:
         return None
     data = bytes(data)
@@ -275,10 +281,13 @@ def decode_image_py(data: bytes | None) -> tuple[int, int, int, np.ndarray] | No
         return _decode_png(data)
     if data[:2] == b"BM":
         return _decode_bmp(data)
+    if data[:3] == b"\xff\xd8\xff":
+        w, h, c, arr = decode_jpeg(data)
+        return w, h, c, arr.reshape(h, w, c)
     if HAVE_PIL:  # pragma: no cover - not in this container
         raise NotImplementedError("real image decode: wire PIL here")
     raise NotImplementedError(
-        "no decoder for this image format (FAKEIMG, PNG, BMP supported)"
+        "no decoder for this image format (FAKEIMG, PNG, BMP, JPEG supported)"
     )
 
 

@@ -76,13 +76,15 @@ def test_audio_duration_jvm_side(media_df):
 
 
 def test_real_decoder_boundary():
-    # PNG is a real decode path since round 4: a truncated PNG is a
-    # corrupt file (ValueError), not a missing codec
+    # PNG and (since the round-4 codec) JPEG are real decode paths: a
+    # truncated blob is a corrupt file (ValueError), not a missing codec
     with pytest.raises(ValueError):
         MM.decode_image_py(b"\x89PNG\r\n\x1a\n....")
-    # formats with no stdlib decoder stay honestly stubbed
+    with pytest.raises(ValueError):
+        MM.decode_image_py(b"\xff\xd8\xff\xe0" + b"0" * 32)
+    # formats with no decoder stay honestly stubbed
     with pytest.raises(NotImplementedError):
-        MM.decode_image_py(b"\xff\xd8\xff\xe0" + b"0" * 32)  # JPEG
+        MM.decode_image_py(b"GIF89a" + b"0" * 32)
     with pytest.raises(NotImplementedError):
         MM.decode_audio_py(b"OggS" + b"0" * 32)
     assert MM.decode_image_py(None) is None
