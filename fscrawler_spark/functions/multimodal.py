@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from fscrawler_spark.functions.jpeg import decode_jpeg
+from fscrawler_spark.functions.jpeg import decode_jpeg, encode_jpeg
 
 try:  # real decoder path — absent in this container
     import PIL.Image  # noqa: F401
@@ -608,7 +608,7 @@ THUMBS_SCHEMA = T.StructType(
         T.StructField("frame_idx", T.IntegerType(), False),
         T.StructField("width", T.IntegerType(), False),
         T.StructField("height", T.IntegerType(), False),
-        T.StructField("thumb", T.BinaryType(), False),  # PNG bytes
+        T.StructField("thumb", T.BinaryType(), False),  # PNG or JPEG bytes
     ]
 )
 
@@ -670,6 +670,8 @@ def thumbnails(
     max_px: int = 128,
     n_frames: int = 4,
     cover_offset_frac: float = 0.1,
+    codec: str = "png",
+    jpeg_quality: int = 85,
 ) -> DataFrame:
     """Preview generation (the reference's PreviewFileProcessor,
     app/processors/preview_file_processor.py:17-62, re-expressed
@@ -682,7 +684,22 @@ def thumbnails(
     directory.  Frame indices use integer arithmetic only
     (cover = min(n-1, floor(n*frac)); frame i = i*(n-1)//(n_frames-1))
     so they are SQL-reproducible.  Undecodable rows are contained (D4);
-    audio has no visual preview."""
+    audio has no visual preview.
+
+    codec picks the preview encoding: "png" (lossless, the q34 oracle
+    fixture format) or "jpeg" (this module's baseline codec at
+    jpeg_quality — what a 100-TB pipeline would actually store;
+    4-channel sources drop alpha, 2-channel gray-alpha drops to gray,
+    since JPEG carries 1 or 3 components)."""
+    if codec not in ("png", "jpeg"):
+        raise ValueError(f"thumbnail codec must be png or jpeg, got {codec!r}")
+
+    def _enc(small: np.ndarray) -> bytes:
+        if codec == "png":
+            return encode_png(small)
+        if small.ndim == 3 and small.shape[2] in (2, 4):
+            small = small[:, :, :-1]  # drop alpha for JPEG
+        return encode_jpeg(small, quality=jpeg_quality)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -695,7 +712,7 @@ def thumbnails(
                 # is half-appended (the row skip must be all-or-nothing)
                 row_acc.append(
                     (mid, kind, idx, small.shape[1], small.shape[0],
-                     encode_png(small))
+                     _enc(small))
                 )
 
             for mid, mtype, data in zip(

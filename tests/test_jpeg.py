@@ -170,3 +170,27 @@ def test_jpeg_through_spark_image_pipeline(spark):
     _w, _h, _c, dec = MM.decode_image_py(bytes(t["thumb"]))
     expect = MM._pool_to_max(decode_jpeg(blob)[3].reshape(12, 20, 3), 5)
     assert np.array_equal(dec, expect)
+
+
+def test_thumbnails_jpeg_codec_option(spark):
+    """thumbnails(codec='jpeg') stores previews through the baseline
+    JPEG encoder: blobs carry the JPEG magic, decode to the same dims
+    as the PNG path, and stay within lossy-roundtrip error of the
+    independently pooled pixels; a bad codec name raises."""
+    from fscrawler_spark.functions import multimodal as MM
+
+    img = MM.encode_fake_image(12, 6, 3, seed=50)
+    media = spark.createDataFrame(
+        [(1, "u1", "image", img, {})], MM.MEDIA_SCHEMA
+    )
+    with pytest.raises(ValueError):
+        MM.thumbnails(media, codec="webp")
+    (r,) = MM.thumbnails(media, max_px=4, codec="jpeg",
+                         jpeg_quality=100).collect()
+    blob = bytes(r["thumb"])
+    assert blob[:3] == b"\xff\xd8\xff"
+    w, h, c, dec = decode_jpeg(blob)
+    assert (w, h, c) == (r["width"], r["height"], 3) == (4, 2, 3)
+    src = np.frombuffer(img, np.uint8, 12 * 6 * 3, 19).reshape(6, 12, 3)
+    expect = src.reshape(2, 3, 4, 3, 3).mean(axis=(1, 3)).astype(np.uint8)
+    assert int(np.abs(dec.astype(int) - expect.astype(int)).max()) <= 3
