@@ -271,6 +271,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
         return _decode_jpeg(data)
     except (IndexError, struct.error) as exc:  # truncated stream
         raise ValueError(f"JPEG stream truncated: {exc}") from exc
+    except OverflowError as exc:  # corrupt-stream DC drift past int32
+        raise ValueError(f"JPEG coefficients out of range: {exc}") from exc
 
 
 def _decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
@@ -370,8 +372,12 @@ def _decode_scan(scan, segs, hufftables, qtables, w, h, dri):
                 for blk in range(comp["v"] * comp["h"]):
                     dy, dx = divmod(blk, comp["h"])
                     zz = store[si][my * comp["v"] + dy, mx * comp["h"] + dx]
-                    # DC
+                    # DC — category > 15 only occurs in corrupt streams
+                    # (stream-supplied tables can map to any byte) and
+                    # would overflow the int32 store below
                     s = _huff_sym(br, dc_tbl)
+                    if s > 15:
+                        raise ValueError("bad DC category in JPEG stream")
                     pred[si] += _extend(br.bits(s), s)
                     zz[0] = pred[si]
                     # AC

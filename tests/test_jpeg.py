@@ -194,3 +194,59 @@ def test_thumbnails_jpeg_codec_option(spark):
     src = np.frombuffer(img, np.uint8, 12 * 6 * 3, 19).reshape(6, 12, 3)
     expect = src.reshape(2, 3, 4, 3, 3).mean(axis=(1, 3)).astype(np.uint8)
     assert int(np.abs(dec.astype(int) - expect.astype(int)).max()) <= 3
+
+
+def test_jpeg_codec_pair_roundtrip_fuzzed():
+    """Property: random shapes/channels/subsampling/restart intervals
+    roundtrip at quality=100 within fixed tolerances — 1 count gray,
+    3 counts RGB (YCbCr conversion rounding).  For 4:2:0 on random
+    noise, RGB error is dominated by the 2x2 chroma box mean BY DESIGN,
+    but the luma plane is full-resolution and the RGB->YCbCr->RGB
+    coefficients cancel on Y, so reconstructed LUMA must still match
+    (up to gamut clipping on extreme chroma)."""
+    rng = _rng(99)
+
+    def luma(img):
+        f = img.astype(np.float64)
+        return 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+
+    for trial in range(20):
+        h = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 40))
+        gray = bool(rng.integers(0, 2))
+        sub = (not gray) and bool(rng.integers(0, 2))
+        ri = int(rng.choice([0, 0, 1, 2, 5]))
+        shape = (h, w) if gray else (h, w, 3)
+        arr = rng.integers(0, 256, shape, dtype=np.uint8)
+        blob = encode_jpeg(arr, quality=100, subsample=sub,
+                           restart_interval=ri)
+        ww, hh, cc, dec = decode_jpeg(blob)
+        assert (ww, hh, cc) == (w, h, 1 if gray else 3), (trial, shape)
+        dec = dec.reshape(arr.shape)
+        if sub:
+            lerr = np.abs(luma(dec) - luma(arr))
+            assert float(lerr.mean()) <= 4.0, (trial, shape, ri)
+        else:
+            err = np.abs(dec.astype(int) - arr.astype(int))
+            assert int(err.max()) <= (1 if gray else 3), (trial, shape, ri)
+
+
+def test_jpeg_decoder_corruption_contained_fuzzed():
+    """Property: randomly corrupting a valid JPEG (byte flips and
+    truncations) only ever raises members of DECODE_ERRORS — a corrupt
+    blob can never crash a mapInPandas consumer with a foreign
+    exception type."""
+    rng = _rng(98)
+    arr = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    blob = bytearray(encode_jpeg(arr, quality=90, restart_interval=2))
+    for trial in range(60):
+        bad = bytearray(blob)
+        if trial % 3 == 0:
+            bad = bad[: int(rng.integers(2, len(bad)))]
+        else:
+            for _ in range(int(rng.integers(1, 6))):
+                bad[int(rng.integers(2, len(bad)))] = int(rng.integers(0, 256))
+        try:
+            decode_jpeg(bytes(bad))
+        except DECODE_ERRORS:
+            pass  # the only acceptable failure mode
