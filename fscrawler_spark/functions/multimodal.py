@@ -8,7 +8,9 @@ Decoders (magic-byte dispatch, round 4):
           non-interlaced), real BMP (uncompressed 8/24-bit, both
           row orders), real baseline JPEG (from-scratch huffman +
           vectorized IDCT codec in functions/jpeg.py: gray/RGB,
-          4:4:4/4:2:2/4:2:0, restart markers) plus the deterministic
+          4:4:4/4:2:2/4:2:0, restart markers), real GIF (from-scratch
+          LZW codec in functions/gif.py: palettes, interlace,
+          transparency -> RGBA first frame) plus the deterministic
           FAKEIMG fixture; other formats raise
           ``NotImplementedError`` behind a PIL import-try (drop-in
           once PIL ships).
@@ -16,10 +18,9 @@ Decoders (magic-byte dispatch, round 4):
           PCM, multi-channel mixdown) plus the FAKEAUD fixture; other
           formats raise.
   video — real uncompressed RIFF/AVI (BI_RGB 'vids' stream, 8/24-bit
-          DIB frames normalized to top-down RGB/gray) plus the FAKEVID
-          fixture; compressed codecs raise (no stdlib video codec
-          exists — the honest boundary is now the codec, not the
-          container).
+          DIB frames normalized to top-down RGB/gray) and animated GIF
+          (composited logical-screen frames, disposal methods 0-3)
+          plus the FAKEVID fixture; other compressed codecs raise.
 The FAKE* formats remain the oracle fixtures: DuckDB recomputes their
 features digit-exactly from the raw blobs (q24).
 
@@ -47,6 +48,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from fscrawler_spark.functions.gif import (
+    GIF_MAGICS,
+    decode_gif_image,
+    decode_gif_video,
+)
 from fscrawler_spark.functions.jpeg import decode_jpeg, encode_jpeg
 
 try:  # real decoder path — absent in this container
@@ -284,10 +290,14 @@ def decode_image_py(data: bytes | None) -> tuple[int, int, int, np.ndarray] | No
     if data[:3] == b"\xff\xd8\xff":
         w, h, c, arr = decode_jpeg(data)
         return w, h, c, arr.reshape(h, w, c)
+    if data[:6] in GIF_MAGICS:
+        w, h, c, arr = decode_gif_image(data)
+        return w, h, c, arr.reshape(h, w, c)
     if HAVE_PIL:  # pragma: no cover - not in this container
         raise NotImplementedError("real image decode: wire PIL here")
     raise NotImplementedError(
-        "no decoder for this image format (FAKEIMG, PNG, BMP, JPEG supported)"
+        "no decoder for this image format "
+        "(FAKEIMG, PNG, BMP, JPEG, GIF supported)"
     )
 
 
@@ -385,8 +395,9 @@ def _decode_avi(data: bytes) -> tuple[int, int, int, list[bytes]]:
 
 def decode_video_py(data: bytes | None) -> tuple[int, int, int, list[bytes]] | None:
     """Magic-byte dispatch: FAKEVID (deterministic fixture; raw gray
-    frame slices, byte-identical to the pre-round-4 behavior) or real
-    uncompressed RIFF/AVI.  Returns (n_frames, width, height, frames)."""
+    frame slices, byte-identical to the pre-round-4 behavior), real
+    uncompressed RIFF/AVI, or animated GIF (composited logical-screen
+    RGB frames).  Returns (n_frames, width, height, frames)."""
     if data is None:
         return None
     data = bytes(data)
@@ -398,8 +409,11 @@ def decode_video_py(data: bytes | None) -> tuple[int, int, int, list[bytes]] | N
         ]
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         return _decode_avi(data)
+    if data[:6] in GIF_MAGICS:
+        return decode_gif_video(data)
     raise NotImplementedError(
-        "no decoder for this video format (FAKEVID and uncompressed AVI supported)"
+        "no decoder for this video format "
+        "(FAKEVID, uncompressed AVI, animated GIF supported)"
     )
 
 

@@ -76,15 +76,18 @@ def test_audio_duration_jvm_side(media_df):
 
 
 def test_real_decoder_boundary():
-    # PNG and (since the round-4 codec) JPEG are real decode paths: a
-    # truncated blob is a corrupt file (ValueError), not a missing codec
+    # PNG and (since the round-4 codecs) JPEG/GIF are real decode
+    # paths: a truncated blob is a corrupt file (ValueError), not a
+    # missing codec
     with pytest.raises(ValueError):
         MM.decode_image_py(b"\x89PNG\r\n\x1a\n....")
     with pytest.raises(ValueError):
         MM.decode_image_py(b"\xff\xd8\xff\xe0" + b"0" * 32)
+    with pytest.raises(ValueError):
+        MM.decode_image_py(b"GIF89a" + b"0" * 32)
     # formats with no decoder stay honestly stubbed
     with pytest.raises(NotImplementedError):
-        MM.decode_image_py(b"GIF89a" + b"0" * 32)
+        MM.decode_image_py(b"II*\x00" + b"0" * 32)  # TIFF
     with pytest.raises(NotImplementedError):
         MM.decode_audio_py(b"OggS" + b"0" * 32)
     assert MM.decode_image_py(None) is None
