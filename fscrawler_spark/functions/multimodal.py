@@ -15,8 +15,10 @@ Decoders (magic-byte dispatch, round 4):
           ``NotImplementedError`` behind a PIL import-try (drop-in
           once PIL ships).
   audio — real RIFF/WAVE via the stdlib ``wave`` module (8/16/32-bit
-          PCM, multi-channel mixdown) plus the FAKEAUD fixture; other
-          formats raise.
+          PCM, multi-channel mixdown) and real compressed FLAC via a
+          from-scratch codec (functions/flac.py: Rice residuals,
+          fixed + LPC predictors, stereo decorrelation, CRC-verified)
+          plus the FAKEAUD fixture; other formats raise.
   video — real uncompressed RIFF/AVI (BI_RGB 'vids' stream, 8/24-bit
           DIB frames normalized to top-down RGB/gray) and animated GIF
           (composited logical-screen frames, disposal methods 0-3)
@@ -48,6 +50,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from fscrawler_spark.functions.flac import FLAC_MAGIC, decode_flac
 from fscrawler_spark.functions.gif import (
     GIF_MAGICS,
     decode_gif_image,
@@ -419,8 +422,10 @@ def decode_video_py(data: bytes | None) -> tuple[int, int, int, list[bytes]] | N
 
 def decode_audio_py(data: bytes | None) -> tuple[int, np.ndarray] | None:
     """Magic-byte dispatch: FAKEAUD (u8 payload centered at 128 — the
-    oracle fixture, byte-identical to the pre-round-4 behavior) or real
-    RIFF/WAVE via the stdlib `wave` module.  Returns (sample_rate,
+    oracle fixture, byte-identical to the pre-round-4 behavior), real
+    RIFF/WAVE via the stdlib `wave` module, or real FLAC via this
+    repo's from-scratch codec (functions/flac.py; multi-channel mixed
+    down by per-frame mean like the WAV path).  Returns (sample_rate,
     centered float64 samples)."""
     if data is None:
         return None
@@ -433,8 +438,14 @@ def decode_audio_py(data: bytes | None) -> tuple[int, np.ndarray] | None:
         return sr, pcm
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return _decode_wav(data)
+    if data[:4] == FLAC_MAGIC:
+        sr, pcm = decode_flac(data)
+        pcm = pcm.astype(np.float64)
+        if pcm.ndim == 2:
+            pcm = pcm.mean(axis=1)
+        return sr, pcm
     raise NotImplementedError(
-        "no decoder for this audio format (FAKEAUD and WAV supported)"
+        "no decoder for this audio format (FAKEAUD, WAV, FLAC supported)"
     )
 
 
