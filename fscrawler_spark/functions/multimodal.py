@@ -10,7 +10,9 @@ Decoders (magic-byte dispatch, round 4):
           vectorized IDCT codec in functions/jpeg.py: gray/RGB,
           4:4:4/4:2:2/4:2:0, restart markers), real GIF (from-scratch
           LZW codec in functions/gif.py: palettes, interlace,
-          transparency -> RGBA first frame) plus the deterministic
+          transparency -> RGBA first frame), real uncompressed TIFF
+          (functions/tiff.py: both byte orders, multi-strip,
+          gray/RGB/RGBA) plus the deterministic
           FAKEIMG fixture; other formats raise
           ``NotImplementedError`` behind a PIL import-try (drop-in
           once PIL ships).
@@ -57,6 +59,7 @@ from fscrawler_spark.functions.gif import (
     decode_gif_video,
 )
 from fscrawler_spark.functions.jpeg import decode_jpeg, encode_jpeg
+from fscrawler_spark.functions.tiff import decode_tiff
 
 try:  # real decoder path — absent in this container
     import PIL.Image  # noqa: F401
@@ -296,11 +299,13 @@ def decode_image_py(data: bytes | None) -> tuple[int, int, int, np.ndarray] | No
     if data[:6] in GIF_MAGICS:
         w, h, c, arr = decode_gif_image(data)
         return w, h, c, arr.reshape(h, w, c)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(data)
     if HAVE_PIL:  # pragma: no cover - not in this container
         raise NotImplementedError("real image decode: wire PIL here")
     raise NotImplementedError(
         "no decoder for this image format "
-        "(FAKEIMG, PNG, BMP, JPEG, GIF supported)"
+        "(FAKEIMG, PNG, BMP, JPEG, GIF, TIFF supported)"
     )
 
 

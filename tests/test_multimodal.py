@@ -76,7 +76,7 @@ def test_audio_duration_jvm_side(media_df):
 
 
 def test_real_decoder_boundary():
-    # PNG and (since the round-4 codecs) JPEG/GIF are real decode
+    # PNG and (since the round-4 codecs) JPEG/GIF/TIFF are real decode
     # paths: a truncated blob is a corrupt file (ValueError), not a
     # missing codec
     with pytest.raises(ValueError):
@@ -85,9 +85,11 @@ def test_real_decoder_boundary():
         MM.decode_image_py(b"\xff\xd8\xff\xe0" + b"0" * 32)
     with pytest.raises(ValueError):
         MM.decode_image_py(b"GIF89a" + b"0" * 32)
+    with pytest.raises(ValueError):
+        MM.decode_image_py(b"II*\x00" + b"0" * 32)
     # formats with no decoder stay honestly stubbed
     with pytest.raises(NotImplementedError):
-        MM.decode_image_py(b"II*\x00" + b"0" * 32)  # TIFF
+        MM.decode_image_py(b"RIFF\x00\x00\x00\x00WEBP" + b"0" * 16)
     with pytest.raises(NotImplementedError):
         MM.decode_audio_py(b"OggS" + b"0" * 32)
     assert MM.decode_image_py(None) is None
