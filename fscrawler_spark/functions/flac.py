@@ -340,6 +340,12 @@ def _decode_flac(data: bytes) -> tuple[int, np.ndarray]:
 
     if n_read == 0:
         raise ValueError("FLAC contains no audio frames")
+    if total and n_read < total:
+        # must not silently return short audio when the MD5 field is
+        # unset (all zeros = "unknown") and cannot catch it
+        raise ValueError(
+            f"FLAC stream ends after {n_read} of {total} samples"
+        )
     out = np.stack([np.concatenate(c) for c in chans], axis=-1)
     if total:
         out = out[:total]
@@ -612,6 +618,14 @@ def encode_flac(
     lim = 1 << (bps - 1)
     if int(x.max()) >= lim or int(x.min()) < -lim:
         raise ValueError(f"samples exceed {bps}-bit range")
+    # header field widths are hard limits: silently masking an
+    # oversized value would emit an undecodable stream
+    if not 1 <= block_size <= 1 << 16:
+        raise ValueError("FLAC block_size must be 1..65536 (16-bit field)")
+    if not 1 <= sample_rate < 1 << 20:
+        raise ValueError("FLAC sample_rate must fit STREAMINFO's 20 bits")
+    if n >= 1 << 36:
+        raise ValueError("FLAC total samples must fit STREAMINFO's 36 bits")
     x = x.astype(np.int64)
 
     out = bytearray(FLAC_MAGIC)

@@ -189,9 +189,10 @@ def _read_sub_blocks(data: bytes, pos: int) -> tuple[bytes, int]:
         pos += 1
         if n == 0:
             return bytes(out), pos
-        out += data[pos: pos + n]
-        if len(out) < n:  # short read
+        chunk = data[pos: pos + n]
+        if len(chunk) < n:  # short read
             raise ValueError("GIF sub-block truncated")
+        out += chunk
         pos += n
 
 
@@ -203,13 +204,20 @@ def decode_gif(data: bytes) -> tuple[int, int, list[np.ndarray], list[bool]]:
     where each frame is the COMPOSITED logical screen as (h, w, 3)
     uint8 RGB and transparent[i] says whether frame i left any pixel
     never painted (exposed background with a transparency index)."""
+    w, h, frames, transp, _mask = _decode_gif_wrapped(data)
+    return w, h, frames, transp
+
+
+def _decode_gif_wrapped(data: bytes):
     try:
         return _decode_gif(data)
     except (IndexError, struct.error) as exc:
         raise ValueError(f"GIF stream truncated: {exc}") from exc
 
 
-def _decode_gif(data: bytes) -> tuple[int, int, list[np.ndarray], list[bool]]:
+def _decode_gif(
+    data: bytes,
+) -> tuple[int, int, list[np.ndarray], list[bool], np.ndarray]:
     if data[:6] not in GIF_MAGICS:
         raise ValueError("not a GIF (bad signature)")
     w, h, flags, bg_index, _aspect = struct.unpack_from("<HHBBB", data, 6)
@@ -277,7 +285,11 @@ def _decode_gif(data: bytes) -> tuple[int, int, list[np.ndarray], list[bool]]:
         if int(idx.max(initial=0)) >= len(ct):
             raise ValueError("GIF pixel index outside color table")
 
-        prev_screen = screen.copy() if disposal == 3 else None
+        if disposal == 3:
+            prev_screen = screen.copy()
+            prev_painted = painted.copy()
+        else:
+            prev_screen = prev_painted = None
         rgb = ct[idx]
         region = (slice(fy, fy + fh), slice(fx, fx + fw))
         if transparent_idx is not None:
@@ -289,8 +301,10 @@ def _decode_gif(data: bytes) -> tuple[int, int, list[np.ndarray], list[bool]]:
             painted[region] = True
         frames.append(screen.copy())
         has_transparency.append(not painted.all())
+        if len(frames) == 1:
+            first_mask = painted.copy()
 
-        # disposal AFTER the frame is shown
+        # disposal AFTER the frame is shown (screen AND paint mask)
         if disposal == 2:
             if gct is not None and bg_index < len(gct):
                 screen[region] = gct[bg_index]
@@ -299,12 +313,13 @@ def _decode_gif(data: bytes) -> tuple[int, int, list[np.ndarray], list[bool]]:
             painted[region] = False
         elif disposal == 3 and prev_screen is not None:
             screen = prev_screen
+            painted = prev_painted
         disposal = 0
         transparent_idx = None
 
     if not frames:
         raise ValueError("GIF contains no image frames")
-    return w, h, frames, has_transparency
+    return w, h, frames, has_transparency, first_mask
 
 
 def decode_gif_image(data: bytes) -> tuple[int, int, int, np.ndarray]:
@@ -312,59 +327,15 @@ def decode_gif_image(data: bytes) -> tuple[int, int, int, np.ndarray]:
     (w, h, channels, array).  Frames with never-painted pixels come
     back RGBA (alpha 0 where the background shows through), fully
     painted frames come back RGB."""
-    w, h, frames, transp = decode_gif(data)
+    w, h, frames, transp, first_mask = _decode_gif_wrapped(data)
     frame = frames[0]
     if transp[0]:
         # decode_gif composites onto the background color, so alpha
-        # must be re-derived from the first frame's paint mask
-        alpha = _first_frame_alpha(data)
+        # comes from the first frame's paint mask (computed in the
+        # same pass — no second parse/LZW decode)
+        alpha = np.where(first_mask, 255, 0).astype(np.uint8)
         return w, h, 4, np.dstack([frame, alpha])
     return w, h, 3, frame
-
-
-def _first_frame_alpha(data: bytes) -> np.ndarray:
-    """255 where the first frame painted a pixel, 0 elsewhere."""
-    w, h = struct.unpack_from("<HH", data, 6)
-    flags = data[10]
-    pos = 13
-    if flags & 0x80:
-        pos += 3 * (2 << (flags & 0x07))
-    transparent_idx = None
-    while pos < len(data):
-        block = data[pos]
-        pos += 1
-        if block == 0x21:
-            label = data[pos]
-            pos += 1
-            body, pos = _read_sub_blocks(data, pos)
-            if label == 0xF9 and len(body) >= 4 and body[0] & 0x01:
-                transparent_idx = body[3]
-            continue
-        if block != 0x2C:
-            break
-        fx, fy, fw, fh, lflags = struct.unpack_from("<HHHHB", data, pos)
-        pos += 9
-        if lflags & 0x80:
-            pos += 3 * (2 << (lflags & 0x07))
-        min_code_size = data[pos]
-        pos += 1
-        lzw, pos = _read_sub_blocks(data, pos)
-        idx = _lzw_decode(min_code_size, lzw, fw * fh).reshape(fh, fw)
-        if lflags & 0x40:
-            tmp = np.empty_like(idx)
-            src = 0
-            for first, step in _INTERLACE:
-                for r in range(first, fh, step):
-                    tmp[r] = idx[src]
-                    src += 1
-            idx = tmp
-        alpha = np.zeros((h, w), np.uint8)
-        region_alpha = np.full((fh, fw), 255, np.uint8)
-        if transparent_idx is not None:
-            region_alpha[idx == transparent_idx] = 0
-        alpha[fy: fy + fh, fx: fx + fw] = region_alpha
-        return alpha
-    raise ValueError("GIF contains no image frames")
 
 
 def decode_gif_video(data: bytes) -> tuple[int, int, int, list[bytes]]:

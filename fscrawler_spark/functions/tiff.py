@@ -35,6 +35,7 @@ _TAG_STRIP_OFFSETS = 273
 _TAG_SPP = 277
 _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_COUNTS = 279
+_TAG_PLANAR_CONFIG = 284
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i"}
@@ -83,7 +84,8 @@ def _decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
         tag, ttype, count = struct.unpack_from(e + "HHI", data, at)
         if tag in (_TAG_WIDTH, _TAG_HEIGHT, _TAG_BPS, _TAG_COMPRESSION,
                    _TAG_PHOTOMETRIC, _TAG_STRIP_OFFSETS, _TAG_SPP,
-                   _TAG_ROWS_PER_STRIP, _TAG_STRIP_COUNTS):
+                   _TAG_ROWS_PER_STRIP, _TAG_STRIP_COUNTS,
+                   _TAG_PLANAR_CONFIG):
             tags[tag] = _read_tag_values(
                 data, e, ttype, count, data[at + 8: at + 12]
             )
@@ -105,6 +107,11 @@ def _decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
             f"TIFF compression {compression} (only 1 = uncompressed)"
         )
     spp = one(_TAG_SPP, 1)
+    # PlanarConfiguration 2 stores each sample plane separately; the
+    # strip byte count is identical to chunky, so without this guard a
+    # planar file would decode silently into garbled pixels
+    if spp > 1 and one(_TAG_PLANAR_CONFIG, 1) != 1:
+        raise NotImplementedError("planar TIFF (PlanarConfiguration=2)")
     bps_list = tags.get(_TAG_BPS, [8])
     if any(b != 8 for b in bps_list):
         raise NotImplementedError("only 8-bit TIFF samples supported")

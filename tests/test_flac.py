@@ -197,3 +197,36 @@ def test_audio_dispatch_and_spark_pipeline(spark):
     assert len(by_media[1]) == 4  # 4 windows of (RMS, ZCR)
     assert all(r["rms"] > 0 for r in by_media[1])
     assert 2 not in by_media  # corrupt row contained (skipped, not fatal)
+
+
+def test_header_field_limits_raise_at_encode():
+    """Oversized header fields must fail at encode time, not silently
+    mask into an undecodable stream (review finding)."""
+    x = _tone(100)
+    with pytest.raises(ValueError):
+        encode_flac(x, 8000, block_size=70000)
+    with pytest.raises(ValueError):
+        encode_flac(x, 1 << 20)  # sample rate exceeds 20-bit field
+
+
+def test_truncated_stream_with_unset_md5_raises():
+    """Cutting a stream at a frame boundary must raise even when the
+    STREAMINFO MD5 is zeroed out (review finding) — never silently
+    return short audio."""
+    x = _rng(11).integers(-20000, 20000, 4096).astype(np.int64)
+    blob = bytearray(encode_flac(x, 8000, block_size=1024))
+    # zero the STREAMINFO MD5 (bytes 26..42 of the 42-byte prefix:
+    # 4 magic + 4 block header + 34 streaminfo; md5 is its last 16)
+    blob[26:42] = b"\x00" * 16
+    # find the start of the LAST frame by sync-scanning from the end
+    cut = None
+    for i in range(len(blob) - 2, 42, -1):
+        if blob[i] == 0xFF and (blob[i + 1] & 0xFC) == 0xF8:
+            cut = i
+            break
+    assert cut is not None and cut > 42
+    with pytest.raises(ValueError):
+        decode_flac(bytes(blob[:cut]))
+    # the untruncated zero-md5 stream still decodes exactly
+    _, out = decode_flac(bytes(blob))
+    assert np.array_equal(out, x)

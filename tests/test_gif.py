@@ -221,3 +221,62 @@ def test_gif_through_spark_pipelines(spark):
     kinds = {(r["media_id"], r["kind"], r["frame_idx"]) for r in thumbs}
     assert (1, "cover", 0) in kinds
     assert (2, "frame", 0) in kinds and (2, "frame", 5) in kinds
+
+
+def test_second_gce_clearing_transparency_wins():
+    """A later GCE before the image replaces the earlier one (spec):
+    pixels painted with the formerly-transparent index must come back
+    OPAQUE in the first frame's alpha channel."""
+    gct = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255,  9, 9, 9])
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 2, 2, 0x80 | 0x01, 0, 0)
+    out += gct
+    # GCE #1: transparency on, index 1
+    out += b"\x21\xf9\x04" + bytes([0x01, 0, 0, 1]) + b"\x00"
+    # GCE #2: transparency OFF (replaces #1)
+    out += b"\x21\xf9\x04" + bytes([0x00, 0, 0, 0]) + b"\x00"
+    # 1x2 frame at (0,0) painting indices [1, 0] — screen bottom row
+    # stays unpainted, so the first frame is RGBA
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 1, 0)
+    idx = np.array([1, 0], np.uint8)
+    out.append(2)
+    lzw = _lzw_encode(2, idx)
+    out.append(len(lzw))
+    out += lzw + b"\x00\x3b"
+    w, h, c, arr = decode_image_py(bytes(out))
+    assert (w, h, c) == (2, 2, 4)
+    assert arr[0, 0, 3] == 255          # index-1 pixel painted OPAQUE
+    assert list(arr[0, 0, :3]) == [0, 255, 0]
+    assert arr[1, 0, 3] == 0            # uncovered row transparent
+
+
+def test_disposal_restore_previous_restores_paint_mask():
+    """Disposal 3 must restore the paint MASK along with the pixels:
+    frames after a restore-to-previous must report unpainted regions
+    again (review finding)."""
+    gct = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255,  9, 9, 9])
+
+    def frame(gce_disposal, fx, fy, fw, fh, indices):
+        b = bytearray()
+        b += b"\x21\xf9\x04" + bytes([gce_disposal << 2, 0, 0, 0]) + b"\x00"
+        b += b"\x2c" + struct.pack("<HHHHB", fx, fy, fw, fh, 0)
+        b.append(2)
+        lzw = _lzw_encode(2, np.asarray(indices, np.uint8))
+        b.append(len(lzw))
+        b += lzw + b"\x00"
+        return bytes(b)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 2, 2, 0x80 | 0x01, 0, 0)
+    out += gct
+    out += frame(0, 0, 0, 1, 1, [1])        # paints 1 of 4 pixels
+    out += frame(3, 0, 0, 2, 2, [2, 2, 2, 2])  # full cover, restore-prev
+    out += frame(0, 1, 1, 1, 1, [1])        # paints 1 more pixel
+    out += b"\x3b"
+    w, h, frames, transp = decode_gif(bytes(out))
+    assert len(frames) == 3
+    # frame 3 composites onto the RESTORED state: only 2 of 4 pixels
+    # were ever painted there, so it still exposes background
+    assert transp == [True, False, True]
+    assert (frames[2][0, 0] == [0, 255, 0]).all()   # frame-1 pixel back
+    assert (frames[2][0, 1] == [255, 0, 0]).all()   # background again

@@ -104,3 +104,22 @@ def test_codec_pair_roundtrip_fuzzed():
         ww, hh, cc, out = decode_tiff(encode_tiff(arr, rows_per_strip=rps))
         assert (ww, hh, cc) == (w, h, spp), (trial, shape, rps)
         assert np.array_equal(out.reshape(shape), arr), (trial, shape, rps)
+
+
+def test_planar_configuration_raises_not_garbles():
+    """PlanarConfiguration=2 has the same strip byte count as chunky,
+    so without an explicit guard it would decode silently into wrong
+    pixels (review finding) — it must raise instead."""
+    arr = _rng(6).integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    blob = bytearray(encode_tiff(arr))
+    n_tags = struct.unpack_from("<H", blob, struct.unpack_from("<I", blob, 4)[0])[0]
+    ifd = struct.unpack_from("<I", blob, 4)[0]
+    # append a PlanarConfiguration=2 tag (284) before the next-IFD
+    # pointer and bump the tag count (284 > every existing tag, so the
+    # ascending-order invariant holds; all offsets point backward)
+    insert_at = ifd + 2 + 12 * n_tags
+    tag = struct.pack("<HHI", 284, 3, 1) + struct.pack("<HH", 2, 0)
+    blob[insert_at:insert_at] = tag
+    struct.pack_into("<H", blob, ifd, n_tags + 1)
+    with pytest.raises(NotImplementedError):
+        decode_tiff(bytes(blob))
