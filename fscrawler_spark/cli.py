@@ -184,6 +184,42 @@ def cmd_dedup(args: argparse.Namespace) -> None:
         print(json.dumps({"pairs": pairs.count(), "dropped": drop.count()}))
 
 
+def cmd_media(args: argparse.Namespace) -> None:
+    """Media processing over a parquet of binary blobs (MEDIA_SCHEMA
+    shape) — the CLI face of the reference's preview/metadata
+    processors (PreviewFileProcessor, ExtendedAttributesProcessor),
+    running this repo's real codecs (PNG/BMP/TIFF/JPEG/GIF/AVI/WAV/
+    FLAC) inside mapInPandas."""
+    from fscrawler_spark.functions import multimodal as MM
+
+    spark = get_spark("fscrawler_media", cores=args.cores)
+    media = spark.read.parquet(args.input)
+    if args.op == "info":
+        out = MM.image_info(media)
+    elif args.op == "features":
+        out = MM.image_features(media, dim=args.dim)
+    elif args.op == "frames":
+        out = MM.sample_frames(media, every_n=args.every_n)
+    elif args.op == "audio":
+        out = MM.audio_features(media, n_windows=args.windows)
+    elif args.op == "thumbnails":
+        out = MM.thumbnails(media, max_px=args.max_px,
+                            codec=args.thumb_codec)
+    else:
+        sys.exit(f"unknown media op: {args.op}")
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"op": args.op, "rows": spark.read.parquet(
+            args.out).count(), "out": args.out}))
+    else:
+        for row in out.limit(20).collect():
+            d = row.asDict()
+            for k, v in d.items():
+                if isinstance(v, (bytes, bytearray)):
+                    d[k] = f"<{len(v)} bytes>"
+            print("  ", d)
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="fscrawler_spark")
     p.add_argument("--cores", default=None)
@@ -225,6 +261,23 @@ def main(argv: list[str] | None = None) -> None:
     d.add_argument("--threshold", type=float, default=0.8)
     d.add_argument("--out")
     d.set_defaults(fn=cmd_dedup)
+
+    m = sub.add_parser(
+        "media",
+        help="decode/feature/thumbnail a parquet of media blobs "
+             "(real PNG/BMP/TIFF/JPEG/GIF/AVI/WAV/FLAC codecs)",
+    )
+    m.add_argument("--input", required=True)
+    m.add_argument("--op", default="info",
+                   choices=["info", "features", "frames", "audio",
+                            "thumbnails"])
+    m.add_argument("--dim", type=int, default=16)
+    m.add_argument("--every-n", type=int, default=2)
+    m.add_argument("--windows", type=int, default=8)
+    m.add_argument("--max-px", type=int, default=128)
+    m.add_argument("--thumb-codec", default="png", choices=["png", "jpeg"])
+    m.add_argument("--out")
+    m.set_defaults(fn=cmd_media)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -54,3 +54,45 @@ def test_budget_waves_bloom_flags_are_none_markers(monkeypatch):
     assert _flag_over_config({"use_bloom": True}, "use_bloom", False, False) is False
     # and config still beats the default when no flag is given
     assert _flag_over_config({"max_waves": 7}, "max_waves", None, 50) == 7
+
+
+def test_media_subcommand_end_to_end(spark, tmp_path, capsys, monkeypatch):
+    """`media --op info/thumbnails` runs the real codecs over a media
+    parquet: a JPEG, a GIF and a corrupt blob in one table."""
+    import numpy as np
+
+    from fscrawler_spark.functions import multimodal as MM
+    from fscrawler_spark.functions.gif import encode_gif
+    from fscrawler_spark.functions.jpeg import encode_jpeg
+    from fscrawler_spark import session as S
+
+    monkeypatch.setattr(S, "get_spark", lambda *a, **k: spark)
+    import fscrawler_spark.cli as cli
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+
+    rng = np.random.Generator(np.random.PCG64(77))
+    jpg = encode_jpeg(rng.integers(0, 256, (8, 12, 3), dtype=np.uint8),
+                      quality=100)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    gif = encode_gif(pal[rng.integers(0, 16, (6, 10))])
+    src = str(tmp_path / "media.parquet")
+    spark.createDataFrame(
+        [(1, "u1", "image", jpg, {}), (2, "u2", "image", gif, {}),
+         (3, "u3", "image", jpg[:10], {})],
+        MM.MEDIA_SCHEMA,
+    ).write.parquet(src)
+
+    out = str(tmp_path / "info.parquet")
+    main(["media", "--input", src, "--op", "info", "--out", out])
+    rows = {r["media_id"]: r for r in spark.read.parquet(out).collect()}
+    assert (rows[1]["width"], rows[1]["height"]) == (12, 8)
+    assert (rows[2]["width"], rows[2]["height"]) == (10, 6)
+    assert rows[3]["width"] is None  # corrupt blob contained
+
+    tout = str(tmp_path / "thumbs.parquet")
+    main(["media", "--input", src, "--op", "thumbnails",
+          "--max-px", "4", "--thumb-codec", "jpeg", "--out", tout])
+    thumbs = spark.read.parquet(tout).collect()
+    assert {r["media_id"] for r in thumbs} == {1, 2}
+    assert all(bytes(r["thumb"])[:3] == b"\xff\xd8\xff" for r in thumbs)
+    capsys.readouterr()  # drain the JSON summaries
