@@ -11,6 +11,7 @@ pytest suite against the scalar simulator (tests/test_crawl_e2e.py).
 
 from __future__ import annotations
 
+import struct as _st
 import tempfile
 from collections.abc import Callable
 
@@ -604,6 +605,128 @@ def q34_thumbnails(spark, sf_dir):
     )
 
 
+_Q35_MEDIA_DIR = "/tmp/fscrawler_spark_q35_media"
+
+
+def _encode_bmp24(arr) -> bytes:
+    """Minimal bottom-up 24-bit BI_RGB BMP writer for the q35 fixture
+    (the engine only DECODES BMP; this is fixture plumbing)."""
+    import numpy as np
+
+    h, w, _ = arr.shape
+    row = (w * 3 + 3) & ~3
+    pix = bytearray()
+    for y in range(h - 1, -1, -1):
+        line = np.ascontiguousarray(arr[y, :, ::-1]).tobytes()
+        pix += line + b"\x00" * (row - len(line))
+    off = 14 + 40
+    hdr = b"BM" + _st.pack("<IHHI", off + len(pix), 0, 0, off)
+    hdr += _st.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix),
+                    2835, 2835, 0, 0)
+    return bytes(hdr) + bytes(pix)
+
+
+def _q35_media_rows():
+    import numpy as np
+
+    from fscrawler_spark.functions import multimodal as MM
+    from fscrawler_spark.functions.gif import encode_gif
+    from fscrawler_spark.functions.jpeg import encode_jpeg
+    from fscrawler_spark.functions.tiff import encode_tiff
+
+    def rng(seed):
+        return np.random.Generator(np.random.PCG64(seed))
+
+    rows = []
+
+    def add(blob, ext):
+        rows.append((len(rows), f"http://m.example/{len(rows)}.{ext}",
+                     "image", blob))
+
+    for i in range(10):  # PNG: all four channel counts
+        c = (1, 2, 3, 4)[i % 4]
+        arr = rng(100 + i).integers(0, 256, (5 + i, 7 + i % 5, c),
+                                    dtype=np.uint8)
+        add(MM.encode_png(arr), "png")
+    for i in range(10):  # GIF: palette images (static -> RGB)
+        pal = rng(200 + i).integers(0, 256, (32, 3), dtype=np.uint8)
+        idx = rng(300 + i).integers(0, 32, (4 + i, 6 + i % 4))
+        add(encode_gif(pal[idx]), "gif")
+    for i in range(10):  # BMP 24-bit
+        arr = rng(400 + i).integers(0, 256, (6 + i, 5 + i % 6, 3),
+                                    dtype=np.uint8)
+        add(_encode_bmp24(arr), "bmp")
+    for i in range(10):  # JPEG: gray and color, quality 100
+        shape = (8 + i, 9 + i % 5) if i % 2 else (8 + i, 9 + i % 5, 3)
+        arr = rng(500 + i).integers(0, 256, shape, dtype=np.uint8)
+        add(encode_jpeg(arr, quality=100), "jpg")
+    for i in range(8):  # TIFF: gray/RGB/RGBA, single strip
+        c = (1, 3, 4)[i % 3]
+        shape = (4 + i, 6 + i % 4) if c == 1 else (4 + i, 6 + i % 4, c)
+        arr = rng(600 + i).integers(0, 256, shape, dtype=np.uint8)
+        add(encode_tiff(arr), "tif")
+    return rows
+
+
+def _ensure_q35_media() -> str:
+    """Materialize the REAL-codec media table (PNG/GIF/BMP/JPEG/TIFF
+    blobs from this repo's own encoders) so both engines read identical
+    bytes — same protocol as _ensure_q24_media."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(_Q35_MEDIA_DIR, "media.parquet")
+    os.makedirs(_Q35_MEDIA_DIR, exist_ok=True)
+    rows = _q35_media_rows()
+    tbl = pa.table({
+        "media_id": pa.array([r[0] for r in rows], pa.int64()),
+        "url": pa.array([r[1] for r in rows], pa.string()),
+        "media_type": pa.array([r[2] for r in rows], pa.string()),
+        "data": pa.array([r[3] for r in rows], pa.binary()),
+    })
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def q35_real_codec_info(spark, sf_dir):
+    """REAL-format codec verification, oracle-checked: image_info runs
+    the from-scratch PNG/GIF/BMP/JPEG/TIFF decoders
+    (fscrawler_spark/functions/) over blobs those codecs' own encoders
+    produced, and the DuckDB twin re-derives width/height/channels
+    INDEPENDENTLY from the raw container headers with hex/strpos
+    integer arithmetic (PNG IHDR big-endian, GIF/BMP/TIFF little-endian
+    fields, JPEG SOF0 located by marker scan — safe at quality 100
+    where no pre-SOF byte is 0xFF).  Decoded pixel values stay
+    pytest-verified (entropy-coded payloads are not reproducible in
+    SQL); this row proves the dispatch + header geometry of every real
+    decoder against an independent parser."""
+    from fscrawler_spark.functions import multimodal as MM
+
+    media = spark.read.parquet(_ensure_q35_media())
+    codec = (
+        F.when(F.hex(F.substring("data", 1, 4)) == "89504E47", "png")
+        .when(F.hex(F.substring("data", 1, 3)) == "474946", "gif")
+        .when(F.hex(F.substring("data", 1, 2)) == "424D", "bmp")
+        .when(F.hex(F.substring("data", 1, 2)) == "FFD8", "jpeg")
+        .when(F.hex(F.substring("data", 1, 4)) == "49492A00", "tiff")
+    )
+    base = media.select(
+        "media_id", codec.alias("codec"),
+        F.length("data").cast("long").alias("n_bytes"),
+    )
+    info = MM.image_info(media).select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+    )
+    return base.join(info, "media_id").orderBy("media_id")
+
+
 def q23_cube_rollup(spark, sf_dir):
     """Grouping sets — cube over two dims with exact decimal sums
     (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
@@ -844,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_lsh_full_bucket": q32_lsh_full_bucket,
         "q33_simhash_exact_gate": q33_simhash_exact_gate,
         "q34_thumbnails": q34_thumbnails,
+        "q35_real_codec_info": q35_real_codec_info,
     }
 
 
@@ -1233,9 +1357,70 @@ def oracle_sql() -> dict[str, str]:
         FROM thumbs
         ORDER BY media_id, kind, frame_idx
     """
+    # q35: the REAL-codec blobs, header fields re-derived independently
+    # from container bytes.  _hb works for any integer SQL expression i,
+    # so computed offsets (JPEG SOF0 marker position, TIFF IFD offset)
+    # are plain arithmetic — no unnest needed.
+    _q35_path = _ensure_q35_media()
+
+    def _b(i) -> str:
+        return _hb.format(i=i)
+
+    _q35_sql = f"""
+        WITH raw AS (
+          SELECT media_id, hex(data) AS hx,
+                 octet_length(data)::BIGINT AS n_bytes
+          FROM read_parquet('{_q35_path}')),
+        c AS (
+          SELECT media_id, hx, n_bytes,
+            CASE WHEN substr(hx,1,8)='89504E47' THEN 'png'
+                 WHEN substr(hx,1,6)='474946'  THEN 'gif'
+                 WHEN substr(hx,1,4)='424D'    THEN 'bmp'
+                 WHEN substr(hx,1,4)='FFD8'    THEN 'jpeg'
+                 WHEN substr(hx,1,8)='49492A00' THEN 'tiff'
+            END AS codec,
+            CASE WHEN substr(hx,1,4)='FFD8'
+                 THEN (strpos(hx,'FFC0')-1)//2 ELSE 0 END AS sofm,
+            CASE WHEN substr(hx,1,8)='49492A00'
+                 THEN {_b(4)} + 256*{_b(5)} + 65536*{_b(6)}
+                      + 16777216*{_b(7)}
+                 ELSE 0 END AS ifd
+          FROM raw)
+        SELECT media_id, codec, n_bytes,
+          (CASE codec
+            WHEN 'png'  THEN 16777216*{_b(16)} + 65536*{_b(17)}
+                             + 256*{_b(18)} + {_b(19)}
+            WHEN 'gif'  THEN {_b(6)} + 256*{_b(7)}
+            WHEN 'bmp'  THEN {_b(18)} + 256*{_b(19)} + 65536*{_b(20)}
+                             + 16777216*{_b(21)}
+            WHEN 'jpeg' THEN 256*{_b('sofm+7')} + {_b('sofm+8')}
+            WHEN 'tiff' THEN {_b('ifd+10')} + 256*{_b('ifd+11')}
+          END)::BIGINT AS width,
+          (CASE codec
+            WHEN 'png'  THEN 16777216*{_b(20)} + 65536*{_b(21)}
+                             + 256*{_b(22)} + {_b(23)}
+            WHEN 'gif'  THEN {_b(8)} + 256*{_b(9)}
+            WHEN 'bmp'  THEN {_b(22)} + 256*{_b(23)} + 65536*{_b(24)}
+                             + 16777216*{_b(25)}
+            WHEN 'jpeg' THEN 256*{_b('sofm+5')} + {_b('sofm+6')}
+            WHEN 'tiff' THEN {_b('ifd+22')} + 256*{_b('ifd+23')}
+          END)::BIGINT AS height,
+          (CASE codec
+            WHEN 'png'  THEN CASE {_b(25)} WHEN 0 THEN 1 WHEN 2 THEN 3
+                                  WHEN 3 THEN 3 WHEN 4 THEN 2
+                                  WHEN 6 THEN 4 END
+            WHEN 'gif'  THEN 3
+            WHEN 'bmp'  THEN 3
+            WHEN 'jpeg' THEN {_b('sofm+9')}
+            WHEN 'tiff' THEN {_b('ifd+82')} + 256*{_b('ifd+83')}
+          END)::BIGINT AS channels
+        FROM c
+        ORDER BY media_id
+    """
     return {
         "q24_media_features": _q24_sql,
         "q34_thumbnails": _q34_sql,
+        "q35_real_codec_info": _q35_sql,
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(((l_quantity::DECIMAL(18,2)) * 100)::BIGINT)::BIGINT AS sum_qty_c2,
