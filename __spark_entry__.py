@@ -727,6 +727,110 @@ def q35_real_codec_info(spark, sf_dir):
     return base.join(info, "media_id").orderBy("media_id")
 
 
+_Q36_MEDIA_DIR = "/tmp/fscrawler_spark_q36_media"
+
+
+def _q36_media_rows():
+    """Deterministic compressed-media fixtures: MP3 (CBR Layer III,
+    both MPEG versions), MP4 (avc1+SPS / raw video / +audio /
+    audio-only, dyadic durations so duration*1e6 is double-exact),
+    and single-audio-page Ogg Opus/Vorbis.  ID3/Xing/multi-page
+    regimes stay pytest-covered (tests/test_mediameta.py) — this
+    table is the fixed-layout regime the SQL twin can re-parse."""
+    from fscrawler_spark.functions import mediameta as MM
+
+    rows = []
+
+    def add(blob, ext):
+        rows.append((len(rows), f"http://m.example/{len(rows)}.{ext}",
+                     "av", blob))
+
+    mp3_specs = [
+        (25, 128, 44100, 2, False), (40, 320, 48000, 2, False),
+        (13, 96, 32000, 1, False), (7, 40, 44100, 1, False),
+        (60, 64, 22050, 2, True), (31, 24, 24000, 1, True),
+        (18, 144, 16000, 2, True), (5, 8, 22050, 1, True),
+        (100, 192, 44100, 2, False), (3, 160, 16000, 2, True),
+    ]
+    for n, br, sr, ch, v2 in mp3_specs:
+        add(MM.synth_mp3(n, br, sr, ch, mpeg2=v2), "mp3")
+    mp4_specs = [
+        # (duration dyadic, timescale | 1e6, w, h, sps?, audio?)
+        (12.5, 1000, 1920, 1080, True, None),
+        (0.5, 8000, 640, 480, True, (44100, 2)),
+        (90.25, 250, 1280, 720, True, None),
+        (3.75, 1000, 320, 240, False, None),      # raw video, tkhd dims
+        (8.0, 16, None, None, False, (48000, 1)),  # audio-only
+        (0.0625, 8000, 1918, 1078, True, None),    # cropped SPS dims
+        (2.25, 1000, 100, 50, True, (8000, 2)),
+    ]
+    for d, ts, w, h, use_sps, audio in mp4_specs:
+        sps = MM.encode_sps(w, h) if use_sps else None
+        add(MM.synth_mp4(d, ts, w, h, sps=sps, audio=audio), "mp4")
+    for n48, ch, preskip in [(48000 * 3, 2, 312), (4800, 1, 0),
+                             (96000, 2, 3840), (480, 1, 312)]:
+        add(MM.synth_ogg("opus", n48, channels=ch, preskip=preskip), "opus")
+    for n, sr, ch in [(44100 * 2, 44100, 2), (8000, 8000, 1),
+                      (12000, 32000, 2)]:
+        add(MM.synth_ogg("vorbis", n, sample_rate=sr, channels=ch), "ogg")
+    return rows
+
+
+def _ensure_q36_media() -> str:
+    """Materialize the compressed-media metadata table (same protocol
+    as _ensure_q35_media: both engines read identical bytes)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(_Q36_MEDIA_DIR, "media.parquet")
+    os.makedirs(_Q36_MEDIA_DIR, exist_ok=True)
+    rows = _q36_media_rows()
+    tbl = pa.table({
+        "media_id": pa.array([r[0] for r in rows], pa.int64()),
+        "url": pa.array([r[1] for r in rows], pa.string()),
+        "media_type": pa.array([r[2] for r in rows], pa.string()),
+        "data": pa.array([r[3] for r in rows], pa.binary()),
+    })
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def q36_media_metadata(spark, sf_dir):
+    """Structural metadata for COMPRESSED media (the declared
+    entropy-decode boundary formats), oracle-checked: media_info walks
+    MP3 frame headers, MP4 boxes (H.264 SPS dims via Exp-Golomb) and
+    Ogg pages (functions/mediameta.py), and the DuckDB twin re-derives
+    every field independently from the raw container bytes — the MP3
+    header tables and frame-length arithmetic restated in SQL, mvhd/
+    tkhd/mp4a fields at strpos-located box offsets, Ogg granule/
+    pre-skip arithmetic at the fixed single-page layout.  duration_e6
+    is computed with the same double-op order on both sides, so the
+    value hash is exact."""
+    from fscrawler_spark.functions import mediameta as MM
+
+    media = spark.read.parquet(_ensure_q36_media())
+    return (
+        MM.media_info(media)
+        .select(
+            "media_id", "container", "codec",
+            F.round(F.col("duration_sec") * 1e6).cast("long")
+            .alias("duration_e6"),
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.col("sample_rate").cast("long").alias("sample_rate"),
+            F.col("channels").cast("long").alias("channels"),
+            F.col("bit_rate_kbps").cast("long").alias("bit_rate_kbps_floor"),
+            F.col("n_frames").cast("long").alias("n_frames"),
+            F.col("n_bytes").cast("long").alias("n_bytes"),
+        )
+        .orderBy("media_id")
+    )
+
+
 def q23_cube_rollup(spark, sf_dir):
     """Grouping sets — cube over two dims with exact decimal sums
     (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
@@ -968,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_simhash_exact_gate": q33_simhash_exact_gate,
         "q34_thumbnails": q34_thumbnails,
         "q35_real_codec_info": q35_real_codec_info,
+        "q36_media_metadata": q36_media_metadata,
     }
 
 
@@ -1417,10 +1522,124 @@ def oracle_sql() -> dict[str, str]:
         FROM c
         ORDER BY media_id
     """
+    # q36: compressed-media structural metadata re-derived independently.
+    # The MP3 header tables (public MPEG header constants) and the
+    # frame-length arithmetic are restated in SQL; MP4 fields are read
+    # at strpos-located box offsets; Ogg uses the fixture's fixed
+    # single-audio-page layout (multi-page walks are pytest-covered).
+    # duration_e6 uses the same double-op ORDER as the Python parsers
+    # ((int*int)/int, then *1e6, then round) so values are bit-equal.
+    _q36_path = _ensure_q36_media()
+    _q36_sql = f"""
+        WITH raw AS (
+          SELECT media_id, hex(data) AS hx,
+                 octet_length(data)::BIGINT AS n_bytes
+          FROM read_parquet('{_q36_path}')),
+        c AS (
+          SELECT media_id, hx, n_bytes,
+            CASE
+              WHEN substr(hx,9,8)='66747970' THEN 'mp4'
+              WHEN substr(hx,1,8)='4F676753' THEN
+                CASE WHEN substr(hx,57,16)='4F70757348656164' THEN 'opus'
+                     WHEN substr(hx,57,14)='01766F72626973' THEN 'vorbis'
+                END
+              WHEN substr(hx,1,2)='FF' AND {_b(1)}>=224 THEN 'mp3'
+            END AS kind
+          FROM raw),
+        mp3 AS (
+          SELECT media_id,
+            ({_b(1)}//8)%4 AS ver,
+            CASE WHEN ({_b(1)}//8)%4=3
+                 THEN ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[{_b(2)}//16]
+                 ELSE ([8,16,24,32,40,48,56,64,80,96,112,128,144,160])[{_b(2)}//16]
+            END AS br,
+            CASE WHEN ({_b(1)}//8)%4=3
+                 THEN ([44100,48000,32000])[({_b(2)}//4)%4+1]
+                 ELSE ([22050,24000,16000])[({_b(2)}//4)%4+1]
+            END AS sr,
+            CASE WHEN {_b(3)}//64=3 THEN 1 ELSE 2 END AS ch,
+            n_bytes
+          FROM c WHERE kind='mp3'),
+        mp3f AS (
+          SELECT media_id, ver, br, sr, ch,
+                 n_bytes//(((CASE WHEN ver=3 THEN 144 ELSE 72 END)
+                            *br*1000)//sr) AS nf,
+                 CASE WHEN ver=3 THEN 1152 ELSE 576 END AS spf
+          FROM mp3),
+        mp4 AS (
+          SELECT media_id, hx, n_bytes,
+            (strpos(hx,'6D766864')-1)//2 AS mv,
+            strpos(hx,'746B6864') AS tk_pos,
+            (strpos(hx,'746B6864')-1)//2 AS tk,
+            strpos(hx,'6D703461') AS a_pos,
+            (strpos(hx,'6D703461')-1)//2 AS a,
+            strpos(hx,'61766343') AS avcc_pos
+          FROM c WHERE kind='mp4'),
+        mp4f AS (
+          SELECT media_id,
+            16777216*{_b('mv+16')} + 65536*{_b('mv+17')}
+              + 256*{_b('mv+18')} + {_b('mv+19')} AS ts,
+            16777216*{_b('mv+20')} + 65536*{_b('mv+21')}
+              + 256*{_b('mv+22')} + {_b('mv+23')} AS dur,
+            CASE WHEN avcc_pos>0 THEN 'avc1/h264'
+                 WHEN tk_pos>0 THEN 'raw' ELSE 'mp4a' END AS codec,
+            CASE WHEN tk_pos>0
+                 THEN 256*{_b('tk+80')} + {_b('tk+81')} END AS w,
+            CASE WHEN tk_pos>0
+                 THEN 256*{_b('tk+84')} + {_b('tk+85')} END AS h,
+            CASE WHEN a_pos>0
+                 THEN 256*{_b('a+20')} + {_b('a+21')} END AS ach,
+            CASE WHEN a_pos>0
+                 THEN 256*{_b('a+28')} + {_b('a+29')} END AS asr
+          FROM mp4),
+        ogg AS (
+          SELECT media_id, kind,
+            CASE kind WHEN 'opus' THEN {_b(37)} ELSE {_b(39)} END AS ch,
+            CASE kind WHEN 'opus'
+                 THEN {_b(40)} + 256*{_b(41)} + 65536*{_b(42)}
+                      + 16777216*{_b(43)}
+                 ELSE {_b(40)} + 256*{_b(41)} + 65536*{_b(42)}
+                      + 16777216*{_b(43)}
+            END AS sr,
+            {_b(38)} + 256*{_b(39)} AS preskip,
+            CASE kind WHEN 'opus'
+                 THEN {_b(53)} + 256*{_b(54)} + 65536*{_b(55)}
+                      + 16777216*{_b(56)}
+                 ELSE {_b(63)} + 256*{_b(64)} + 65536*{_b(65)}
+                      + 16777216*{_b(66)}
+            END AS granule
+          FROM c WHERE kind IN ('opus','vorbis'))
+        SELECT c.media_id,
+          CASE c.kind WHEN 'mp3' THEN 'mp3' WHEN 'mp4' THEN 'mp4'
+               ELSE 'ogg' END AS container,
+          CASE c.kind WHEN 'mp3' THEN 'mp3' WHEN 'mp4' THEN m4.codec
+               ELSE c.kind END AS codec,
+          (CASE c.kind
+            WHEN 'mp3' THEN round(((m3.nf*m3.spf)/m3.sr)*1000000)
+            WHEN 'mp4' THEN round((m4.dur/m4.ts)*1000000)
+            WHEN 'opus' THEN round(((o.granule-o.preskip)/48000)*1000000)
+            WHEN 'vorbis' THEN round((o.granule/o.sr)*1000000)
+          END)::BIGINT AS duration_e6,
+          m4.w::BIGINT AS width, m4.h::BIGINT AS height,
+          (CASE c.kind WHEN 'mp3' THEN m3.sr WHEN 'mp4' THEN m4.asr
+                ELSE o.sr END)::BIGINT AS sample_rate,
+          (CASE c.kind WHEN 'mp3' THEN m3.ch WHEN 'mp4' THEN m4.ach
+                ELSE o.ch END)::BIGINT AS channels,
+          (CASE WHEN c.kind='mp3' THEN m3.br END)::BIGINT
+            AS bit_rate_kbps_floor,
+          (CASE WHEN c.kind='mp3' THEN m3.nf END)::BIGINT AS n_frames,
+          c.n_bytes
+        FROM c
+        LEFT JOIN mp3f m3 USING (media_id)
+        LEFT JOIN mp4f m4 USING (media_id)
+        LEFT JOIN ogg o USING (media_id)
+        ORDER BY c.media_id
+    """
     return {
         "q24_media_features": _q24_sql,
         "q34_thumbnails": _q34_sql,
         "q35_real_codec_info": _q35_sql,
+        "q36_media_metadata": _q36_sql,
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(((l_quantity::DECIMAL(18,2)) * 100)::BIGINT)::BIGINT AS sum_qty_c2,

@@ -196,6 +196,10 @@ def cmd_media(args: argparse.Namespace) -> None:
     media = spark.read.parquet(args.input)
     if args.op == "info":
         out = MM.image_info(media)
+    elif args.op == "meta":
+        from fscrawler_spark.functions.mediameta import media_info
+
+        out = media_info(media)
     elif args.op == "features":
         out = MM.image_features(media, dim=args.dim)
     elif args.op == "frames":
@@ -269,7 +273,7 @@ def main(argv: list[str] | None = None) -> None:
     )
     m.add_argument("--input", required=True)
     m.add_argument("--op", default="info",
-                   choices=["info", "features", "frames", "audio",
+                   choices=["info", "meta", "features", "frames", "audio",
                             "thumbnails"])
     m.add_argument("--dim", type=int, default=16)
     m.add_argument("--every-n", type=int, default=2)

@@ -96,3 +96,35 @@ def test_media_subcommand_end_to_end(spark, tmp_path, capsys, monkeypatch):
     assert {r["media_id"] for r in thumbs} == {1, 2}
     assert all(bytes(r["thumb"])[:3] == b"\xff\xd8\xff" for r in thumbs)
     capsys.readouterr()  # drain the JSON summaries
+
+
+def test_media_meta_subcommand(spark, tmp_path, capsys, monkeypatch):
+    """`media --op meta` catalogs compressed containers (MP3/MP4/Ogg)
+    the engine never entropy-decodes."""
+    from fscrawler_spark.functions import mediameta as MD
+    from fscrawler_spark.functions import multimodal as MM
+    import fscrawler_spark.cli as cli
+
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+
+    src = str(tmp_path / "media.parquet")
+    spark.createDataFrame(
+        [(1, "u1", "audio", MD.synth_mp3(20, 128, 44100, 2), {}),
+         (2, "u2", "video",
+          MD.synth_mp4(6.5, 1000, 640, 480, sps=MD.encode_sps(640, 480)),
+          {}),
+         (3, "u3", "audio", MD.synth_ogg("opus", 48000 * 2), {}),
+         (4, "u4", "audio", b"\x00garbage\x00" * 4, {})],
+        MM.MEDIA_SCHEMA,
+    ).write.parquet(src)
+
+    out = str(tmp_path / "meta.parquet")
+    main(["media", "--input", src, "--op", "meta", "--out", out])
+    rows = {r["media_id"]: r for r in spark.read.parquet(out).collect()}
+    assert rows[1]["container"] == "mp3"
+    assert rows[1]["duration_sec"] == 20 * 1152 / 44100
+    assert rows[2]["codec"] == "avc1/h264"
+    assert (rows[2]["width"], rows[2]["height"]) == (640, 480)
+    assert rows[3]["codec"] == "opus" and rows[3]["duration_sec"] == 2.0
+    assert rows[4]["container"] is None  # contained
+    capsys.readouterr()
