@@ -773,6 +773,17 @@ def _q36_media_rows():
     for n, sr, ch in [(44100 * 2, 44100, 2), (8000, 8000, 1),
                       (12000, 32000, 2)]:
         add(MM.synth_ogg("vorbis", n, sample_rate=sr, channels=ch), "ogg")
+    webm_specs = [
+        # (duration, timescale, w, h, vcodec, (sr, ch), acodec)
+        (12.5, 1_000_000, 1920, 1080, "V_VP9", (48000, 2), "A_OPUS"),
+        (3.25, 500_000, None, None, "V_VP9", (44100, 1), "A_VORBIS"),
+        (0.5, 1_000_000, 640, 360, "V_VP8", None, "A_OPUS"),
+        (8.0, 1_000_000, 256, 144, "V_AV1", (24000, 1), "A_OPUS"),
+    ]
+    for d, ts, w, h, vc, audio, ac in webm_specs:
+        add(MM.synth_webm(d, timescale=ts, width=w, height=h,
+                          video_codec=vc, audio=audio, audio_codec=ac),
+            "webm")
     return rows
 
 
@@ -803,13 +814,15 @@ def q36_media_metadata(spark, sf_dir):
     """Structural metadata for COMPRESSED media (the declared
     entropy-decode boundary formats), oracle-checked: media_info walks
     MP3 frame headers, MP4 boxes (H.264 SPS dims via Exp-Golomb) and
-    Ogg pages (functions/mediameta.py), and the DuckDB twin re-derives
-    every field independently from the raw container bytes — the MP3
-    header tables and frame-length arithmetic restated in SQL, mvhd/
-    tkhd/mp4a fields at strpos-located box offsets, Ogg granule/
-    pre-skip arithmetic at the fixed single-page layout.  duration_e6
-    is computed with the same double-op order on both sides, so the
-    value hash is exact."""
+    Ogg pages and WebM EBML trees (functions/mediameta.py), and the
+    DuckDB twin re-derives every field independently from the raw
+    container bytes — the MP3 header tables and frame-length
+    arithmetic restated in SQL, mvhd/tkhd/mp4a fields at strpos-located
+    box offsets, Ogg granule/pre-skip arithmetic at the fixed
+    single-page layout, and WebM's IEEE-float64 duration/sample-rate
+    payloads reconstructed exactly from hex ((2^52+mantissa) *
+    2^(exp-1075)).  duration_e6 is computed with the same double-op
+    order on both sides, so the value hash is exact."""
     from fscrawler_spark.functions import mediameta as MM
 
     media = spark.read.parquet(_ensure_q36_media())
@@ -1539,6 +1552,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT media_id, hx, n_bytes,
             CASE
               WHEN substr(hx,9,8)='66747970' THEN 'mp4'
+              WHEN substr(hx,1,8)='1A45DFA3' THEN 'webm'
               WHEN substr(hx,1,8)='4F676753' THEN
                 CASE WHEN substr(hx,57,16)='4F70757348656164' THEN 'opus'
                      WHEN substr(hx,57,14)='01766F72626973' THEN 'vorbis'
@@ -1592,6 +1606,50 @@ def oracle_sql() -> dict[str, str]:
             CASE WHEN a_pos>0
                  THEN 256*{_b('a+28')} + {_b('a+29')} END AS asr
           FROM mp4),
+        webm AS (
+          -- EBML elements located by id+size needles (the fixture uses
+          -- minimal 1-byte sizes; float payloads verified needle-free),
+          -- IEEE float64 payloads reconstructed exactly from hex:
+          -- (2^52+mantissa) * 2^(exp-1075) for positive normal values
+          SELECT media_id, hx,
+            (strpos(hx,'2AD7B183')-1)//2 AS t0,
+            (strpos(hx,'448988')-1)//2 AS d0,
+            strpos(hx,'B082') AS w_pos,
+            (strpos(hx,'B082')-1)//2 AS w0,
+            (strpos(hx,'BA82')-1)//2 AS h0,
+            strpos(hx,'B588') AS s_pos,
+            (strpos(hx,'B588')-1)//2 AS s0,
+            strpos(hx,'9F81') AS c_pos,
+            (strpos(hx,'9F81')-1)//2 AS c0
+          FROM c WHERE kind='webm'),
+        webmf AS (
+          SELECT media_id,
+            65536*{_b('t0+4')} + 256*{_b('t0+5')} + {_b('t0+6')} AS tscale,
+            (4503599627370496 + ({_b('d0+4')}%16)*281474976710656
+              + {_b('d0+5')}*1099511627776 + {_b('d0+6')}*4294967296
+              + {_b('d0+7')}*16777216 + {_b('d0+8')}*65536
+              + {_b('d0+9')}*256 + {_b('d0+10')})
+              * power(2.0, ({_b('d0+3')}%128)*16 + {_b('d0+4')}//16 - 1075)
+              AS ticks,
+            CASE WHEN w_pos>0
+                 THEN 256*{_b('w0+2')} + {_b('w0+3')} END AS w,
+            CASE WHEN w_pos>0
+                 THEN 256*{_b('h0+2')} + {_b('h0+3')} END AS h,
+            CASE WHEN s_pos>0 THEN
+              ((4503599627370496 + ({_b('s0+3')}%16)*281474976710656
+                + {_b('s0+4')}*1099511627776 + {_b('s0+5')}*4294967296
+                + {_b('s0+6')}*16777216 + {_b('s0+7')}*65536
+                + {_b('s0+8')}*256 + {_b('s0+9')})
+               * power(2.0, ({_b('s0+2')}%128)*16 + {_b('s0+3')}//16 - 1075)
+              )::BIGINT END AS asr,
+            CASE WHEN c_pos>0 THEN {_b('c0+2')} END AS ach,
+            CASE WHEN strpos(hx,'565F565039')>0 THEN 'V_VP9'
+                 WHEN strpos(hx,'565F565038')>0 THEN 'V_VP8'
+                 WHEN strpos(hx,'565F415631')>0 THEN 'V_AV1'
+                 WHEN strpos(hx,'415F4F505553')>0 THEN 'A_OPUS'
+                 WHEN strpos(hx,'415F564F52424953')>0 THEN 'A_VORBIS'
+            END AS codec
+          FROM webm),
         ogg AS (
           SELECT media_id, kind,
             CASE kind WHEN 'opus' THEN {_b(37)} ELSE {_b(39)} END AS ch,
@@ -1611,20 +1669,26 @@ def oracle_sql() -> dict[str, str]:
           FROM c WHERE kind IN ('opus','vorbis'))
         SELECT c.media_id,
           CASE c.kind WHEN 'mp3' THEN 'mp3' WHEN 'mp4' THEN 'mp4'
-               ELSE 'ogg' END AS container,
+               WHEN 'webm' THEN 'webm' ELSE 'ogg' END AS container,
           CASE c.kind WHEN 'mp3' THEN 'mp3' WHEN 'mp4' THEN m4.codec
-               ELSE c.kind END AS codec,
+               WHEN 'webm' THEN wb.codec ELSE c.kind END AS codec,
           (CASE c.kind
             WHEN 'mp3' THEN round(((m3.nf*m3.spf)/m3.sr)*1000000)
             WHEN 'mp4' THEN round((m4.dur/m4.ts)*1000000)
+            WHEN 'webm' THEN
+              round(((wb.ticks*wb.tscale)/1000000000.0)*1000000)
             WHEN 'opus' THEN round(((o.granule-o.preskip)/48000)*1000000)
             WHEN 'vorbis' THEN round((o.granule/o.sr)*1000000)
           END)::BIGINT AS duration_e6,
-          m4.w::BIGINT AS width, m4.h::BIGINT AS height,
+          (CASE c.kind WHEN 'mp4' THEN m4.w
+                WHEN 'webm' THEN wb.w END)::BIGINT AS width,
+          (CASE c.kind WHEN 'mp4' THEN m4.h
+                WHEN 'webm' THEN wb.h END)::BIGINT AS height,
           (CASE c.kind WHEN 'mp3' THEN m3.sr WHEN 'mp4' THEN m4.asr
-                ELSE o.sr END)::BIGINT AS sample_rate,
+                WHEN 'webm' THEN wb.asr ELSE o.sr END)::BIGINT
+            AS sample_rate,
           (CASE c.kind WHEN 'mp3' THEN m3.ch WHEN 'mp4' THEN m4.ach
-                ELSE o.ch END)::BIGINT AS channels,
+                WHEN 'webm' THEN wb.ach ELSE o.ch END)::BIGINT AS channels,
           (CASE WHEN c.kind='mp3' THEN m3.br END)::BIGINT
             AS bit_rate_kbps_floor,
           (CASE WHEN c.kind='mp3' THEN m3.nf END)::BIGINT AS n_frames,
@@ -1632,6 +1696,7 @@ def oracle_sql() -> dict[str, str]:
         FROM c
         LEFT JOIN mp3f m3 USING (media_id)
         LEFT JOIN mp4f m4 USING (media_id)
+        LEFT JOIN webmf wb USING (media_id)
         LEFT JOIN ogg o USING (media_id)
         ORDER BY c.media_id
     """

@@ -23,13 +23,17 @@ algorithmic and are parsed here for real:
   Ogg   — page walk (segment lacing, continuation flags), OpusHead /
           Vorbis identification headers, duration from the terminal
           granule position (minus Opus pre-skip at 48 kHz).
+  WebM  — Matroska EBML walk (variable-length ids/sizes incl. the
+          unknown-size streaming form): Segment Info timescale +
+          duration, per-TrackEntry CodecID, video PixelWidth/Height,
+          audio SamplingFrequency/Channels.
   plus header-only paths for the formats whose full decoders live in
   this package (WAV, FLAC STREAMINFO, uncompressed AVI, GIF block
   walk) and the FAKE* oracle fixtures, so one call catalogs a mixed
   bucket.
 
 The synthesizers (``synth_mp3`` / ``synth_mp4`` / ``synth_ogg`` /
-``encode_sps``) build structurally valid streams with inert payloads —
+``synth_webm`` / ``encode_sps``) build structurally valid streams with inert payloads —
 deterministic fixtures for tests and the q36 oracle, NOT encoders
 (payload entropy coding is exactly the declared boundary).
 
@@ -668,6 +672,199 @@ def synth_ogg(
 
 
 # ---------------------------------------------------------------------------
+# WebM / Matroska (EBML)
+
+def _ebml_vint(data: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
+    """One EBML variable-length integer at pos -> (value, next_pos).
+    Element IDs keep the length-marker bit (spec: IDs are compared with
+    it); sizes strip it.  An all-ones size payload means 'unknown'."""
+    if pos >= len(data):
+        raise ValueError("EBML vint past end")
+    first = data[pos]
+    if first == 0:
+        raise ValueError("invalid EBML vint")
+    length = 9 - first.bit_length()  # leading zeros + 1
+    if pos + length > len(data):
+        raise ValueError("EBML vint truncated")
+    v = first if keep_marker else first & ((1 << (8 - length)) - 1)
+    for i in range(1, length):
+        v = (v << 8) | data[pos + i]
+    if not keep_marker and v == (1 << (7 * length)) - 1:
+        v = -1  # unknown size (all value bits set for this length)
+    return v, pos + length
+
+
+def _ebml_children(data: bytes, pos: int, end: int):
+    """Iterate (element_id, body_start, body_end) over an EBML master
+    element's children; unknown-size elements extend to end."""
+    while pos < end:
+        eid, pos = _ebml_vint(data, pos, keep_marker=True)
+        size, pos = _ebml_vint(data, pos, keep_marker=False)
+        body_end = end if size < 0 else min(pos + size, end)
+        yield eid, pos, body_end
+        pos = body_end
+
+
+def _ebml_uint(data: bytes, b: int, e: int) -> int:
+    return int.from_bytes(data[b:e], "big")
+
+
+def _ebml_float(data: bytes, b: int, e: int) -> float:
+    n = e - b
+    if n == 4:
+        return struct.unpack(">f", data[b:e])[0]
+    if n == 8:
+        return struct.unpack(">d", data[b:e])[0]
+    raise ValueError(f"EBML float of {n} bytes")
+
+
+EBML_MAGIC = b"\x1a\x45\xdf\xa3"
+_MKV_SEGMENT = 0x18538067
+_MKV_INFO = 0x1549A966
+_MKV_TSCALE = 0x2AD7B1
+_MKV_DURATION = 0x4489
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TRACKENTRY = 0xAE
+_MKV_TRACKTYPE = 0x83
+_MKV_CODECID = 0x86
+_MKV_VIDEO = 0xE0
+_MKV_PIXELW = 0xB0
+_MKV_PIXELH = 0xBA
+_MKV_AUDIO = 0xE1
+_MKV_SAMPLEFREQ = 0xB5
+_MKV_CHANNELS = 0x9F
+
+
+def parse_webm(data: bytes) -> dict:
+    """WebM/Matroska metadata via a pure EBML walk: Segment Info
+    (TimestampScale + Duration -> seconds) and the first video/audio
+    TrackEntry (CodecID, PixelWidth/Height, SamplingFrequency,
+    Channels).  No Cluster payloads are read."""
+    if data[:4] != EBML_MAGIC:
+        raise ValueError("not an EBML stream")
+    out: dict = {"container": "webm", "codec": None, "duration_sec": None,
+                 "width": None, "height": None, "sample_rate": None,
+                 "channels": None}
+    segment = None
+    for eid, b, e in _ebml_children(data, 0, len(data)):
+        if eid == _MKV_SEGMENT:
+            segment = (b, e)
+            break
+    if segment is None:
+        raise ValueError("EBML stream has no Segment")
+    tscale, duration_ticks = 1_000_000, None
+    for eid, b, e in _ebml_children(data, *segment):
+        if eid == _MKV_INFO:
+            for e2, b2, e2e in _ebml_children(data, b, e):
+                if e2 == _MKV_TSCALE:
+                    tscale = _ebml_uint(data, b2, e2e)
+                elif e2 == _MKV_DURATION:
+                    duration_ticks = _ebml_float(data, b2, e2e)
+        elif eid == _MKV_TRACKS:
+            for e2, b2, e2e in _ebml_children(data, b, e):
+                if e2 != _MKV_TRACKENTRY:
+                    continue
+                ttype = codec = None
+                vids = auds = None
+                for e3, b3, e3e in _ebml_children(data, b2, e2e):
+                    if e3 == _MKV_TRACKTYPE:
+                        ttype = _ebml_uint(data, b3, e3e)
+                    elif e3 == _MKV_CODECID:
+                        codec = data[b3:e3e].decode("ascii", "replace")
+                    elif e3 == _MKV_VIDEO:
+                        vids = (b3, e3e)
+                    elif e3 == _MKV_AUDIO:
+                        auds = (b3, e3e)
+                if ttype == 1 and vids and out["width"] is None:
+                    out["codec"] = out["codec"] or codec
+                    for e4, b4, e4e in _ebml_children(data, *vids):
+                        if e4 == _MKV_PIXELW:
+                            out["width"] = _ebml_uint(data, b4, e4e)
+                        elif e4 == _MKV_PIXELH:
+                            out["height"] = _ebml_uint(data, b4, e4e)
+                elif ttype == 2 and auds and out["sample_rate"] is None:
+                    out["codec"] = out["codec"] or codec
+                    for e4, b4, e4e in _ebml_children(data, *auds):
+                        if e4 == _MKV_SAMPLEFREQ:
+                            out["sample_rate"] = int(
+                                _ebml_float(data, b4, e4e)
+                            )
+                        elif e4 == _MKV_CHANNELS:
+                            out["channels"] = _ebml_uint(data, b4, e4e)
+    if duration_ticks is not None:
+        out["duration_sec"] = duration_ticks * tscale / 1e9
+    return out
+
+
+def _ebml_elem(eid: int, body: bytes) -> bytes:
+    """Serialize one EBML element with a 1-byte (or minimal) size."""
+    id_bytes = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    n = len(body)
+    if n < 127:
+        size = bytes((0x80 | n,))
+    elif n < (1 << 14) - 1:
+        size = struct.pack(">H", 0x4000 | n)
+    else:
+        size = struct.pack(">I", 0x10000000 | n)
+    return id_bytes + size + body
+
+
+def synth_webm(
+    duration_sec: float | None = None,
+    timescale: int = 1_000_000,
+    width: int | None = None,
+    height: int | None = None,
+    video_codec: str = "V_VP9",
+    audio: tuple[int, int] | None = None,
+    audio_codec: str = "A_OPUS",
+) -> bytes:
+    """Structurally valid WebM fixture: EBML header + Segment(Info,
+    Tracks) with an empty Cluster stand-in — inert payloads, real
+    element tree."""
+    header = _ebml_elem(
+        0x1A45DFA3,
+        _ebml_elem(0x4282, b"webm") + _ebml_elem(0x4287, b"\x04"),
+    )
+    info = _ebml_elem(
+        _MKV_TSCALE, timescale.to_bytes(4, "big").lstrip(b"\x00") or b"\x00"
+    )
+    if duration_sec is not None:
+        ticks = duration_sec * 1e9 / timescale
+        info += _ebml_elem(_MKV_DURATION, struct.pack(">d", ticks))
+    entries = b""
+    if width is not None:
+        video = _ebml_elem(
+            _MKV_VIDEO,
+            _ebml_elem(_MKV_PIXELW, width.to_bytes(2, "big"))
+            + _ebml_elem(_MKV_PIXELH, height.to_bytes(2, "big")),
+        )
+        entries += _ebml_elem(
+            _MKV_TRACKENTRY,
+            _ebml_elem(_MKV_TRACKTYPE, b"\x01")
+            + _ebml_elem(_MKV_CODECID, video_codec.encode())
+            + video,
+        )
+    if audio is not None:
+        sr, ch = audio
+        aud = _ebml_elem(
+            _MKV_AUDIO,
+            _ebml_elem(_MKV_SAMPLEFREQ, struct.pack(">d", float(sr)))
+            + _ebml_elem(_MKV_CHANNELS, bytes((ch,))),
+        )
+        entries += _ebml_elem(
+            _MKV_TRACKENTRY,
+            _ebml_elem(_MKV_TRACKTYPE, b"\x02")
+            + _ebml_elem(_MKV_CODECID, audio_codec.encode())
+            + aud,
+        )
+    segment = _ebml_elem(
+        _MKV_SEGMENT,
+        _ebml_elem(_MKV_INFO, info) + _ebml_elem(_MKV_TRACKS, entries),
+    )
+    return header + segment
+
+
+# ---------------------------------------------------------------------------
 # Header-only paths for formats whose full decoders live elsewhere
 
 def _parse_wav_head(data: bytes) -> dict:
@@ -823,6 +1020,8 @@ def parse_media_meta(data: bytes) -> dict:
         return parse_mp4(data)
     if data[:4] == b"OggS":
         return parse_ogg(data)
+    if data[:4] == EBML_MAGIC:
+        return parse_webm(data)
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return _parse_wav_head(data)
     if data[:4] == b"fLaC":

@@ -223,6 +223,57 @@ def test_ogg_unknown_codec_raises():
 
 
 # ---------------------------------------------------------------------------
+# WebM / EBML
+
+def test_webm_video_audio_tracks():
+    blob = MM.synth_webm(12.5, width=1920, height=1080, audio=(48000, 2))
+    m = MM.parse_webm(blob)
+    assert m["duration_sec"] == 12.5
+    assert (m["width"], m["height"]) == (1920, 1080)
+    assert m["codec"] == "V_VP9"  # video track wins
+    assert (m["sample_rate"], m["channels"]) == (48000, 2)
+
+
+def test_webm_custom_timescale_and_audio_only():
+    blob = MM.synth_webm(3.25, timescale=500_000, audio=(44100, 1),
+                         audio_codec="A_VORBIS")
+    m = MM.parse_media_meta(blob)  # dispatch on the EBML magic
+    assert m["container"] == "webm"
+    assert m["duration_sec"] == 3.25
+    assert m["codec"] == "A_VORBIS"
+    assert m["width"] is None
+
+
+def test_webm_unknown_size_segment():
+    """Streaming muxers write Segment with unknown size (all-ones
+    vint); the walk must extend it to EOF, and a 127-byte body must
+    NOT be misread as unknown (127 == 2^7-1 only at 1-byte length)."""
+    blob = MM.synth_webm(None, width=640, height=360)
+    at = blob.find(b"\x18\x53\x80\x67") + 4
+    szlen = 1 if blob[at] >= 0x80 else (2 if blob[at] >= 0x40 else 4)
+    patched = blob[:at] + b"\xff" + blob[at + szlen:]
+    m = MM.parse_webm(patched)
+    assert (m["width"], m["height"]) == (640, 360)
+    # 127 encoded in 2 bytes is a real size, not the unknown marker
+    v, nxt = MM._ebml_vint(b"\x40\x7f", 0, keep_marker=False)
+    assert v == 127 and nxt == 2
+    v, _ = MM._ebml_vint(b"\xff", 0, keep_marker=False)
+    assert v == -1  # 1-byte unknown
+
+
+def test_webm_random_bodies_contained():
+    rng = np.random.Generator(np.random.PCG64(17))
+    for _ in range(150):
+        body = rng.integers(0, 256, int(rng.integers(0, 120))).astype(
+            np.uint8
+        ).tobytes()
+        try:
+            MM.parse_webm(MM.EBML_MAGIC + body)
+        except MM.META_ERRORS:
+            pass
+
+
+# ---------------------------------------------------------------------------
 # Header-only paths for the formats with full decoders elsewhere
 
 def _wav_bytes(sr: int, nch: int, n: int) -> bytes:
