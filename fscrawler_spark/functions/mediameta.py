@@ -137,20 +137,25 @@ def parse_mp3(data: bytes) -> dict:
     _flen, spf, sr, _br, channels = first
     audio_start = pos
 
-    # VBR headers live in the first frame's payload
+    # VBR headers live at spec offsets in the first frame: Xing/Info
+    # directly after the side info (whose size depends on version/
+    # channels, +2 when a CRC follows the header), VBRI at fixed 4+32.
+    # Checking ONLY those offsets (not scanning the payload) prevents
+    # payload bytes of a CBR stream from false-positive matching.
     xing_frames = None
     head = data[pos: pos + _flen]
-    for tag in (b"Xing", b"Info"):
-        at = head.find(tag)
-        if at >= 0 and at + 12 <= len(head):
-            (flags,) = struct.unpack_from(">I", head, at + 4)
-            if flags & 1:
-                (xing_frames,) = struct.unpack_from(">I", head, at + 8)
-            break
-    if xing_frames is None:
-        at = head.find(b"VBRI")
-        if at >= 0 and at + 18 <= len(head):
-            (xing_frames,) = struct.unpack_from(">I", head, at + 14)
+    crc = 2 if not (data[pos + 1] & 1) else 0
+    v1 = ((data[pos + 1] >> 3) & 3) == 3
+    side = (17 if channels == 1 else 32) if v1 else (
+        9 if channels == 1 else 17
+    )
+    at = 4 + crc + side
+    if head[at: at + 4] in (b"Xing", b"Info") and at + 12 <= len(head):
+        (flags,) = struct.unpack_from(">I", head, at + 4)
+        if flags & 1:
+            (xing_frames,) = struct.unpack_from(">I", head, at + 8)
+    if xing_frames is None and head[36:40] == b"VBRI" and len(head) >= 54:
+        (xing_frames,) = struct.unpack_from(">I", head, 50)
 
     n_frames, bitrates, end = 0, set(), pos
     while True:
@@ -396,8 +401,11 @@ def _parse_trak(data: bytes, b: int, e: int, out: dict) -> None:
             if fourcc in (b"mdia", b"minf", b"stbl"):
                 stack.append((bb, ee))
             elif fourcc == b"tkhd":
+                # width/height (16.16 fixed) after the 36-byte matrix:
+                # v0 body offset 76 (24 + 8 rsv + 8 layer/alt/vol/rsv
+                # + 36), v1 offset 88 (64-bit times add 12)
                 ver = data[bb]
-                off = bb + (84 if ver == 1 else 76) + 4
+                off = bb + (88 if ver == 1 else 76)
                 w16, h16 = struct.unpack_from(">II", data, off)
                 tkhd_wh = (w16 >> 16, h16 >> 16)
             elif fourcc == b"hdlr":

@@ -77,6 +77,23 @@ def test_mp3_vbr_detection_and_average_bitrate():
     assert m["bit_rate_kbps"] == pytest.approx(total_bytes * 8 / dur / 1000)
 
 
+def test_mp3_payload_xing_bytes_do_not_false_positive():
+    """'Xing' appearing in a CBR frame's PAYLOAD (not at the spec
+    side-info offset) must not flip the stream to VBR."""
+    blob = bytearray(MM.synth_mp3(8, 128, 44100, 2))
+    at = 4 + 32 + 40  # stereo MPEG1 side info is 32; plant well past it
+    blob[at: at + 12] = b"Xing" + struct.pack(">II", 1, 9999)
+    m = MM.parse_mp3(bytes(blob))
+    assert m["n_frames"] == 8
+
+
+def test_mp3_vbri_header_at_fixed_offset():
+    blob = bytearray(MM.synth_mp3(5, 128, 44100, 2))
+    blob[36: 36 + 18] = b"VBRI" + struct.pack(">HHHII", 1, 0, 0, 0, 444)
+    m = MM.parse_mp3(bytes(blob))
+    assert m["n_frames"] == 444
+
+
 def test_mp3_no_sync_raises():
     with pytest.raises(ValueError):
         MM.parse_mp3(b"\x00" * 5000)
@@ -168,6 +185,17 @@ def test_mp4_tkhd_dims_without_avcc():
     m = MM.parse_mp4(MM.synth_mp4(3.5, 1000, 320, 240))
     assert (m["width"], m["height"]) == (320, 240)
     assert m["codec"] == "raw"
+
+
+def test_mp4_tkhd_fallback_when_stsd_dims_zero():
+    """Some muxers leave the visual sample entry's width/height zero;
+    the parser must then fall back to tkhd's 16.16 dims (regression:
+    the v0 tkhd offset was off by 4, latent behind the stsd dims)."""
+    blob = bytearray(MM.synth_mp4(2.0, 1000, 864, 486))
+    at = blob.find(b"raw ")
+    blob[at + 28: at + 32] = bytes(4)  # zero the entry's w/h u16 pair
+    m = MM.parse_mp4(bytes(blob))
+    assert (m["width"], m["height"]) == (864, 486)
 
 
 def test_mp4_mvhd_version1_and_largesize_box():
