@@ -99,6 +99,51 @@ def test_mp3_no_sync_raises():
         MM.parse_mp3(b"\x00" * 5000)
 
 
+def _hdr(ver_bits, layer_bits, br_idx, sr_idx, pad=0, mode=0):
+    b1 = 0xE0 | (ver_bits << 3) | (layer_bits << 1) | 1
+    b2 = (br_idx << 4) | (sr_idx << 2) | (pad << 1)
+    return bytes((0xFF, b1, b2, mode << 6))
+
+
+@pytest.mark.parametrize(
+    "ver,layer_bits,br_idx,sr_idx,pad,mode,expect",
+    [
+        # Layer I: frame = (12*br//sr + pad) SLOTS of 4 bytes, 384 spf
+        (3, 3, 4, 0, 0, 0, ((12 * 128000 // 44100) * 4, 384, 44100, 128, 2)),
+        (3, 3, 4, 0, 1, 0, ((12 * 128000 // 44100 + 1) * 4, 384, 44100, 128, 2)),
+        # Layer II: always 144*br//sr, 1152 spf, both versions
+        (3, 2, 8, 1, 0, 0, (144 * 128000 // 48000, 1152, 48000, 128, 2)),
+        (2, 2, 4, 0, 0, 0, (144 * 32000 // 22050, 1152, 22050, 32, 2)),
+        # MPEG2.5 Layer III: 72*br//sr, 576 spf, low rates
+        (0, 1, 4, 2, 0, 3, (72 * 32000 // 8000, 576, 8000, 32, 1)),
+    ],
+)
+def test_mp3_header_arithmetic_all_layers(
+    ver, layer_bits, br_idx, sr_idx, pad, mode, expect
+):
+    """Pin the MPEG header tables and frame-length formulas across
+    layers/versions (Layer I's 4-byte slot padding is the classic
+    bug site; synth_mp3 only exercises Layer III)."""
+    got = MM._mp3_header(_hdr(ver, layer_bits, br_idx, sr_idx, pad, mode), 0)
+    assert got == expect
+
+
+def test_mp3_invalid_headers_rejected():
+    assert MM._mp3_header(_hdr(1, 1, 4, 0), 0) is None  # reserved version
+    assert MM._mp3_header(_hdr(3, 0, 4, 0), 0) is None  # reserved layer
+    assert MM._mp3_header(_hdr(3, 1, 0, 0), 0) is None  # free-format
+    assert MM._mp3_header(_hdr(3, 1, 15, 0), 0) is None  # bad bitrate
+    assert MM._mp3_header(_hdr(3, 1, 4, 3), 0) is None  # reserved rate
+
+
+def test_mp3_id3v2_footer_flag_adds_ten_bytes():
+    body = MM.synth_mp3(3, 128, 44100, 2)
+    tag = b"ID3\x04\x00\x10" + bytes((0, 0, 0, 20)) + bytes(20 + 10)
+    assert MM._id3v2_len(tag) == 40
+    m = MM.parse_mp3(tag + body)
+    assert m["n_frames"] == 3
+
+
 # ---------------------------------------------------------------------------
 # H.264 SPS
 
