@@ -119,6 +119,83 @@ def _id3v2_len(data: bytes) -> int:
     return 10 + size + (10 if data[5] & 0x10 else 0)
 
 
+def _walk_mp3_sequential(
+    data: bytes, pos: int
+) -> tuple[int, set[int], int]:
+    """Reference frame walk: (n_frames, bitrates_seen, end_offset).
+    Stops at the first invalid header or incomplete final frame."""
+    n_frames, bitrates, end = 0, set(), pos
+    while True:
+        h = _mp3_header(data, pos)
+        if h is None or pos + h[0] > len(data):
+            break
+        n_frames += 1
+        bitrates.add(h[3])
+        pos += h[0]
+        end = pos
+    return n_frames, bitrates, end
+
+
+def _walk_mp3_frames(data: bytes, pos: int) -> tuple[int, set[int], int]:
+    """Exact frame walk with a vectorized fast path: a metadata pass
+    over billions of crawled MP3s cannot afford a per-frame Python
+    loop.  Assume the first frame's stride repeats, validate EVERY
+    candidate header in one numpy gather (sync/version/layer/bitrate/
+    samplerate fields AND the recomputed frame length), and fall back
+    to the sequential walk from the first divergence (padding toggle,
+    bitrate switch, corruption) — so the result is byte-identical to
+    :func:`_walk_mp3_sequential` on every input (pytest-pinned parity,
+    including mid-stream corruption and truncation)."""
+    import numpy as np
+
+    first = _mp3_header(data, pos)
+    if first is None:
+        return 0, set(), pos
+    flen = first[0]
+    n_est = (len(data) - pos) // flen
+    if n_est <= 2:
+        return _walk_mp3_sequential(data, pos)
+    arr = np.frombuffer(data, np.uint8)
+    idx = pos + np.arange(n_est, dtype=np.int64) * flen
+    hdr = arr[idx[:, None] + np.arange(4)]
+    b0, b1, b2 = hdr[:, 0], hdr[:, 1].astype(np.int32), hdr[:, 2]
+    ver = (b1 >> 3) & 3
+    layer = (b1 >> 1) & 3
+    br_idx = (b2 >> 4) & 0xF
+    sr_idx = (b2 >> 2) & 3
+    pad = (b2 >> 1) & 1
+    valid = (
+        (b0 == 0xFF) & ((b1 & 0xE0) == 0xE0) & (ver != 1) & (layer != 0)
+        & (br_idx != 0) & (br_idx != 15) & (sr_idx != 3)
+    )
+    # recompute each candidate's frame length from ITS header fields
+    # (vectorized lookup of the same tables _mp3_header uses)
+    br_tab = np.zeros((4, 4, 16), np.int64)  # [ver_bits][layer_bits][idx]
+    sr_tab = np.ones((4, 4), np.int64)
+    for vb in (0, 2, 3):
+        sr_tab[vb, :3] = _SR[vb]
+        for lb in (1, 2, 3):
+            table = (_BR_V1 if vb == 3 else _BR_V2)[4 - lb]
+            br_tab[vb, lb, 1:15] = table[1:]
+    br = br_tab[ver, layer, br_idx] * 1000
+    sr = sr_tab[ver, np.minimum(sr_idx, 3)]
+    is_l1 = layer == 3
+    per = np.where((layer == 2) | (ver == 3), 144, 72)
+    cand_len = np.where(
+        is_l1, (12 * br // sr + pad) * 4, per * br // sr + pad
+    )
+    ok = valid & (cand_len == flen)
+    bad = np.flatnonzero(~ok)
+    k = int(bad[0]) if len(bad) else n_est
+    bitrates = set(np.unique(br_tab[ver[:k], layer[:k], br_idx[:k]]).tolist())
+    # resume sequentially from the first divergence (padding toggle,
+    # bitrate switch, corruption, or simply end-of-candidates — a
+    # shorter final frame could still follow); one pass + sequential
+    # remainder keeps the worst case O(n), never O(n^2)
+    n_rest, br_rest, end_rest = _walk_mp3_sequential(data, pos + k * flen)
+    return k + n_rest, bitrates | br_rest, end_rest
+
+
 def parse_mp3(data: bytes) -> dict:
     """Frame-accurate MP3 metadata: walk every frame header (or trust a
     Xing/Info/VBRI frame count when present), summing per-frame sample
@@ -157,15 +234,7 @@ def parse_mp3(data: bytes) -> dict:
     if xing_frames is None and head[36:40] == b"VBRI" and len(head) >= 54:
         (xing_frames,) = struct.unpack_from(">I", head, 50)
 
-    n_frames, bitrates, end = 0, set(), pos
-    while True:
-        h = _mp3_header(data, pos)
-        if h is None or pos + h[0] > len(data):
-            break
-        n_frames += 1
-        bitrates.add(h[3])
-        pos += h[0]
-        end = pos
+    n_frames, bitrates, end = _walk_mp3_frames(data, pos)
     if xing_frames is not None:
         n_frames = xing_frames  # authoritative for VBR (and the
         # Xing frame itself is metadata, not audio — matches ffprobe)

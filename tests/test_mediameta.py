@@ -99,6 +99,41 @@ def test_mp3_no_sync_raises():
         MM.parse_mp3(b"\x00" * 5000)
 
 
+def test_mp3_vectorized_walk_parity_with_sequential():
+    """The numpy fast path must be byte-identical to the sequential
+    frame walk on every input shape: pure CBR, VBR bitrate switches,
+    truncation, corruption at and off frame boundaries, hand-built
+    padding alternation, and 1-2-frame streams below the fast-path
+    threshold."""
+    flen = 144 * 128000 // 44100
+    cases = [
+        MM.synth_mp3(60, 128, 48000, 2),
+        MM.synth_mp3(60, 64, 22050, 1, mpeg2=True),
+        MM.synth_mp3(20, 128, 44100, 2) + MM.synth_mp3(20, 64, 44100, 2),
+        MM.synth_mp3(40, 128, 44100, 2)[:-100],
+        MM.synth_mp3(1, 128, 44100, 2),
+        MM.synth_mp3(2, 128, 44100, 2),
+    ]
+    corrupt = bytearray(MM.synth_mp3(50, 128, 44100, 2))
+    corrupt[flen * 17] = 0x00  # kill a frame header: walk must stop
+    cases.append(bytes(corrupt))
+    payload = bytearray(MM.synth_mp3(50, 128, 44100, 2))
+    payload[flen * 10 + 50] = 0xAA  # payload noise: walk must NOT stop
+    cases.append(bytes(payload))
+    hdr0 = MM.synth_mp3(1, 128, 44100, 2)[:4]
+    padded = bytearray(hdr0)
+    padded[2] |= 2
+    alt = b"".join(
+        (bytes(padded) + bytes(flen + 1 - 4)) if i % 2
+        else (hdr0 + bytes(flen - 4))
+        for i in range(30)
+    )
+    cases.append(alt)
+    for i, blob in enumerate(cases):
+        assert MM._walk_mp3_frames(blob, 0) == \
+            MM._walk_mp3_sequential(blob, 0), i
+
+
 def _hdr(ver_bits, layer_bits, br_idx, sr_idx, pad=0, mode=0):
     b1 = 0xE0 | (ver_bits << 3) | (layer_bits << 1) | 1
     b2 = (br_idx << 4) | (sr_idx << 2) | (pad << 1)
