@@ -665,6 +665,16 @@ def _q35_media_rows():
         shape = (4 + i, 6 + i % 4) if c == 1 else (4 + i, 6 + i % 4, c)
         arr = rng(600 + i).integers(0, 256, shape, dtype=np.uint8)
         add(encode_tiff(arr), "tif")
+    for i in range(6):  # PNG Adam7-interlaced (all channel counts)
+        c = (1, 2, 3, 4)[i % 4]
+        arr = rng(700 + i).integers(0, 256, (3 + 3 * i, 9 - i, c),
+                                    dtype=np.uint8)
+        add(MM.encode_png(arr, interlace=True), "png")
+    for i in range(6):  # JPEG progressive (SOF2), gray + color
+        shape = (7 + i, 11 - i % 3) if i % 2 else (7 + i, 11 - i % 3, 3)
+        arr = rng(800 + i).integers(0, 256, shape, dtype=np.uint8)
+        add(encode_jpeg(arr, quality=100, progressive=True,
+                        subsample=(i == 4)), "jpg")
     return rows
 
 
@@ -1497,8 +1507,19 @@ def oracle_sql() -> dict[str, str]:
                  WHEN substr(hx,1,4)='FFD8'    THEN 'jpeg'
                  WHEN substr(hx,1,8)='49492A00' THEN 'tiff'
             END AS codec,
+            -- SOF0 (baseline) or SOF2 (progressive), whichever the
+            -- stream carries: first match wins (pre-SOF bytes at q100
+            -- contain no F-F nibble run, so the earlier position is
+            -- always the true SOF; the OTHER pattern can still match
+            -- misaligned hex inside later entropy data, hence the
+            -- min-nonzero rather than a sum).
             CASE WHEN substr(hx,1,4)='FFD8'
-                 THEN (strpos(hx,'FFC0')-1)//2 ELSE 0 END AS sofm,
+                 THEN (least(
+                     CASE WHEN strpos(hx,'FFC0')=0 THEN 2147483647
+                          ELSE strpos(hx,'FFC0') END,
+                     CASE WHEN strpos(hx,'FFC2')=0 THEN 2147483647
+                          ELSE strpos(hx,'FFC2') END)-1)//2
+                 ELSE 0 END AS sofm,
             CASE WHEN substr(hx,1,8)='49492A00'
                  THEN {_b(4)} + 256*{_b(5)} + 65536*{_b(6)}
                       + 16777216*{_b(7)}

@@ -283,6 +283,9 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
     comps: list[dict] = []
     w = h = 0
     dri = 0
+    progressive = False
+    store: list[np.ndarray] | None = None  # progressive coefficient state
+    hmax = vmax = mcux = mcuy = 0
     pos = 2
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -290,10 +293,11 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
-        if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7,
                       0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline/extended sequential JPEG supported"
+                "only baseline/extended-sequential/progressive "
+                "huffman JPEG supported"
             )
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4: pos + 2 + seglen]
@@ -319,7 +323,8 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 vals = list(body[i + 17: i + 17 + nval])
                 hufftables[(tc, th)] = _build_huff(bits, vals)
                 i += 17 + nval
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -333,11 +338,47 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
             scan = []
             for ci in range(ns):
                 cid, tt = struct.unpack_from(">BB", body, 1 + 2 * ci)
-                comp = next(c for c in comps if c["id"] == cid)
+                matches = [c for c in comps if c["id"] == cid]
+                if not matches:  # corrupt id must not escape containment
+                    raise ValueError(f"SOS references unknown component {cid}")
+                comp = matches[0]
                 scan.append((comp, tt >> 4, tt & 0x0F))
+            if not progressive:
+                segs, pos = _split_entropy(data, pos + 2 + seglen)
+                return _decode_scan(scan, segs, hufftables, qtables, w, h, dri)
+            if store is None:  # allocate frame-wide coefficient state
+                if not comps or w == 0 or h == 0:
+                    raise ValueError("JPEG frame header missing or empty")
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                if hmax < 1 or vmax < 1:
+                    raise ValueError("bad sampling factors")
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                for c in comps:
+                    # true (non-MCU-padded) block dims: non-interleaved
+                    # scans walk these, per T.81 A.2.2
+                    cw = -(-(w * c["h"]) // hmax)
+                    chh = -(-(h * c["v"]) // vmax)
+                    c["bw"] = -(-cw // 8)
+                    c["bh"] = -(-chh // 8)
+                store = [
+                    np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
+                    for c in comps
+                ]
+            if len(body) < 4 + 2 * ns:
+                raise ValueError("JPEG SOS header truncated")
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
             segs, pos = _split_entropy(data, pos + 2 + seglen)
-            return _decode_scan(scan, segs, hufftables, qtables, w, h, dri)
+            _decode_prog_scan(
+                [(comps.index(c), c, tdc, tac) for c, tdc, tac in scan],
+                segs, hufftables, store, dri, ss, se, ah, al, mcux, mcuy,
+            )
+            continue  # pos already sits at the terminating marker
         pos += 2 + seglen
+    if store is not None:
+        return _reconstruct(comps, store, qtables, w, h, hmax, vmax)
     raise ValueError("JPEG has no SOS scan")
 
 
@@ -399,9 +440,17 @@ def _decode_scan(scan, segs, hufftables, qtables, w, h, dri):
         pred = [0] * len(scan)  # restart interval resets DC prediction
     if mcu < n_mcu:
         raise ValueError("JPEG scan ended early")
+    return _reconstruct(
+        [c for c, _, _ in scan], store, qtables, w, h, hmax, vmax
+    )
 
+
+def _reconstruct(comps, store, qtables, w, h, hmax, vmax):
+    """Dequantize + IDCT the per-component zigzag stores, upsample to
+    frame resolution, and color-convert.  Shared by the baseline
+    single-scan path and the progressive multi-scan accumulator."""
     planes = []
-    for si, (comp, _, _) in enumerate(scan):
+    for si, comp in enumerate(comps):
         q = qtables.get(comp["tq"])
         if q is None:
             raise ValueError("frame references missing quant table")
@@ -442,6 +491,171 @@ def _huff_sym(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
         if sym is not None:
             return sym
     raise ValueError("invalid huffman code in JPEG stream")
+
+
+# ---------------------------------------------------------------------------
+# Progressive decoder (T.81 G.2): each SOS carries one piece of the
+# coefficient picture — a spectral band (ss..se) at one bit-plane
+# precision (successive approximation ah -> al) — accumulated into the
+# frame-wide per-component zigzag stores until EOI.
+
+def _decode_prog_scan(scan, segs, hufftables, store, dri,
+                      ss, se, ah, al, mcux, mcuy):
+    """Decode one progressive scan in place.  ``scan`` is a list of
+    (frame comp index, comp dict, tdc, tac)."""
+    if se > 63 or ss > se:
+        raise ValueError("bad spectral selection")
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive scan mixes DC and AC bands")
+        _decode_prog_dc(scan, segs, hufftables, store, dri, ah, al,
+                        mcux, mcuy)
+    else:
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        _decode_prog_ac(scan[0], segs, hufftables, store, dri,
+                        ss, se, ah, al)
+
+
+def _decode_prog_dc(scan, segs, hufftables, store, dri, ah, al, mcux, mcuy):
+    interleaved = len(scan) > 1
+    if interleaved:
+        n_units = mcux * mcuy
+    else:
+        _, comp0, _, _ = scan[0]
+        n_units = comp0["bw"] * comp0["bh"]
+    unit = 0
+    pred = [0] * len(scan)
+    for seg in segs:
+        br = _BitReader(seg)
+        end = min(n_units, unit + dri) if dri else n_units
+        while unit < end:
+            if interleaved:
+                my, mx = divmod(unit, mcux)
+                for si, (ci, comp, tdc, _) in enumerate(scan):
+                    for blk in range(comp["v"] * comp["h"]):
+                        dy, dx = divmod(blk, comp["h"])
+                        zz = store[ci][my * comp["v"] + dy,
+                                       mx * comp["h"] + dx]
+                        _dc_unit(br, hufftables, tdc, zz, ah, al, pred, si)
+            else:
+                ci, comp, tdc, _ = scan[0]
+                by, bx = divmod(unit, comp["bw"])
+                _dc_unit(br, hufftables, tdc, store[ci][by, bx],
+                         ah, al, pred, 0)
+            unit += 1
+        pred = [0] * len(scan)  # restart resets DC prediction
+    if unit < n_units:
+        raise ValueError("JPEG scan ended early")
+
+
+def _dc_unit(br, hufftables, tdc, zz, ah, al, pred, si):
+    if ah == 0:  # first DC scan: DPCM on the point-transformed value
+        tbl = hufftables.get((0, tdc))
+        if tbl is None:
+            raise ValueError("scan references missing huffman table")
+        s = _huff_sym(br, tbl)
+        if s > 15:
+            raise ValueError("bad DC category in JPEG stream")
+        pred[si] += _extend(br.bits(s), s)
+        zz[0] = pred[si] << al
+    elif br.bit():  # refinement: one correction bit per block
+        zz[0] |= 1 << al
+
+
+def _decode_prog_ac(scan_entry, segs, hufftables, store, dri, ss, se, ah, al):
+    ci, comp, _, tac = scan_entry
+    tbl = hufftables.get((1, tac))
+    if tbl is None:
+        raise ValueError("scan references missing huffman table")
+    n_units = comp["bw"] * comp["bh"]
+    unit = 0
+    for seg in segs:
+        br = _BitReader(seg)
+        eobrun = 0  # EOB runs cannot cross restart boundaries
+        end = min(n_units, unit + dri) if dri else n_units
+        while unit < end:
+            by, bx = divmod(unit, comp["bw"])
+            zz = store[ci][by, bx]
+            if ah == 0:
+                eobrun = _ac_first_block(br, tbl, zz, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(br, tbl, zz, ss, se, al, eobrun)
+            unit += 1
+    if unit < n_units:
+        raise ValueError("JPEG scan ended early")
+
+
+def _ac_first_block(br, tbl, zz, ss, se, al, eobrun):
+    """First AC scan for one block (T.81 G.1.2.2): zero-run/size
+    symbols like baseline, plus EOBn symbols carrying a run of
+    all-zero-band blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_sym(br, tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.bits(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("AC coefficient run overflow")
+        zz[k] = _extend(br.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(br, tbl, zz, ss, se, al, eobrun):
+    """AC refinement for one block (T.81 G.1.2.3): newly-nonzero
+    coefficients arrive as ±2^al; every already-nonzero coefficient
+    passed over consumes one correction bit."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_sym(br, tbl)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:  # EOBn: rest of block is corrections only
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                # r == 15 (ZRL): pass over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad AC refinement magnitude")
+                val = p1 if br.bit() else m1
+            while k <= se:
+                cur = int(zz[k])
+                if cur != 0:
+                    if br.bit() and (cur & p1) == 0:
+                        zz[k] = cur + (p1 if cur >= 0 else m1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # corrections for the EOB-covered remainder
+            cur = int(zz[k])
+            if cur != 0:
+                if br.bit() and (cur & p1) == 0:
+                    zz[k] = cur + (p1 if cur >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 # ---------------------------------------------------------------------------
@@ -506,13 +720,21 @@ def encode_jpeg(
     quality: int = 85,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Encode (h, w[, 1|3]) uint8 pixels as a baseline JPEG.
+    """Encode (h, w[, 1|3]) uint8 pixels as a baseline or progressive
+    JPEG.
 
     quality 1-100 scales the Annex-K quant tables (100 -> all ones);
     subsample=True uses 4:2:0 chroma (2x2 box mean), else 4:4:4;
     restart_interval > 0 writes DRI + RSTn markers every that many
-    MCUs (exercises the decoder's restart path)."""
+    MCUs — or, in progressive non-interleaved scans, every that many
+    blocks (exercises the decoder's restart paths).
+    progressive=True writes SOF2 with a libjpeg-style scan script
+    (spectral selection + successive approximation); both encodings
+    quantize identically, so they decode to byte-identical pixels.
+    EOB runs are capped at one block so the standard Annex-K Huffman
+    tables (which lack the EOB2..EOB14 symbols) stay sufficient."""
     arr = np.asarray(arr)
     if arr.ndim == 3 and arr.shape[2] == 1:
         arr = arr[:, :, 0]
@@ -592,7 +814,7 @@ def encode_jpeg(
         sof += struct.pack(
             ">BBB", ci + 1, (samp[ci][0] << 4) | samp[ci][1], qsel[ci]
         )
-    seg(0xC0, sof)
+    seg(0xC2 if progressive else 0xC0, sof)
 
     used = [0] if gray else [0, 1]
     for ti in used:
@@ -603,6 +825,29 @@ def encode_jpeg(
 
     if restart_interval:
         seg(0xDD, struct.pack(">H", restart_interval))
+
+    if progressive:
+        true_dims = []
+        for sh, sv in samp:
+            cw = -(-(w * sh) // hmax)
+            chh = -(-(h * sv) // vmax)
+            true_dims.append((-(-cw // 8), -(-chh // 8)))
+        for comps_idx, ss, se_, ah, al in _prog_scan_script(nc):
+            sos = bytes([len(comps_idx)])
+            for ci in comps_idx:
+                ti = 0 if ci == 0 else 1
+                sos += bytes([ci + 1, (ti << 4) | ti])
+            sos += bytes([ss, se_, (ah << 4) | al])
+            seg(0xDA, sos)
+            if ss == 0:
+                _enc_dc_scan(out, comp_zz, comps_idx, samp, ah, al,
+                             dc_codes, restart_interval, mcux, mcuy,
+                             true_dims)
+            else:
+                _enc_ac_scan(out, comp_zz, comps_idx[0], ss, se_, ah, al,
+                             ac_codes, restart_interval, true_dims)
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
 
     sos = bytes([nc])
     for ci in range(nc):
@@ -638,3 +883,173 @@ def encode_jpeg(
     out += writer.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (T.81 Annex G forward path)
+
+def _prog_scan_script(nc: int):
+    """libjpeg-style scan script: (component indices, ss, se, ah, al).
+    DC first at al=1 then refined; luma AC split into a low band
+    (1..5) and the rest, approximated at al=2 and refined twice;
+    chroma AC at al=1 refined once."""
+    if nc == 1:
+        return [
+            ((0,), 0, 0, 0, 1),
+            ((0,), 1, 5, 0, 2), ((0,), 6, 63, 0, 2),
+            ((0,), 1, 63, 2, 1),
+            ((0,), 0, 0, 1, 0),
+            ((0,), 1, 63, 1, 0),
+        ]
+    return [
+        ((0, 1, 2), 0, 0, 0, 1),
+        ((0,), 1, 5, 0, 2), ((2,), 1, 63, 0, 1), ((1,), 1, 63, 0, 1),
+        ((0,), 6, 63, 0, 2), ((0,), 1, 63, 2, 1),
+        ((0, 1, 2), 0, 0, 1, 0),
+        ((2,), 1, 63, 1, 0), ((1,), 1, 63, 1, 0), ((0,), 1, 63, 1, 0),
+    ]
+
+
+def _enc_dc_scan(out, comp_zz, comps_idx, samp, ah, al, dc_codes,
+                 restart, mcux, mcuy, true_dims):
+    """DC scan: MCU-interleaved when multi-component, block-raster over
+    the component's true grid otherwise.  ah=0 -> DPCM of the
+    arithmetically-shifted value; ah>0 -> one correction bit/block."""
+    interleaved = len(comps_idx) > 1
+    if interleaved:
+        n_units = mcux * mcuy
+    else:
+        bw, bh = true_dims[comps_idx[0]]
+        n_units = bw * bh
+    writer = _BitWriter()
+    pred = {ci: 0 for ci in comps_idx}
+    rst = 0
+    for u in range(n_units):
+        if restart and u and u % restart == 0:
+            writer.flush()
+            out += writer.out
+            writer = _BitWriter()
+            out.extend((0xFF, 0xD0 + (rst & 7)))
+            rst += 1
+            pred = {ci: 0 for ci in comps_idx}
+        if interleaved:
+            my, mx = divmod(u, mcux)
+            for ci in comps_idx:
+                sh, sv = samp[ci]
+                codes = dc_codes[0 if ci == 0 else 1]
+                for dy in range(sv):
+                    for dx in range(sh):
+                        dc = int(comp_zz[ci][my * sv + dy, mx * sh + dx, 0])
+                        _emit_dc_unit(writer, dc, ah, al, pred, ci, codes)
+        else:
+            ci = comps_idx[0]
+            bw, _ = true_dims[ci]
+            by, bx = divmod(u, bw)
+            _emit_dc_unit(writer, int(comp_zz[ci][by, bx, 0]), ah, al,
+                          pred, ci, dc_codes[0 if ci == 0 else 1])
+    writer.flush()
+    out += writer.out
+
+
+def _emit_dc_unit(writer, dc, ah, al, pred, ci, codes):
+    if ah:  # refinement: bit al of the two's-complement value
+        writer.write((dc >> al) & 1, 1)
+        return
+    t = dc >> al  # arithmetic shift per T.81 G.1.2.1
+    diff = t - pred[ci]
+    pred[ci] = t
+    s = _category(diff)
+    code, length = codes[s]
+    writer.write(code, length)
+    if s:
+        writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+
+def _enc_ac_scan(out, comp_zz, ci, ss, se, ah, al, ac_codes, restart,
+                 true_dims):
+    """Single-component AC scan over the true block grid, restart
+    every ``restart`` blocks.  EOB runs are deliberately capped at one
+    block (standard tables lack EOB2..EOB14)."""
+    bw, bh = true_dims[ci]
+    codes = ac_codes[0 if ci == 0 else 1]
+    writer = _BitWriter()
+    rst = 0
+    for u in range(bw * bh):
+        if restart and u and u % restart == 0:
+            writer.flush()
+            out += writer.out
+            writer = _BitWriter()
+            out.extend((0xFF, 0xD0 + (rst & 7)))
+            rst += 1
+        by, bx = divmod(u, bw)
+        zz = comp_zz[ci][by, bx]
+        if ah == 0:
+            _emit_ac_first(writer, zz, ss, se, al, codes)
+        else:
+            _emit_ac_refine(writer, zz, ss, se, al, codes)
+    writer.flush()
+    out += writer.out
+
+
+def _emit_ac_first(writer, zz, ss, se, al, codes):
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al  # magnitude shift per T.81 G.1.2.2
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, length = codes[0xF0]  # ZRL
+            writer.write(code, length)
+            r -= 16
+        s = t.bit_length()
+        code, length = codes[(r << 4) | s]
+        writer.write(code, length)
+        vt = t if v >= 0 else -t
+        writer.write(vt if vt >= 0 else vt + (1 << s) - 1, s)
+        r = 0
+    if r > 0:
+        code, length = codes[0x00]  # EOB (run of exactly one block)
+        writer.write(code, length)
+
+
+def _emit_ac_refine(writer, zz, ss, se, al, codes):
+    """Mirror of _ac_refine_block: ZRLs only where they cannot fold
+    into the block-final EOB; correction bits buffered until the next
+    symbol they belong to (T.81 figure G.7 / libjpeg AC-refine)."""
+    p1 = 1 << al
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = 0  # position of the last newly-nonzero coefficient
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = ss + i
+    r = 0
+    pending: list[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            code, length = codes[0xF0]  # ZRL
+            writer.write(code, length)
+            for b in pending:
+                writer.write(b, 1)
+            pending = []
+            r -= 16
+        if t > 1:  # already nonzero: just a correction bit
+            pending.append(t & 1)
+            continue
+        code, length = codes[(r << 4) | 1]
+        writer.write(code, length)
+        writer.write(1 if int(zz[k]) >= 0 else 0, 1)
+        for b in pending:
+            writer.write(b, 1)
+        pending = []
+        r = 0
+    if r > 0 or pending:
+        code, length = codes[0x00]  # EOB carrying trailing corrections
+        writer.write(code, length)
+        for b in pending:
+            writer.write(b, 1)

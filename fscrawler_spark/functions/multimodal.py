@@ -5,7 +5,8 @@ pandas UDFs.
 Decoders (magic-byte dispatch, round 4):
   image — real PNG (stdlib zlib inflate + bytewise scanline unfilter;
           8/16-bit gray/RGB/gray-alpha/RGBA plus 8-bit palette,
-          non-interlaced), real BMP (uncompressed 8/24-bit, both
+          sequential AND Adam7-interlaced), real BMP (uncompressed
+          8/24-bit, both
           row orders), real baseline JPEG (from-scratch huffman +
           vectorized IDCT codec in functions/jpeg.py: gray/RGB,
           4:4:4/4:2:2/4:2:0, restart markers), real GIF (from-scratch
@@ -148,47 +149,21 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def _decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Real PNG decode, stdlib-only (zlib inflate + per-row unfilter).
+# Adam7 pass origins/steps (x0, y0, dx, dy), PNG spec §8.2 pass 1..7.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    Supports bit depths 8 and 16 across gray/RGB/gray-alpha/RGBA plus
-    8-bit palette (PLTE lookup -> RGB).  PNG filters operate on BYTES
-    with a left-neighbor offset of bpp (= channels x bytes-per-sample),
-    so one bytewise unfilter serves every depth.  Sub-byte depths and
-    Adam7 raise NotImplementedError (honest boundary — wire PIL for the
-    full format zoo)."""
-    pos, w = 8, None
-    idat = bytearray()
-    plte = None
-    while pos + 8 <= len(data):
-        (length,), ctype = struct.unpack_from(">I", data, pos), data[pos + 4: pos + 8]
-        body = data[pos + 8: pos + 8 + length]
-        if ctype == b"IHDR":
-            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-            if color not in _PNG_CHANNELS:
-                raise NotImplementedError(f"PNG color type {color}")
-            if depth not in (8, 16) or (color == 3 and depth != 8):
-                raise NotImplementedError(
-                    f"PNG bit depth {depth} for color type {color}"
-                )
-            if interlace:
-                raise NotImplementedError("Adam7-interlaced PNG")
-        elif ctype == b"PLTE":
-            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
-        elif ctype == b"IDAT":
-            idat += body
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length  # len + type + body + crc
-    if w is None:
-        raise ValueError("PNG missing IHDR")
-    c = _PNG_CHANNELS[color]
-    bpp = c * (depth // 8)  # filter lane width in bytes
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
-    stride = w * bpp
-    rows = raw.reshape(h, stride + 1)  # each scanline: filter byte + pixels
+
+def _unfilter(rows: np.ndarray, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering for one image (or Adam7 pass).
+
+    ``rows`` is (h, stride+1) uint8 — filter byte then pixel bytes per
+    scanline; filters reference only rows within this array, so each
+    interlace pass unfilters independently (spec §8.2: the reference
+    scanline resets at every pass boundary)."""
+    h = rows.shape[0]
     out = np.zeros((h, stride), dtype=np.uint8)
     zero = np.zeros(bpp, dtype=np.uint8)
     for y in range(h):
@@ -217,6 +192,76 @@ def _decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 cur[x0: x0 + bpp] = line[x0: x0 + bpp] + pred
         else:
             raise ValueError(f"PNG filter type {filt}")
+    return out
+
+
+def _decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Real PNG decode, stdlib-only (zlib inflate + per-row unfilter).
+
+    Supports bit depths 8 and 16 across gray/RGB/gray-alpha/RGBA plus
+    8-bit palette (PLTE lookup -> RGB), both sequential and
+    Adam7-interlaced pixel layouts (each interlace pass carries its own
+    filtered scanlines, unfiltered independently then scattered back
+    through the spec §8.2 grid).  PNG filters operate on BYTES with a
+    left-neighbor offset of bpp (= channels x bytes-per-sample), so one
+    bytewise unfilter serves every depth.  Sub-byte depths raise
+    NotImplementedError (honest boundary — wire PIL for the full
+    format zoo)."""
+    pos, w = 8, None
+    idat = bytearray()
+    plte = None
+    while pos + 8 <= len(data):
+        (length,), ctype = struct.unpack_from(">I", data, pos), data[pos + 4: pos + 8]
+        body = data[pos + 8: pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if color not in _PNG_CHANNELS:
+                raise NotImplementedError(f"PNG color type {color}")
+            if depth not in (8, 16) or (color == 3 and depth != 8):
+                raise NotImplementedError(
+                    f"PNG bit depth {depth} for color type {color}"
+                )
+            if interlace not in (0, 1):
+                raise ValueError(f"PNG interlace method {interlace}")
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + body + crc
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    c = _PNG_CHANNELS[color]
+    bpp = c * (depth // 8)  # filter lane width in bytes
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    stride = w * bpp
+    if not interlace:
+        if raw.size != h * (stride + 1):
+            raise ValueError("PNG pixel stream length mismatch")
+        out = _unfilter(raw.reshape(h, stride + 1), stride, bpp)
+    else:  # Adam7: seven independently-filtered passes, scattered back
+        lanes = np.zeros((h, w, bpp), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue  # empty pass contributes no scanlines at all
+            pstride = pw * bpp
+            take = ph * (pstride + 1)
+            if pos + take > raw.size:
+                raise ValueError("PNG pixel stream truncated")
+            sub = _unfilter(
+                raw[pos: pos + take].reshape(ph, pstride + 1), pstride, bpp
+            )
+            pos += take
+            lanes[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+        if pos != raw.size:
+            raise ValueError("PNG pixel stream length mismatch")
+        out = lanes.reshape(h, stride)
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
@@ -643,20 +688,33 @@ THUMBS_SCHEMA = T.StructType(
 )
 
 
-def encode_png(arr: np.ndarray) -> bytes:
+def encode_png(arr: np.ndarray, interlace: bool = False) -> bytes:
     """Minimal stdlib PNG encoder (8-bit, filter 0 scanlines, one IDAT):
     the write half of :func:`_decode_png`, so thumbnails round-trip
     through this module's own decoder.  arr is (h, w) gray or (h, w, c)
-    with c in {1, 2, 3, 4}."""
+    with c in {1, 2, 3, 4}.  interlace=True writes the Adam7 pixel
+    layout (spec §8.2: the seven pass sub-images concatenated, each
+    carrying its own filter bytes) — the encode twin of the decoder's
+    interlaced branch, so interlaced streams round-trip in-module."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
     if c not in (1, 2, 3, 4):
         raise ValueError(f"PNG cannot encode {c} channels (1-4 only)")
     color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    raw = b"".join(
-        b"\x00" + arr[y].astype(np.uint8).tobytes() for y in range(h)
-    )
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if not interlace:
+        raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue  # empty passes emit no scanlines at all
+            flat = np.ascontiguousarray(sub).reshape(ph, pw * c)
+            parts += [b"\x00" + flat[y].tobytes() for y in range(ph)]
+        raw = b"".join(parts)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -664,7 +722,7 @@ def encode_png(arr: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, int(interlace))
     return (
         PNG_MAGIC + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")

@@ -123,11 +123,58 @@ def test_truncated_stream_raises_value_error():
         decode_jpeg(b"\xff\xd8\xff\xd9")  # SOI+EOI, no scan
 
 
-def test_progressive_marker_raises_not_implemented():
-    # minimal stream whose first segment is SOF2 (progressive)
-    blob = b"\xff\xd8\xff\xc2" + b"\x00\x08" + b"\x08\x00\x10\x00\x10\x01"
-    with pytest.raises(NotImplementedError):
-        decode_jpeg(blob)
+def test_progressive_gray_roundtrip_near_lossless():
+    arr = _rng(11).integers(0, 256, (17, 24), dtype=np.uint8)
+    blob = encode_jpeg(arr, quality=100, progressive=True)
+    w, h, c, out = decode_jpeg(blob)
+    assert (w, h, c) == (24, 17, 1)
+    assert int(np.abs(out.astype(int) - arr.astype(int)).max()) <= 1
+
+
+def test_progressive_decodes_identical_to_baseline():
+    """Progressive re-codes the SAME quantized coefficients as baseline
+    (spectral selection + successive approximation change only the
+    entropy layer, T.81 annex G), so decode must be pixel-identical to
+    the baseline encode at every quality/subsample combination."""
+    for seed, q, sub in [(12, 90, False), (13, 50, True), (14, 75, True)]:
+        arr = _rng(seed).integers(0, 256, (23, 31, 3), dtype=np.uint8)
+        prog = decode_jpeg(encode_jpeg(arr, quality=q, progressive=True,
+                                       subsample=sub))
+        base = decode_jpeg(encode_jpeg(arr, quality=q, subsample=sub))
+        assert prog[:3] == base[:3]
+        assert np.array_equal(prog[3], base[3])
+
+
+def test_progressive_with_restart_markers():
+    arr = _rng(15).integers(0, 256, (33, 41, 3), dtype=np.uint8)
+    prog = decode_jpeg(
+        encode_jpeg(arr, quality=85, progressive=True, restart_interval=2)
+    )
+    base = decode_jpeg(encode_jpeg(arr, quality=85))
+    assert np.array_equal(prog[3], base[3])
+
+
+def test_corrupt_sos_component_id_contained():
+    """A scan header naming a component the frame never declared must
+    raise inside DECODE_ERRORS — the bare next() lookup used to escape
+    as StopIteration, which would fail a whole Spark job."""
+    arr = _rng(17).integers(0, 256, (16, 16), dtype=np.uint8)
+    blob = bytearray(encode_jpeg(arr, quality=90))
+    i = blob.find(b"\xff\xda")
+    blob[i + 5] = 99  # bogus component id in SOS
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(blob))
+
+
+def test_progressive_truncated_raises_value_error():
+    arr = _rng(16).integers(0, 256, (16, 16), dtype=np.uint8)
+    blob = encode_jpeg(arr, quality=90, progressive=True)
+    with pytest.raises(ValueError):
+        decode_jpeg(blob[: len(blob) // 2])
+    # headers-only SOF2 stream (the old NotImplementedError fixture):
+    # progressive is now real, so this is a truncation, still contained
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xc2\x00\x08\x08\x00\x10\x00\x10\x01")
 
 
 def test_dispatch_and_containment_via_decode_image_py():

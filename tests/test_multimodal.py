@@ -221,7 +221,11 @@ def test_png_unsupported_profiles_raise():
         MM.decode_image_py(ihdr_png(4, 0, 0))
     with pytest.raises(NotImplementedError):  # 16-bit palette (spec-invalid)
         MM.decode_image_py(ihdr_png(16, 3, 0))
-    with pytest.raises(NotImplementedError):  # Adam7
+    with pytest.raises(ValueError):  # unknown interlace method
+        MM.decode_image_py(ihdr_png(8, 0, 2))
+    # Adam7 (interlace=1) is SUPPORTED — tests/test_png_interlace.py;
+    # a headers-only Adam7 stream still fails contained (empty IDAT).
+    with pytest.raises(MM.DECODE_ERRORS):
         MM.decode_image_py(ihdr_png(8, 0, 1))
 
 
