@@ -4,12 +4,16 @@ pandas UDFs.
 
 Decoders (magic-byte dispatch, round 4):
   image — real PNG (stdlib zlib inflate + bytewise scanline unfilter;
-          8/16-bit gray/RGB/gray-alpha/RGBA plus 8-bit palette,
+          every legal depth/color combo — 1/2/4/8/16-bit gray,
+          8/16-bit RGB/gray-alpha/RGBA, 1/2/4/8-bit palette —
           sequential AND Adam7-interlaced), real BMP (uncompressed
           8/24-bit, both
-          row orders), real baseline JPEG (from-scratch huffman +
+          row orders), real baseline AND progressive JPEG
+          (from-scratch huffman +
           vectorized IDCT codec in functions/jpeg.py: gray/RGB,
-          4:4:4/4:2:2/4:2:0, restart markers), real GIF (from-scratch
+          4:4:4/4:2:2/4:2:0, restart markers, T.81 annex-G
+          spectral-selection/successive-approximation scans), real
+          GIF (from-scratch
           LZW codec in functions/gif.py: palettes, interlace,
           transparency -> RGBA first frame), real uncompressed TIFF
           (functions/tiff.py: both byte orders, multi-strip,
@@ -198,15 +202,17 @@ def _unfilter(rows: np.ndarray, stride: int, bpp: int) -> np.ndarray:
 def _decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
     """Real PNG decode, stdlib-only (zlib inflate + per-row unfilter).
 
-    Supports bit depths 8 and 16 across gray/RGB/gray-alpha/RGBA plus
-    8-bit palette (PLTE lookup -> RGB), both sequential and
-    Adam7-interlaced pixel layouts (each interlace pass carries its own
-    filtered scanlines, unfiltered independently then scattered back
-    through the spec §8.2 grid).  PNG filters operate on BYTES with a
-    left-neighbor offset of bpp (= channels x bytes-per-sample), so one
-    bytewise unfilter serves every depth.  Sub-byte depths raise
-    NotImplementedError (honest boundary — wire PIL for the full
-    format zoo)."""
+    Supports every legal depth/color combination except 16-bit is
+    limited to the non-palette types the spec allows it for: 1/2/4/8/16
+    gray, 8/16 RGB/gray-alpha/RGBA, and 1/2/4/8 palette (PLTE lookup ->
+    RGB), both sequential and Adam7-interlaced pixel layouts (each
+    interlace pass carries its own filtered scanlines, unfiltered
+    independently then scattered back through the spec §8.2 grid).
+    PNG filters operate on BYTES with a left-neighbor offset of bpp
+    (= channels x bytes-per-sample, floored to 1 for sub-byte depths,
+    spec §9.2), so one bytewise unfilter serves every depth; sub-byte
+    scanlines are then bit-unpacked MSB-first and gray samples scaled
+    by 255/(2^depth-1) (exact: 255, 85, 17)."""
     pos, w = 8, None
     idat = bytearray()
     plte = None
@@ -219,9 +225,11 @@ def _decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
             )
             if color not in _PNG_CHANNELS:
                 raise NotImplementedError(f"PNG color type {color}")
-            if depth not in (8, 16) or (color == 3 and depth != 8):
-                raise NotImplementedError(
-                    f"PNG bit depth {depth} for color type {color}"
+            legal = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                     4: (8, 16), 6: (8, 16)}[color]
+            if depth not in legal:
+                raise ValueError(
+                    f"PNG bit depth {depth} illegal for color type {color}"
                 )
             if interlace not in (0, 1):
                 raise ValueError(f"PNG interlace method {interlace}")
@@ -235,22 +243,30 @@ def _decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
     if w is None:
         raise ValueError("PNG missing IHDR")
     c = _PNG_CHANNELS[color]
-    bpp = c * (depth // 8)  # filter lane width in bytes
+    # filter lane width in bytes; sub-byte depths filter on whole bytes
+    bpp = max(1, c * (depth // 8))
     raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
-    stride = w * bpp
+
+    def pass_bytes(pw: int) -> int:
+        return -(-pw * c * depth // 8)  # ceil scanline bytes (spec §7.2)
+
     if not interlace:
+        stride = pass_bytes(w)
         if raw.size != h * (stride + 1):
             raise ValueError("PNG pixel stream length mismatch")
         out = _unfilter(raw.reshape(h, stride + 1), stride, bpp)
+        if depth < 8:
+            samples = _unpack_subbyte(out, w, depth)
     else:  # Adam7: seven independently-filtered passes, scattered back
-        lanes = np.zeros((h, w, bpp), dtype=np.uint8)
+        lanes = (np.zeros((h, w), np.uint8) if depth < 8
+                 else np.zeros((h, w, bpp), np.uint8))
         pos = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx if w > x0 else 0
             ph = (h - y0 + dy - 1) // dy if h > y0 else 0
             if pw == 0 or ph == 0:
                 continue  # empty pass contributes no scanlines at all
-            pstride = pw * bpp
+            pstride = pass_bytes(pw)
             take = ph * (pstride + 1)
             if pos + take > raw.size:
                 raise ValueError("PNG pixel stream truncated")
@@ -258,10 +274,23 @@ def _decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 raw[pos: pos + take].reshape(ph, pstride + 1), pstride, bpp
             )
             pos += take
-            lanes[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+            if depth < 8:
+                lanes[y0::dy, x0::dx] = _unpack_subbyte(sub, pw, depth)
+            else:
+                lanes[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
         if pos != raw.size:
             raise ValueError("PNG pixel stream length mismatch")
-        out = lanes.reshape(h, stride)
+        if depth < 8:
+            samples = lanes
+        else:
+            out = lanes.reshape(h, w * bpp)
+    if depth < 8:
+        if color == 3:
+            if plte is None:
+                raise ValueError("palette PNG missing PLTE")
+            return w, h, 3, plte[samples]
+        # gray: exact 8-bit scaling (255/(2^d-1) is integral: 255/85/17)
+        return w, h, 1, (samples * (255 // ((1 << depth) - 1)))[:, :, None]
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
@@ -271,6 +300,18 @@ def _decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
         wide = (px[..., 0].astype(np.uint16) << 8) | px[..., 1]  # big-endian
         return w, h, c, wide
     return w, h, c, out.reshape(h, w, c)
+
+
+def _unpack_subbyte(rows: np.ndarray, pw: int, depth: int) -> np.ndarray:
+    """(h, stride) unfiltered scanline bytes -> (h, pw) samples for
+    depths 1/2/4 (MSB-first packing, spec §7.2; trailing pad bits of
+    the final byte are discarded)."""
+    bits = np.unpackbits(rows, axis=1)[:, : pw * depth]
+    if depth == 1:
+        return bits
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (bits.reshape(rows.shape[0], pw, depth)
+            * weights).sum(axis=2).astype(np.uint8)
 
 
 def _decode_bmp(data: bytes) -> tuple[int, int, int, np.ndarray]:

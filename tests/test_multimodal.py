@@ -217,10 +217,14 @@ def test_png_unsupported_profiles_raise():
         crc = struct.pack(">I", _z.crc32(b"IHDR" + body) & 0xFFFFFFFF)
         return MM.PNG_MAGIC + struct.pack(">I", len(body)) + b"IHDR" + body + crc
 
-    with pytest.raises(NotImplementedError):  # sub-byte depth
+    # sub-byte depths are SUPPORTED now (tests/test_png_subbyte.py);
+    # a headers-only 4-bit stream still fails contained (empty IDAT)
+    with pytest.raises(MM.DECODE_ERRORS):
         MM.decode_image_py(ihdr_png(4, 0, 0))
-    with pytest.raises(NotImplementedError):  # 16-bit palette (spec-invalid)
+    with pytest.raises(ValueError):  # 16-bit palette (spec-invalid)
         MM.decode_image_py(ihdr_png(16, 3, 0))
+    with pytest.raises(ValueError):  # 2-bit RGB (spec-invalid)
+        MM.decode_image_py(ihdr_png(2, 2, 0))
     with pytest.raises(ValueError):  # unknown interlace method
         MM.decode_image_py(ihdr_png(8, 0, 2))
     # Adam7 (interlace=1) is SUPPORTED — tests/test_png_interlace.py;
