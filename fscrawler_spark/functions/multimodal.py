@@ -6,7 +6,8 @@ Decoders (magic-byte dispatch, round 4):
   image — real PNG (stdlib zlib inflate + bytewise scanline unfilter;
           every legal depth/color combo — 1/2/4/8/16-bit gray,
           8/16-bit RGB/gray-alpha/RGBA, 1/2/4/8-bit palette —
-          sequential AND Adam7-interlaced), real BMP (uncompressed
+          sequential AND Adam7-interlaced, tRNS transparency as a
+          real alpha channel), real BMP (uncompressed
           8/24-bit, both
           row orders), real baseline AND progressive JPEG
           (from-scratch huffman +
@@ -212,10 +213,13 @@ def _decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
     (= channels x bytes-per-sample, floored to 1 for sub-byte depths,
     spec §9.2), so one bytewise unfilter serves every depth; sub-byte
     scanlines are then bit-unpacked MSB-first and gray samples scaled
-    by 255/(2^depth-1) (exact: 255, 85, 17)."""
+    by 255/(2^depth-1) (exact: 255, 85, 17).  tRNS transparency
+    surfaces as a real alpha channel (palette LUT or transparent
+    sample key), matching the GIF decoder's convention."""
     pos, w = 8, None
     idat = bytearray()
     plte = None
+    trns = None
     while pos + 8 <= len(data):
         (length,), ctype = struct.unpack_from(">I", data, pos), data[pos + 4: pos + 8]
         body = data[pos + 8: pos + 8 + length]
@@ -235,6 +239,8 @@ def _decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 raise ValueError(f"PNG interlace method {interlace}")
         elif ctype == b"PLTE":
             plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = bytes(body)
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -284,22 +290,45 @@ def _decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
             samples = lanes
         else:
             out = lanes.reshape(h, w * bpp)
-    if depth < 8:
-        if color == 3:
-            if plte is None:
-                raise ValueError("palette PNG missing PLTE")
-            return w, h, 3, plte[samples]
-        # gray: exact 8-bit scaling (255/(2^d-1) is integral: 255/85/17)
-        return w, h, 1, (samples * (255 // ((1 << depth) - 1)))[:, :, None]
+    # tRNS (spec §11.3.2): palette -> per-entry alpha LUT (missing
+    # entries opaque); gray/RGB -> one fully-transparent sample value
+    # (least-significant `depth` bits of each 2-byte field).  Gray-alpha
+    # and RGBA streams must not carry tRNS, so it is ignored there.
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
-        return w, h, 3, plte[out.reshape(h, w)]
+        idx = samples if depth < 8 else out.reshape(h, w)
+        rgb = plte[idx]
+        if trns is not None:
+            lut = np.full(plte.shape[0], 255, np.uint8)
+            n = min(len(trns), lut.size)
+            lut[:n] = np.frombuffer(trns[:n], np.uint8)
+            return w, h, 4, np.dstack([rgb, lut[idx]])
+        return w, h, 3, rgb
+    if depth < 8:
+        # gray: exact 8-bit scaling (255/(2^d-1) is integral: 255/85/17)
+        gray = samples * (255 // ((1 << depth) - 1))
+        if trns is not None and len(trns) >= 2:
+            key = struct.unpack(">H", trns[:2])[0] & ((1 << depth) - 1)
+            alpha = np.where(samples == key, 0, 255).astype(np.uint8)
+            return w, h, 2, np.dstack([gray, alpha])
+        return w, h, 1, gray[:, :, None]
     if depth == 16:
-        px = out.reshape(h, w, c, 2)
-        wide = (px[..., 0].astype(np.uint16) << 8) | px[..., 1]  # big-endian
+        px16 = out.reshape(h, w, c, 2)
+        wide = (px16[..., 0].astype(np.uint16) << 8) | px16[..., 1]  # BE
+        if trns is not None and color in (0, 2) and len(trns) >= 2 * c:
+            keys = np.frombuffer(trns[: 2 * c], ">u2").astype(np.uint16)
+            alpha = np.where(
+                (wide == keys).all(axis=2), 0, 65535
+            ).astype(np.uint16)
+            return w, h, c + 1, np.dstack([wide, alpha])
         return w, h, c, wide
-    return w, h, c, out.reshape(h, w, c)
+    px = out.reshape(h, w, c)
+    if trns is not None and color in (0, 2) and len(trns) >= 2 * c:
+        keys = (np.frombuffer(trns[: 2 * c], ">u2") & 0xFF).astype(np.uint8)
+        alpha = np.where((px == keys).all(axis=2), 0, 255).astype(np.uint8)
+        return w, h, c + 1, np.dstack([px, alpha])
+    return w, h, c, px
 
 
 def _unpack_subbyte(rows: np.ndarray, pw: int, depth: int) -> np.ndarray:
