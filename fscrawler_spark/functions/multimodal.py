@@ -344,10 +344,10 @@ def _unpack_subbyte(rows: np.ndarray, pw: int, depth: int) -> np.ndarray:
 
 
 def _decode_bmp(data: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Real BMP decode, stdlib-only (BITMAPINFOHEADER, uncompressed
-    BI_RGB): 24-bit BGR and 8-bit palette rows, 4-byte row padding,
-    bottom-up or top-down (negative biHeight).  RLE/bitfield
-    compression and other bit counts raise."""
+    """Real BMP decode, stdlib-only (BITMAPINFOHEADER): 24-bit BGR and
+    32-bit BGRX truecolor, 1/4/8-bit palette rows, plus RLE8/RLE4
+    decompression — all with 4-byte row padding, bottom-up or top-down
+    (negative biHeight).  Bitfield compression and 16-bit raise."""
     if len(data) < 54:
         raise ValueError("BMP too short")
     (off_bits,) = struct.unpack_from("<I", data, 10)
@@ -357,22 +357,99 @@ def _decode_bmp(data: bytes) -> tuple[int, int, int, np.ndarray]:
     w, h_signed = struct.unpack_from("<ii", data, 18)
     (bitcount,) = struct.unpack_from("<H", data, 28)
     (compression,) = struct.unpack_from("<I", data, 30)
-    if compression != 0:
-        raise NotImplementedError(f"BMP compression {compression} (BI_RGB only)")
+    if compression not in (0, 1, 2):
+        raise NotImplementedError(
+            f"BMP compression {compression} (BI_RGB/BI_RLE8/BI_RLE4 only)"
+        )
     top_down, h = h_signed < 0, abs(h_signed)
+    if compression:
+        if (compression, bitcount) not in ((1, 8), (2, 4)):
+            raise ValueError(
+                f"BMP RLE{8 if compression == 1 else 4} with "
+                f"bit count {bitcount}"
+            )
+        if top_down:  # the format forbids top-down RLE
+            raise ValueError("top-down RLE BMP")
     if bitcount == 24:
         rows = _padded_rows(data, off_bits, h, (w * 3 + 3) & ~3, w * 3)
         px = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
         return w, h, 3, np.ascontiguousarray(px if top_down else px[::-1])
-    if bitcount == 8:
+    if bitcount == 32:
+        rows = _padded_rows(data, off_bits, h, w * 4, w * 4)
+        px = rows.reshape(h, w, 4)[:, :, 2::-1]  # BGRX -> RGB, X dropped
+        return w, h, 3, np.ascontiguousarray(px if top_down else px[::-1])
+    if bitcount in (1, 4, 8):
         (clr_used,) = struct.unpack_from("<I", data, 46)
-        n_pal = clr_used or 256
+        n_pal = clr_used or (1 << bitcount)
         pal = np.frombuffer(
             data, np.uint8, n_pal * 4, 14 + hdr_size
         ).reshape(n_pal, 4)[:, 2::-1]  # BGRA entries -> RGB
-        idx = _padded_rows(data, off_bits, h, (w + 3) & ~3, w)
+        if compression:
+            idx = _bmp_rle(data, off_bits, w, h, four_bit=compression == 2)
+        elif bitcount == 8:
+            idx = _padded_rows(data, off_bits, h, (w + 3) & ~3, w)
+        else:  # 1/4-bit: MSB-first packed samples, 4-byte padded rows
+            keep = -(-w * bitcount // 8)
+            rows = _padded_rows(
+                data, off_bits, h, (w * bitcount + 31) // 32 * 4, keep
+            )
+            idx = _unpack_subbyte(rows, w, bitcount)
         return w, h, 3, pal[idx if top_down else idx[::-1]]
-    raise NotImplementedError(f"BMP bit count {bitcount} (8/24 only)")
+    raise NotImplementedError(f"BMP bit count {bitcount}")
+
+
+def _bmp_rle(
+    data: bytes, off: int, w: int, h: int, four_bit: bool
+) -> np.ndarray:
+    """Decompress an RLE8/RLE4 pixel stream to an (h, w) index grid in
+    FILE row order (row 0 = bottom; the caller flips).  Escapes: 00 00
+    end-of-line, 00 01 end-of-bitmap, 00 02 dx dy delta (skipped cells
+    stay index 0), 00 n absolute run (word-aligned); RLE4 runs
+    alternate the value byte's two nibbles."""
+    idx = np.zeros((h, w), np.uint8)
+    x = y = 0
+    i, n = off, len(data)
+    while i + 2 <= n:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt:  # encoded run
+            if y >= h:
+                raise ValueError("BMP RLE run past last row")
+            if four_bit:
+                pair = (val >> 4, val & 0x0F)
+                end = min(x + cnt, w)
+                for k in range(end - x):
+                    idx[y, x + k] = pair[k & 1]
+            else:
+                idx[y, x: min(x + cnt, w)] = val
+            x += cnt
+            continue
+        if val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            return idx
+        elif val == 2:  # delta
+            if i + 2 > n:
+                break
+            x, y = x + data[i], y + data[i + 1]
+            i += 2
+        else:  # absolute mode: val literal samples, word-aligned
+            if y >= h:
+                raise ValueError("BMP RLE run past last row")
+            nbytes = -(-val // 2) if four_bit else val
+            if i + nbytes > n:
+                break
+            if four_bit:
+                end = min(x + val, w)
+                for k in range(end - x):
+                    b = data[i + (k >> 1)]
+                    idx[y, x + k] = (b >> 4) if k & 1 == 0 else (b & 0x0F)
+            else:
+                end = min(x + val, w)
+                idx[y, x:end] = np.frombuffer(data, np.uint8, end - x, i)
+            x += val
+            i += (nbytes + 1) & ~1
+    raise ValueError("BMP RLE stream ended without end-of-bitmap")
 
 
 def _padded_rows(
@@ -394,7 +471,8 @@ def _padded_rows(
 def decode_image_py(data: bytes | None) -> tuple[int, int, int, np.ndarray] | None:
     """Magic-byte dispatch decoder: FAKEIMG (deterministic fixture),
     real PNG (stdlib zlib path: 8/16-bit, gray/RGB/alpha/palette), real
-    BMP (uncompressed 8/24-bit), real baseline JPEG (from-scratch
+    BMP (1/4/8-bit palette incl. RLE8/RLE4, 24/32-bit truecolor),
+    real baseline+progressive JPEG (from-scratch
     huffman+IDCT codec, functions/jpeg.py), then PIL if present; other
     real formats raise — the honest sandbox boundary."""
     if data is None:

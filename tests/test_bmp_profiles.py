@@ -1,0 +1,151 @@
+"""BMP profiles beyond uncompressed 8/24-bit: 1/4-bit palette rows,
+32-bit BGRX truecolor, and RLE8/RLE4 decompression.
+
+The encoder halves live here (fixture plumbing, MSDN BITMAPINFOHEADER
+layout): sub-byte rows pack samples MSB-first into 4-byte-aligned
+scanlines; the RLE writer emits encoded runs, absolute runs, deltas,
+and the EOL/EOB escapes so every branch of the decoder's state machine
+is exercised against known pixels.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from fscrawler_spark.functions import multimodal as MM
+
+
+def _bmp(w, h, bitcount, pix: bytes, pal=None, compression=0,
+         top_down=False) -> bytes:
+    n_pal = 0 if pal is None else pal.shape[0]
+    off = 14 + 40 + 4 * n_pal
+    hdr = b"BM" + struct.pack("<IHHI", off + len(pix), 0, 0, off)
+    hdr += struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bitcount,
+        compression, len(pix), 2835, 2835, n_pal, 0,
+    )
+    if pal is not None:  # RGB -> BGRA quads
+        quads = np.zeros((n_pal, 4), np.uint8)
+        quads[:, :3] = pal[:, ::-1]
+        hdr += quads.tobytes()
+    return hdr + pix
+
+
+def _pack_rows_bottom_up(idx: np.ndarray, bitcount: int) -> bytes:
+    """(h, w) palette indices -> bottom-up 4-byte-aligned packed rows."""
+    h, w = idx.shape
+    out = bytearray()
+    for y in range(h - 1, -1, -1):
+        bits = (
+            (idx[y][:, None] >> np.arange(bitcount - 1, -1, -1)) & 1
+        ).ravel().astype(np.uint8)
+        row = np.packbits(bits).tobytes()
+        out += row + b"\x00" * (-len(row) % 4)
+    return bytes(out)
+
+
+@pytest.mark.parametrize("bitcount", [1, 4])
+@pytest.mark.parametrize("w,h", [(1, 1), (7, 3), (9, 2), (33, 5)])
+def test_subbyte_bmp_exact(bitcount, w, h):
+    rng = np.random.default_rng(bitcount * 100 + w + h)
+    n = 1 << bitcount
+    pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+    idx = rng.integers(0, n, (h, w), dtype=np.uint8)
+    blob = _bmp(w, h, bitcount, _pack_rows_bottom_up(idx, bitcount), pal)
+    gw, gh, gc, out = MM.decode_image_py(blob)
+    assert (gw, gh, gc) == (w, h, 3)
+    np.testing.assert_array_equal(out, pal[idx])
+
+
+def test_bmp32_bgrx_exact():
+    rng = np.random.default_rng(32)
+    px = rng.integers(0, 256, (3, 5, 3), dtype=np.uint8)
+    rows = bytearray()
+    for y in range(2, -1, -1):  # bottom-up BGRX
+        for x in range(5):
+            r, g, b = px[y, x]
+            rows += bytes([b, g, r, 0])
+    blob = _bmp(5, 3, 32, bytes(rows))
+    w, h, c, out = MM.decode_image_py(blob)
+    assert (w, h, c) == (5, 3, 3)
+    np.testing.assert_array_equal(out, px)
+
+
+def test_bmp32_top_down():
+    px = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    rows = bytearray()
+    for y in range(2):  # top-down: file order == display order
+        for x in range(2):
+            r, g, b = px[y, x]
+            rows += bytes([b, g, r, 0])
+    w, h, c, out = MM.decode_image_py(_bmp(2, 2, 32, bytes(rows),
+                                           top_down=True))
+    np.testing.assert_array_equal(out, px)
+
+
+def test_rle8_all_escapes():
+    """Encoded runs + absolute run (odd length, word-padded) + delta
+    (skipped cells stay palette entry 0) + EOL + EOB."""
+    pal = np.array([[0, 0, 0], [10, 11, 12], [20, 21, 22], [30, 31, 32],
+                    [40, 41, 42]], np.uint8)
+    # file row 0 (display bottom row): run 3x1, abs [2,3,4], run 2x2
+    # file row 1: delta skip (2,0) then run 2x3 -> ends mid-row via EOB
+    pix = bytes([
+        3, 1, 0, 3, 2, 3, 4, 0,  # run + absolute(3, padded to 4 bytes)
+        2, 2, 0, 0,              # run, end of line
+        0, 2, 2, 0,              # delta dx=2 dy=0
+        2, 3, 0, 1,              # run, end of bitmap
+    ])
+    blob = _bmp(8, 2, 8, pix, pal, compression=1)
+    w, h, c, out = MM.decode_image_py(blob)
+    assert (w, h, c) == (8, 2, 3)
+    # display top row = file row 1; skipped cells are entry 0
+    exp_file = np.array([
+        [1, 1, 1, 2, 3, 4, 2, 2],
+        [0, 0, 3, 3, 0, 0, 0, 0],
+    ], np.uint8)
+    np.testing.assert_array_equal(out, pal[exp_file[::-1]])
+
+
+def test_rle4_nibble_runs():
+    pal = np.array([[i, i + 1, i + 2] for i in range(0, 48, 3)], np.uint8)
+    # run of 5 alternating nibbles 0xA5 -> A 5 A 5 A; absolute 3 samples
+    # 0x12 0x30 -> 1 2 3 (pad byte to word); EOL; run 4 of 0x7 0x7; EOB
+    pix = bytes([
+        5, 0xA5, 0, 3, 0x12, 0x30, 0, 0,
+        4, 0x77, 0, 1,
+    ])
+    blob = _bmp(8, 2, 4, pix, pal, compression=2)
+    w, h, c, out = MM.decode_image_py(blob)
+    assert (w, h, c) == (8, 2, 3)
+    exp_file = np.array([
+        [0xA, 0x5, 0xA, 0x5, 0xA, 1, 2, 3],
+        [7, 7, 7, 7, 0, 0, 0, 0],
+    ], np.uint8)
+    np.testing.assert_array_equal(out, pal[exp_file[::-1]])
+
+
+def test_rle_corruption_contained():
+    pal = np.zeros((2, 3), np.uint8)
+    # no end-of-bitmap escape
+    blob = _bmp(4, 2, 8, bytes([2, 1, 2, 0]), pal, compression=1)
+    with pytest.raises(MM.DECODE_ERRORS):
+        MM.decode_image_py(blob)
+    # top-down RLE is illegal
+    blob2 = _bmp(4, 2, 8, bytes([2, 1, 0, 1]), pal, compression=1,
+                 top_down=True)
+    with pytest.raises(MM.DECODE_ERRORS):
+        MM.decode_image_py(blob2)
+    # RLE4 with bitcount 8 is a mismatch
+    blob3 = _bmp(4, 2, 8, bytes([2, 1, 0, 1]), pal, compression=2)
+    with pytest.raises(MM.DECODE_ERRORS):
+        MM.decode_image_py(blob3)
+
+
+def test_bmp16_still_raises():
+    blob = _bmp(2, 2, 16, b"\x00" * 16)
+    with pytest.raises(NotImplementedError):
+        MM.decode_image_py(blob)

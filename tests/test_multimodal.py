@@ -314,8 +314,14 @@ def test_bmp_8bit_palette_roundtrip():
 def test_bmp_compressed_raises():
     import struct
 
+    # RLE8 is SUPPORTED now (tests/test_bmp_profiles.py) — on a 24-bit
+    # header it's a bitcount mismatch, contained as a corrupt stream
     blob = bytearray(_encode_bmp(np.zeros((2, 2, 3), np.uint8)))
     struct.pack_into("<I", blob, 30, 1)  # biCompression = BI_RLE8
+    with pytest.raises(MM.DECODE_ERRORS):
+        MM.decode_image_py(bytes(blob))
+    # bitfields stay the honest boundary
+    struct.pack_into("<I", blob, 30, 3)  # BI_BITFIELDS
     with pytest.raises(NotImplementedError):
         MM.decode_image_py(bytes(blob))
 
