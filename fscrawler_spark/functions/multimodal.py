@@ -264,6 +264,17 @@ def _decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
         if depth < 8:
             samples = _unpack_subbyte(out, w, depth)
     else:  # Adam7: seven independently-filtered passes, scattered back
+        # Validate the whole stream length BEFORE allocating the (h, w)
+        # lanes grid: a ~60-byte blob claiming huge dims must raise a
+        # contained ValueError, not an uncontained MemoryError.
+        expect = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if pw and ph:
+                expect += ph * (pass_bytes(pw) + 1)
+        if raw.size != expect:
+            raise ValueError("PNG pixel stream length mismatch")
         lanes = (np.zeros((h, w), np.uint8) if depth < 8
                  else np.zeros((h, w, bpp), np.uint8))
         pos = 0
@@ -298,6 +309,8 @@ def _decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
         idx = samples if depth < 8 else out.reshape(h, w)
+        if idx.size and int(idx.max()) >= plte.shape[0]:
+            raise ValueError("PNG palette index beyond PLTE size")
         rgb = plte[idx]
         if trns is not None:
             lut = np.full(plte.shape[0], 255, np.uint8)
@@ -345,9 +358,11 @@ def _unpack_subbyte(rows: np.ndarray, pw: int, depth: int) -> np.ndarray:
 
 def _decode_bmp(data: bytes) -> tuple[int, int, int, np.ndarray]:
     """Real BMP decode, stdlib-only (BITMAPINFOHEADER): 24-bit BGR and
-    32-bit BGRX truecolor, 1/4/8-bit palette rows, plus RLE8/RLE4
-    decompression — all with 4-byte row padding, bottom-up or top-down
-    (negative biHeight).  Bitfield compression and 16-bit raise."""
+    32-bit BGRX truecolor, 1/4/8-bit palette rows, RLE8/RLE4
+    decompression, plus 16-bit (BI_RGB 555 default) and BI_BITFIELDS
+    16/32-bit with arbitrary contiguous masks (V3-appended or V4/V5
+    embedded — same file offset either way) — all with 4-byte row
+    padding, bottom-up or top-down (negative biHeight)."""
     if len(data) < 54:
         raise ValueError("BMP too short")
     (off_bits,) = struct.unpack_from("<I", data, 10)
@@ -357,12 +372,15 @@ def _decode_bmp(data: bytes) -> tuple[int, int, int, np.ndarray]:
     w, h_signed = struct.unpack_from("<ii", data, 18)
     (bitcount,) = struct.unpack_from("<H", data, 28)
     (compression,) = struct.unpack_from("<I", data, 30)
-    if compression not in (0, 1, 2):
+    if compression not in (0, 1, 2, 3):
         raise NotImplementedError(
-            f"BMP compression {compression} (BI_RGB/BI_RLE8/BI_RLE4 only)"
+            f"BMP compression {compression} "
+            "(BI_RGB/BI_RLE8/BI_RLE4/BI_BITFIELDS only)"
         )
     top_down, h = h_signed < 0, abs(h_signed)
-    if compression:
+    if compression == 3 and bitcount not in (16, 32):
+        raise ValueError(f"BMP BI_BITFIELDS with bit count {bitcount}")
+    if compression in (1, 2):
         if (compression, bitcount) not in ((1, 8), (2, 4)):
             raise ValueError(
                 f"BMP RLE{8 if compression == 1 else 4} with "
@@ -370,6 +388,33 @@ def _decode_bmp(data: bytes) -> tuple[int, int, int, np.ndarray]:
             )
         if top_down:  # the format forbids top-down RLE
             raise ValueError("top-down RLE BMP")
+    if bitcount == 16 or (bitcount == 32 and compression == 3):
+        # Masked truecolor: BI_RGB 16-bit defaults to 555; BI_BITFIELDS
+        # reads the three (or four, V3+) channel mask DWORDs, which sit
+        # at file offset 54 whether appended after a 40-byte info
+        # header or embedded in a V4/V5 header.
+        if compression == 3:
+            if len(data) < 54 + 12:
+                raise ValueError("BMP bitfield masks outside file")
+            rm, gm, bm = struct.unpack_from("<III", data, 54)
+            am = (struct.unpack_from("<I", data, 66)[0]
+                  if hdr_size >= 56 and len(data) >= 70 else 0)
+        else:
+            rm, gm, bm, am = 0x7C00, 0x03E0, 0x001F, 0
+        nbytes = bitcount // 8
+        stride = (w * nbytes + 3) & ~3
+        pix = _padded_rows(
+            data, off_bits, h, stride, w * nbytes
+        ).reshape(h, w, nbytes)
+        val = pix[..., 0].astype(np.uint32)  # LE sample words
+        for i in range(1, nbytes):
+            val |= pix[..., i].astype(np.uint32) << (8 * i)
+        chans = [_bitfield_channel(val, m) for m in (rm, gm, bm)]
+        if am:
+            chans.append(_bitfield_channel(val, am))
+        px = np.dstack(chans)
+        return (w, h, len(chans),
+                np.ascontiguousarray(px if top_down else px[::-1]))
     if bitcount == 24:
         rows = _padded_rows(data, off_bits, h, (w * 3 + 3) & ~3, w * 3)
         px = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
@@ -394,6 +439,11 @@ def _decode_bmp(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 data, off_bits, h, (w * bitcount + 31) // 32 * 4, keep
             )
             idx = _unpack_subbyte(rows, w, bitcount)
+        # RLE run values and truncated-palette (clr_used < 2**bitcount)
+        # streams can index past the stored palette: contain as corrupt
+        # rather than let numpy's IndexError escape DECODE_ERRORS.
+        if idx.size and int(idx.max()) >= n_pal:
+            raise ValueError("BMP palette index beyond color table")
         return w, h, 3, pal[idx if top_down else idx[::-1]]
     raise NotImplementedError(f"BMP bit count {bitcount}")
 
@@ -450,6 +500,23 @@ def _bmp_rle(
             x += val
             i += (nbytes + 1) & ~1
     raise ValueError("BMP RLE stream ended without end-of-bitmap")
+
+
+def _bitfield_channel(val: np.ndarray, mask: int) -> np.ndarray:
+    """Extract one BI_BITFIELDS channel from LE pixel words and scale
+    it to 8 bits exactly (255 * x // maxval).  Masks must be a single
+    contiguous bit run (the format's requirement); zero or fragmented
+    masks are contained as corrupt."""
+    if mask == 0:
+        raise ValueError("BMP zero bitfield mask")
+    shift = (mask & -mask).bit_length() - 1
+    span = mask >> shift
+    if span & (span + 1):
+        raise ValueError("BMP non-contiguous bitfield mask")
+    x = (val >> shift) & span
+    if span == 255:
+        return x.astype(np.uint8)
+    return (x * 255 // span).astype(np.uint8)
 
 
 def _padded_rows(

@@ -145,7 +145,100 @@ def test_rle_corruption_contained():
         MM.decode_image_py(blob3)
 
 
-def test_bmp16_still_raises():
-    blob = _bmp(2, 2, 16, b"\x00" * 16)
-    with pytest.raises(NotImplementedError):
+def _pix16(vals: np.ndarray) -> bytes:
+    """(h, w) uint16 LE sample words -> bottom-up 4-byte-padded rows."""
+    h, w = vals.shape
+    out = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = vals[y].astype("<u2").tobytes()
+        out += row + b"\x00" * (-len(row) % 4)
+    return bytes(out)
+
+
+def test_bmp16_rgb555_default_masks():
+    """BI_RGB 16-bit decodes with the implied 5-5-5 masks, scaled
+    exactly by 255//31 arithmetic."""
+    r, g, b = 31, 16, 1
+    word = (r << 10) | (g << 5) | b
+    vals = np.full((2, 3), word, np.uint16)
+    gw, gh, gc, out = MM.decode_image_py(_bmp(3, 2, 16, _pix16(vals)))
+    assert (gw, gh, gc) == (3, 2, 3)
+    exp = [r * 255 // 31, g * 255 // 31, b * 255 // 31]
+    np.testing.assert_array_equal(out, np.broadcast_to(exp, (2, 3, 3)))
+
+
+def test_bmp16_bitfields_565():
+    """BI_BITFIELDS 16-bit with the common 5-6-5 masks appended after
+    the 40-byte info header."""
+    rng = np.random.default_rng(565)
+    vals = rng.integers(0, 1 << 16, (3, 4), dtype=np.uint16)
+    masks = struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+    # masks sit between header and pixel data: splice them in and
+    # shift off_bits by 12
+    base = _bmp(4, 3, 16, _pix16(vals), compression=3)
+    blob = bytearray(base[:54] + masks + base[54:])
+    struct.pack_into("<I", blob, 10, 54 + 12)  # off_bits past the masks
+    gw, gh, gc, out = MM.decode_image_py(bytes(blob))
+    assert (gw, gh, gc) == (4, 3, 3)
+    exp = np.dstack([
+        ((vals >> 11) & 31) * 255 // 31,
+        ((vals >> 5) & 63) * 255 // 63,
+        (vals & 31) * 255 // 31,
+    ]).astype(np.uint8)
+    np.testing.assert_array_equal(out, exp)
+
+
+def test_bmp32_bitfields_with_alpha():
+    """BI_BITFIELDS 32-bit with a V3 (56-byte) header: embedded masks
+    including alpha decode to 4 channels, 8-8-8-8 passed through."""
+    rng = np.random.default_rng(8888)
+    px = rng.integers(0, 256, (2, 3, 4), dtype=np.uint8)  # RGBA
+    words = (px[..., 0].astype(np.uint32) << 16  # R in bits 16-23
+             | px[..., 1].astype(np.uint32) << 8
+             | px[..., 2].astype(np.uint32)
+             | px[..., 3].astype(np.uint32) << 24)
+    rows = bytearray()
+    for y in range(1, -1, -1):
+        rows += words[y].astype("<u4").tobytes()
+    off = 14 + 56
+    hdr = b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off)
+    hdr += struct.pack(
+        "<IiiHHIIiiII", 56, 3, 2, 1, 32, 3, len(rows), 2835, 2835, 0, 0,
+    )
+    hdr += struct.pack("<IIII", 0x00FF0000, 0x0000FF00, 0x000000FF,
+                       0xFF000000)
+    gw, gh, gc, out = MM.decode_image_py(hdr + bytes(rows))
+    assert (gw, gh, gc) == (3, 2, 4)
+    np.testing.assert_array_equal(out, px)
+
+
+def test_bmp_bitfields_corrupt_masks_contained():
+    vals = np.zeros((2, 2), np.uint16)
+    base = _bmp(2, 2, 16, _pix16(vals), compression=3)
+    for masks in (
+        struct.pack("<III", 0, 0x07E0, 0x001F),        # zero mask
+        struct.pack("<III", 0xF018, 0x07E0, 0x001F),   # fragmented
+    ):
+        blob = bytearray(base[:54] + masks + base[54:])
+        struct.pack_into("<I", blob, 10, 66)
+        with pytest.raises(MM.DECODE_ERRORS):
+            MM.decode_image_py(bytes(blob))
+
+
+def test_rle_palette_index_beyond_color_table_contained():
+    """An RLE8 run may emit any 0-255 value while the stored palette is
+    only clr_used entries; the out-of-range lookup must be contained as
+    a DECODE_ERRORS ValueError, not escape as numpy IndexError
+    (ADVICE r4 item 1)."""
+    pal = np.zeros((4, 3), np.uint8)  # clr_used = 4
+    # run of 2 cells with value 200, then EOL + EOB
+    pix = bytes([2, 200, 0, 0, 0, 1])
+    blob = _bmp(4, 2, 8, pix, pal, compression=1)
+    with pytest.raises(MM.DECODE_ERRORS):
         MM.decode_image_py(blob)
+    # same class for sub-byte uncompressed rows: 4-bit sample 9 with a
+    # 4-entry palette
+    idx = np.full((2, 3), 9, np.uint8)
+    blob2 = _bmp(3, 2, 4, _pack_rows_bottom_up(idx, 4), pal)
+    with pytest.raises(MM.DECODE_ERRORS):
+        MM.decode_image_py(blob2)

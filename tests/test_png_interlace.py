@@ -160,3 +160,19 @@ def test_encode_png_interlace_roundtrips(shape):
     exp = img if img.ndim == 3 else img[:, :, None]
     assert (w, h, c) == (exp.shape[1], exp.shape[0], exp.shape[2])
     np.testing.assert_array_equal(out, exp)
+
+
+def test_interlaced_huge_dims_contained_before_allocation():
+    """A ~60-byte interlaced PNG claiming huge dims must raise a
+    contained ValueError from the arithmetic stream-length check, not
+    an uncontained MemoryError from allocating the lanes grid
+    (ADVICE r4 item 2)."""
+    ihdr = struct.pack(">IIBBBBB", 1 << 30, 1 << 30, 8, 0, 0, 0, 1)
+    blob = (
+        MM.PNG_MAGIC + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + _chunk(b"IEND", b"")
+    )
+    assert len(blob) < 100
+    with pytest.raises(ValueError):
+        MM.decode_image_py(blob)

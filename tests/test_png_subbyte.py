@@ -148,3 +148,14 @@ def test_subbyte_truncated_contained():
     # corrupt the IDAT length so decompress sees garbage
     with pytest.raises(MM.DECODE_ERRORS):
         MM.decode_image_py(bytes(blob[:40]) + b"\x00" * 8)
+
+
+def test_palette_index_beyond_plte_contained():
+    """Sub-byte palette samples can exceed the PLTE entry count; the
+    LUT lookup must raise a contained ValueError, not numpy IndexError
+    (ADVICE r4 item 1, PNG flavor) — at sub-byte AND 8-bit depths."""
+    plte = np.zeros((4, 3), np.uint8)
+    idx = np.full((3, 5), 9, np.uint8)  # 4-bit sample 9, 4-entry PLTE
+    blob = _subbyte_png(idx, 4, 3, plte=plte)
+    with pytest.raises(MM.DECODE_ERRORS):
+        MM.decode_image_py(blob)
