@@ -1,21 +1,25 @@
-"""Baseline TIFF codec (uncompressed), stdlib+numpy only.
+"""TIFF codec (uncompressed + LZW + PackBits), stdlib+numpy only.
 
 TIFF rounds out the image formats a web crawl actually encounters
-(scanned documents, exports): unlike PNG/GIF/JPEG there is no entropy
-coder at all in the baseline profile — the format is a tag directory
-(IFD) over raw strips — so this is pure structural parsing, exactly
-roundtrippable, in ~150 lines.
+(scanned documents, exports): the common lossless profiles have purely
+algorithmic entropy layers — LZW (the TIFF variant: MSB-first bit
+packing with the famous "early change" code-width bump one code before
+GIF's) and PackBits run-length — so, like GIF, they are exactly
+roundtrippable with no spec constant tables.
 
   decode — both byte orders (II little-endian, MM big-endian), classic
-           (non-Big) TIFF, first IFD: uncompressed (Compression=1)
-           8-bit grayscale (both MinIsBlack and MinIsWhite) and RGB /
-           RGBA (extra samples appended), multi-strip assembly via
-           StripOffsets/StripByteCounts/RowsPerStrip.  LZW/JPEG-in-TIFF
-           and other compressions raise NotImplementedError; malformed
+           (non-Big) TIFF, first IFD: Compression 1 (none), 5 (LZW,
+           per-strip streams), 32773 (PackBits); Predictor 2
+           (horizontal differencing) undone per row; 8-bit grayscale
+           (both MinIsBlack and MinIsWhite) and RGB / RGBA (extra
+           samples appended), multi-strip assembly via StripOffsets/
+           StripByteCounts/RowsPerStrip.  JPEG-in-TIFF and other
+           compressions raise NotImplementedError; malformed
            structures raise ValueError — both inside the shared
            DECODE_ERRORS containment.
   encode — little-endian classic TIFF, one or more strips, gray/RGB/
-           RGBA, for the exact-roundtrip tests.
+           RGBA, same three compressions + predictor, for the
+           exact-roundtrip tests.
 
 Wired into multimodal.decode_image_py behind the II*/MM* magic.
 """
@@ -36,6 +40,160 @@ _TAG_SPP = 277
 _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_COUNTS = 279
 _TAG_PLANAR_CONFIG = 284
+_TAG_PREDICTOR = 317
+
+_LZW_CLEAR, _LZW_EOI, _LZW_FIRST = 256, 257, 258
+
+
+def _lzw_decode(data: bytes, expected: int) -> bytes:
+    """Decode one TIFF-LZW strip (MSB-first codes, 8-bit symbols,
+    width 9..12 with the early change: the width bumps one table entry
+    BEFORE the GIF convention, i.e. after assigning entry 2^w - 2 the
+    next code is read at w+1 bits — codes 511/1023/2047 already arrive
+    widened, TIFF 6.0 §13) into exactly `expected` bytes."""
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    next_code = _LZW_FIRST
+    prev: bytes | None = None
+    bitpos = 0
+    nbits = len(data) * 8
+    while len(out) < expected:
+        if bitpos + width > nbits:
+            raise ValueError("TIFF LZW stream truncated")
+        byte0 = bitpos >> 3
+        chunk = int.from_bytes(data[byte0: byte0 + 3].ljust(3, b"\0"),
+                               "big")
+        code = (chunk >> (24 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        if code == _LZW_CLEAR:
+            table = []
+            width = 9
+            next_code = _LZW_FIRST
+            prev = None
+            continue
+        if code == _LZW_EOI:
+            break
+        if prev is None:
+            if code > 255:
+                raise ValueError("TIFF LZW: first code not a literal")
+            entry = bytes([code])
+        else:
+            if code < 256:
+                entry = bytes([code])
+            elif code - _LZW_FIRST < len(table):
+                entry = table[code - _LZW_FIRST]
+            elif code == next_code:
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                raise ValueError("TIFF LZW: code out of sequence")
+            table.append(prev + entry[:1])
+            next_code += 1
+            # early change: entry 2^w - 2 just assigned -> read wider
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+        out += entry
+        prev = entry
+    if len(out) < expected:
+        raise ValueError("TIFF LZW produced too few bytes")
+    return bytes(out[:expected])
+
+
+def _lzw_encode(raw: bytes) -> bytes:
+    """Encode one strip as TIFF-LZW (the decoder's exact mirror: the
+    encoder's table runs one entry ahead, so its early change fires at
+    2^w - 1)."""
+    out = bytearray()
+    acc = 0
+    accbits = 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, accbits
+        acc = (acc << w) | code
+        accbits += w
+        while accbits >= 8:
+            accbits -= 8
+            out.append((acc >> accbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    width = 9
+    next_code = _LZW_FIRST
+    emit(_LZW_CLEAR, width)
+    buf = b""
+    for i in range(len(raw)):
+        cand = buf + raw[i: i + 1]
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        if next_code < 4094:  # leave room: emit Clear before full
+            table[cand] = next_code
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            width = 9
+            next_code = _LZW_FIRST
+        buf = raw[i: i + 1]
+    if buf:
+        emit(table[buf], width)
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+    emit(_LZW_EOI, width)
+    if accbits:
+        out.append((acc << (8 - accbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """Decode a PackBits stream (TIFF 6.0 §9) to exactly `expected`
+    bytes: n in 0..127 copies n+1 literals, n in 129..255 repeats the
+    next byte 257-n times, 128 is a no-op."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expected:
+        b = data[i]
+        i += 1
+        if b < 128:
+            cnt = b + 1
+            if i + cnt > n:
+                raise ValueError("TIFF PackBits literal truncated")
+            out += data[i: i + cnt]
+            i += cnt
+        elif b > 128:
+            if i >= n:
+                raise ValueError("TIFF PackBits run truncated")
+            out += data[i: i + 1] * (257 - b)
+            i += 1
+    if len(out) < expected:
+        raise ValueError("TIFF PackBits produced too few bytes")
+    return bytes(out[:expected])
+
+
+def _packbits_encode_row(row: bytes) -> bytes:
+    """Encode one row (PackBits must not cross row boundaries)."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        j = i + 1
+        while j < n and j - i < 128 and row[j] == row[i]:
+            j += 1
+        if j - i >= 2:  # replicate run
+            out.append(257 - (j - i))
+            out.append(row[i])
+            i = j
+            continue
+        j = i + 1  # literal run: until a 3-byte replicate starts
+        while (j < n and j - i < 128
+               and not (j + 2 <= n - 1 and row[j] == row[j + 1]
+                        and row[j] == row[j + 2] if j + 2 < n else False)):
+            j += 1
+        out.append(j - i - 1)
+        out += row[i:j]
+        i = j
+    return bytes(out)
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i"}
@@ -85,7 +243,7 @@ def _decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
         if tag in (_TAG_WIDTH, _TAG_HEIGHT, _TAG_BPS, _TAG_COMPRESSION,
                    _TAG_PHOTOMETRIC, _TAG_STRIP_OFFSETS, _TAG_SPP,
                    _TAG_ROWS_PER_STRIP, _TAG_STRIP_COUNTS,
-                   _TAG_PLANAR_CONFIG):
+                   _TAG_PLANAR_CONFIG, _TAG_PREDICTOR):
             tags[tag] = _read_tag_values(
                 data, e, ttype, count, data[at + 8: at + 12]
             )
@@ -102,10 +260,13 @@ def _decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
     if w == 0 or h == 0:
         raise ValueError("TIFF with empty dimensions")
     compression = one(_TAG_COMPRESSION, 1)
-    if compression != 1:
+    if compression not in (1, 5, 32773):
         raise NotImplementedError(
-            f"TIFF compression {compression} (only 1 = uncompressed)"
+            f"TIFF compression {compression} (1/LZW/PackBits only)"
         )
+    predictor = one(_TAG_PREDICTOR, 1)
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor}")
     spp = one(_TAG_SPP, 1)
     # PlanarConfiguration 2 stores each sample plane separately; the
     # strip byte count is identical to chunky, so without this guard a
@@ -122,16 +283,27 @@ def _decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
     counts = tags.get(_TAG_STRIP_COUNTS)
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("TIFF strip tables missing or inconsistent")
+    rps = one(_TAG_ROWS_PER_STRIP, h) or h
     raw = bytearray()
-    for off, cnt in zip(offsets, counts):
+    for i, (off, cnt) in enumerate(zip(offsets, counts)):
         chunk = data[off: off + cnt]
         if len(chunk) < cnt:
             raise ValueError("TIFF strip outside file")
-        raw += chunk
+        if compression == 1:
+            raw += chunk
+        else:  # each strip is an independent compressed stream
+            rows_here = min(rps, h - i * rps)
+            if rows_here <= 0:
+                raise ValueError("TIFF has more strips than rows")
+            expect = rows_here * w * spp
+            raw += (_lzw_decode if compression == 5
+                    else _packbits_decode)(chunk, expect)
     need = w * h * spp
     if len(raw) < need:
         raise ValueError("TIFF pixel data truncated")
     arr = np.frombuffer(bytes(raw[:need]), np.uint8).reshape(h, w, spp)
+    if predictor == 2:  # horizontal differencing: undo per row/channel
+        arr = np.cumsum(arr, axis=1, dtype=np.int64).astype(np.uint8)
     if photometric == 0:  # MinIsWhite: invert to the usual convention
         if spp != 1:
             raise ValueError("MinIsWhite only valid for grayscale TIFF")
@@ -139,19 +311,40 @@ def _decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
     return w, h, spp, arr
 
 
-def encode_tiff(arr: np.ndarray, rows_per_strip: int | None = None) -> bytes:
-    """Encode (h, w[, 1|3|4]) uint8 pixels as uncompressed
-    little-endian classic TIFF (one IFD, optionally multiple strips)."""
+def encode_tiff(arr: np.ndarray, rows_per_strip: int | None = None,
+                compression: int = 1, predictor: int = 1) -> bytes:
+    """Encode (h, w[, 1|3|4]) uint8 pixels as little-endian classic
+    TIFF (one IFD, optionally multiple strips), Compression 1/5/32773,
+    optional horizontal-differencing Predictor 2."""
     arr = np.asarray(arr)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     if arr.ndim != 3 or arr.shape[2] not in (1, 3, 4) or arr.dtype != np.uint8:
         raise ValueError("encode_tiff wants (h,w) or (h,w,{1,3,4}) uint8")
+    if compression not in (1, 5, 32773):
+        raise ValueError(f"encode_tiff compression {compression}")
+    if predictor not in (1, 2):
+        raise ValueError(f"encode_tiff predictor {predictor}")
     h, w, spp = arr.shape
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    src = arr
+    if predictor == 2:  # store per-row horizontal differences
+        src = arr.copy()
+        src[:, 1:] = arr[:, 1:] - arr[:, :-1]  # uint8 wraparound
     rps = rows_per_strip or h
-    strips = [arr[y: y + rps].tobytes() for y in range(0, h, rps)]
+
+    def pack(strip: np.ndarray) -> bytes:
+        if compression == 5:
+            return _lzw_encode(strip.tobytes())
+        if compression == 32773:  # PackBits: one stream per row
+            return b"".join(
+                _packbits_encode_row(strip[y].tobytes())
+                for y in range(strip.shape[0])
+            )
+        return strip.tobytes()
+
+    strips = [pack(src[y: y + rps]) for y in range(0, h, rps)]
 
     # layout: header(8) | pixel strips | BPS array (if spp>1) | IFD
     pos = 8
@@ -178,7 +371,7 @@ def encode_tiff(arr: np.ndarray, rows_per_strip: int | None = None) -> bytes:
         entries.append((_TAG_BPS, 3, 1, short(8)))
     else:
         entries.append((_TAG_BPS, 3, spp, long_(bps_off)))
-    entries.append((_TAG_COMPRESSION, 3, 1, short(1)))
+    entries.append((_TAG_COMPRESSION, 3, 1, short(compression)))
     entries.append((_TAG_PHOTOMETRIC, 3, 1, short(1 if spp == 1 else 2)))
     if len(strips) == 1:
         entries.append((_TAG_STRIP_OFFSETS, 4, 1, long_(strip_offsets[0])))
@@ -186,6 +379,8 @@ def encode_tiff(arr: np.ndarray, rows_per_strip: int | None = None) -> bytes:
         # offsets array needs its own storage after the IFD
         pass  # placeholder, handled below
     entries.append((_TAG_SPP, 3, 1, short(spp)))
+    if predictor == 2:
+        entries.append((_TAG_PREDICTOR, 3, 1, short(2)))
     entries.append((_TAG_ROWS_PER_STRIP, 3, 1, short(rps)))
     if len(strips) == 1:
         entries.append((_TAG_STRIP_COUNTS, 4, 1, long_(len(strips[0]))))

@@ -320,8 +320,13 @@ def test_bmp_compressed_raises():
     struct.pack_into("<I", blob, 30, 1)  # biCompression = BI_RLE8
     with pytest.raises(MM.DECODE_ERRORS):
         MM.decode_image_py(bytes(blob))
-    # bitfields stay the honest boundary
+    # BI_BITFIELDS is SUPPORTED now but only at 16/32 bits — on this
+    # 24-bit header it's a bitcount mismatch, contained as corrupt
     struct.pack_into("<I", blob, 30, 3)  # BI_BITFIELDS
+    with pytest.raises(MM.DECODE_ERRORS):
+        MM.decode_image_py(bytes(blob))
+    # compression 4 (BI_JPEG) stays the honest boundary
+    struct.pack_into("<I", blob, 30, 4)
     with pytest.raises(NotImplementedError):
         MM.decode_image_py(bytes(blob))
 

@@ -67,10 +67,11 @@ def test_big_endian_and_min_is_white():
 def test_unsupported_compression_is_stubbed_not_fatal():
     arr = _rng(2).integers(0, 256, (4, 4), dtype=np.uint8)
     blob = bytearray(encode_tiff(arr))
-    # flip the Compression tag value (tag 259) to 5 (LZW)
+    # flip the Compression tag value (tag 259) to 7 (JPEG-in-TIFF,
+    # still a declared boundary now that LZW/PackBits are real)
     i = blob.find(struct.pack("<HHI", 259, 3, 1))
     assert i > 0
-    blob[i + 8] = 5
+    blob[i + 8] = 7
     with pytest.raises(NotImplementedError):
         decode_tiff(bytes(blob))
 
@@ -123,3 +124,93 @@ def test_planar_configuration_raises_not_garbles():
     struct.pack_into("<H", blob, ifd, n_tags + 1)
     with pytest.raises(NotImplementedError):
         decode_tiff(bytes(blob))
+
+
+# ---------------------------------------------------------------------------
+# LZW (Compression=5), PackBits (32773), Predictor 2
+
+
+def test_lzw_hand_vector_pins_bit_layout():
+    """Hand-encoded per TIFF 6.0 §13 (MSB-first, 9-bit codes, Clear
+    then literals then the just-added table code): Clear(256), 7, 258,
+    8, EOI(257) packs to these exact six bytes and decodes to
+    07 07 07 08.  Pins the bit order independently of the encoder."""
+    from fscrawler_spark.functions.tiff import _lzw_decode
+    stream = bytes([0x80, 0x01, 0xE0, 0x40, 0x88, 0x08])
+    assert _lzw_decode(stream, 4) == b"\x07\x07\x07\x08"
+
+
+def test_lzw_roundtrip_across_width_boundaries():
+    """Content with >2000 distinct table entries forces the 9->10->11
+    bit early-change boundaries (and table growth well past 510/1022);
+    exact roundtrip proves encoder/decoder share the same convention
+    on both sides of every bump."""
+    from fscrawler_spark.functions.tiff import _lzw_decode, _lzw_encode
+    rng = _rng(13)
+    data = (bytes(rng.integers(0, 256, 60000, dtype=np.uint8))
+            + b"abc" * 2000 + bytes(3000))
+    assert _lzw_decode(_lzw_encode(data), len(data)) == data
+
+
+def test_lzw_clear_reset_roundtrip():
+    """>4093 table entries forces the encoder's mid-stream Clear; the
+    decoder must resync its table and width."""
+    from fscrawler_spark.functions.tiff import _lzw_decode, _lzw_encode
+    rng = _rng(14)
+    data = bytes(rng.integers(0, 256, 300000, dtype=np.uint8))
+    assert _lzw_decode(_lzw_encode(data), len(data)) == data
+
+
+@pytest.mark.parametrize("compression", [5, 32773])
+@pytest.mark.parametrize("predictor", [1, 2])
+def test_compressed_tiff_roundtrips_exact(compression, predictor):
+    rng = _rng(compression * 10 + predictor)
+    for shape, rps in [((1, 1), None), ((9, 7), 2), ((12, 5, 3), 5),
+                       ((6, 20, 4), None), ((40, 33, 3), 16)]:
+        arr = rng.integers(0, 256, shape, dtype=np.uint8)
+        blob = encode_tiff(arr, rows_per_strip=rps,
+                           compression=compression, predictor=predictor)
+        w, h, c, out = decode_tiff(blob)
+        exp = arr if arr.ndim == 3 else arr[:, :, None]
+        assert (w, h, c) == (exp.shape[1], exp.shape[0], exp.shape[2])
+        np.testing.assert_array_equal(out, exp)
+
+
+def test_predictor_smooth_content_compresses_better():
+    """The reason Predictor 2 exists: on smooth gradients the
+    differenced stream LZW-compresses far better than the raw one."""
+    ramp = np.tile(np.arange(256, dtype=np.uint8), (64, 4))
+    plain = encode_tiff(ramp, compression=5, predictor=1)
+    pred = encode_tiff(ramp, compression=5, predictor=2)
+    assert len(pred) < len(plain) // 4
+
+
+def test_compressed_corruption_contained():
+    from fscrawler_spark.functions import multimodal as MM
+    rng = _rng(99)
+    arr = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    for comp in (5, 32773):
+        blob = bytearray(encode_tiff(arr, compression=comp))
+        # truncate the strip data mid-stream
+        with pytest.raises(MM.DECODE_ERRORS):
+            decode_tiff(bytes(blob[: len(blob) // 2]))
+        # random byte corruption may only raise DECODE_ERRORS
+        for trial in range(30):
+            b2 = bytearray(blob)
+            for _ in range(4):
+                b2[int(rng.integers(8, len(b2)))] = int(rng.integers(256))
+            try:
+                decode_tiff(bytes(b2))
+            except MM.DECODE_ERRORS:
+                pass
+
+
+def test_compressed_tiff_through_spark_dispatch():
+    """decode_image_py serves LZW/PackBits TIFFs through the same
+    magic-byte dispatch as every other format."""
+    from fscrawler_spark.functions import multimodal as MM
+    arr = _rng(7).integers(0, 256, (10, 8, 3), dtype=np.uint8)
+    blob = encode_tiff(arr, compression=5, predictor=2)
+    w, h, c, out = MM.decode_image_py(blob)
+    assert (w, h, c) == (8, 10, 3)
+    np.testing.assert_array_equal(out, arr)
