@@ -626,6 +626,24 @@ def _encode_bmp24(arr) -> bytes:
     return bytes(hdr) + bytes(pix)
 
 
+def _encode_bmp16(vals, bitfields: bool = False) -> bytes:
+    """Minimal bottom-up 16-bit BMP writer for the q35 fixture:
+    BI_RGB (implied 5-5-5) or BI_BITFIELDS with appended 5-6-5 masks.
+    vals is an (h, w) uint16 array of raw sample words."""
+    h, w = vals.shape
+    row = (w * 2 + 3) & ~3
+    pix = bytearray()
+    for y in range(h - 1, -1, -1):
+        line = vals[y].astype("<u2").tobytes()
+        pix += line + b"\x00" * (row - len(line))
+    masks = _st.pack("<III", 0xF800, 0x07E0, 0x001F) if bitfields else b""
+    off = 14 + 40 + len(masks)
+    hdr = b"BM" + _st.pack("<IHHI", off + len(pix), 0, 0, off)
+    hdr += _st.pack("<IiiHHIIiiII", 40, w, h, 1, 16,
+                    3 if bitfields else 0, len(pix), 2835, 2835, 0, 0)
+    return bytes(hdr) + masks + bytes(pix)
+
+
 def _q35_media_rows():
     import numpy as np
 
@@ -675,6 +693,20 @@ def _q35_media_rows():
         arr = rng(800 + i).integers(0, 256, shape, dtype=np.uint8)
         add(encode_jpeg(arr, quality=100, progressive=True,
                         subsample=(i == 4)), "jpg")
+    # TIFF LZW / PackBits (round-5), predictor on/off, multi-strip.
+    # The Predictor tag (317) sorts LAST in the IFD, so the oracle's
+    # fixed entry offsets (ifd+10/22/82) are unchanged.
+    for i, (comp, pred) in enumerate([(5, 1), (5, 2), (32773, 1),
+                                      (32773, 2)]):
+        c = (1, 3)[i % 2]
+        shape = (5 + i, 7 - i % 3) if c == 1 else (5 + i, 7 - i % 3, c)
+        arr = rng(900 + i).integers(0, 256, shape, dtype=np.uint8)
+        add(encode_tiff(arr, rows_per_strip=3, compression=comp,
+                        predictor=pred), "tif")
+    for i in range(4):  # BMP 16-bit: BI_RGB 555 and BI_BITFIELDS 565
+        vals = rng(950 + i).integers(0, 1 << 16, (4 + i, 5 + i % 3),
+                                     dtype=np.uint16)
+        add(_encode_bmp16(vals, bitfields=i % 2 == 1), "bmp")
     return rows
 
 
