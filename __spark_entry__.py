@@ -644,6 +644,17 @@ def _encode_bmp16(vals, bitfields: bool = False) -> bytes:
     return bytes(hdr) + masks + bytes(pix)
 
 
+def _encode_bmp_embedded(stream: bytes, w: int, h: int, comp: int) -> bytes:
+    """BI_JPEG(4)/BI_PNG(5) BMP wrapper for the q35 fixture: the
+    bitmap data is one complete embedded JPEG/PNG stream at
+    bfOffBits=54, biBitCount=0 per the MSDN embedding semantics."""
+    off = 14 + 40
+    hdr = b"BM" + _st.pack("<IHHI", off + len(stream), 0, 0, off)
+    hdr += _st.pack("<IiiHHIIiiII", 40, w, h, 1, 0, comp, len(stream),
+                    2835, 2835, 0, 0)
+    return bytes(hdr) + stream
+
+
 def _q35_media_rows():
     import numpy as np
 
@@ -707,6 +718,27 @@ def _q35_media_rows():
         vals = rng(950 + i).integers(0, 1 << 16, (4 + i, 5 + i % 3),
                                      dtype=np.uint16)
         add(_encode_bmp16(vals, bitfields=i % 2 == 1), "bmp")
+    # Round-5 delegation paths: BI_PNG/BI_JPEG embedded BMPs (dims
+    # stay at the standard BMP header offsets; channels come from the
+    # embedded stream — PNG IHDR color type at the fixed bfOffBits=54,
+    # JPEG SOF via the same marker scan as standalone JPEGs) and
+    # JPEG-in-TIFF Compression 7 (same 9-tag IFD layout as the
+    # uncompressed rows, so the oracle's fixed entry offsets hold).
+    for i in range(4):  # BI_PNG at all four channel counts
+        c = (1, 2, 3, 4)[i]
+        arr = rng(980 + i).integers(0, 256, (5 + i, 6 + i % 3, c),
+                                    dtype=np.uint8)
+        add(_encode_bmp_embedded(MM.encode_png(arr), arr.shape[1],
+                                 arr.shape[0], 5), "bmp")
+    for i in range(2):  # BI_JPEG gray + color
+        shape = (6, 8) if i == 0 else (7, 8, 3)
+        arr = rng(990 + i).integers(0, 256, shape, dtype=np.uint8)
+        add(_encode_bmp_embedded(encode_jpeg(arr, quality=100), 8,
+                                 6 + i, 4), "bmp")
+    for i, (spp, rps) in enumerate([(1, None), (3, None), (3, 3)]):
+        shape = (5 + i, 7) if spp == 1 else (5 + i, 7, 3)
+        arr = rng(995 + i).integers(0, 256, shape, dtype=np.uint8)
+        add(encode_tiff(arr, rows_per_strip=rps, compression=7), "tif")
     return rows
 
 
@@ -1545,7 +1577,10 @@ def oracle_sql() -> dict[str, str]:
             -- always the true SOF; the OTHER pattern can still match
             -- misaligned hex inside later entropy data, hence the
             -- min-nonzero rather than a sum).
+            -- also computed for BI_JPEG BMPs (compression byte 30 = 4):
+            -- the embedded stream's SOF is found by the same scan
             CASE WHEN substr(hx,1,4)='FFD8'
+                 OR (substr(hx,1,4)='424D' AND {_b(30)}=4)
                  THEN (least(
                      CASE WHEN strpos(hx,'FFC0')=0 THEN 2147483647
                           ELSE strpos(hx,'FFC0') END,
@@ -1581,7 +1616,16 @@ def oracle_sql() -> dict[str, str]:
                                   WHEN 3 THEN 3 WHEN 4 THEN 2
                                   WHEN 6 THEN 4 END
             WHEN 'gif'  THEN 3
-            WHEN 'bmp'  THEN 3
+            -- BI_PNG(5): embedded PNG IHDR color type at bfOffBits=54
+            -- + 25; BI_JPEG(4): embedded SOF component count; all
+            -- native profiles decode to 3 channels
+            WHEN 'bmp'  THEN CASE {_b(30)}
+                              WHEN 5 THEN CASE {_b(79)}
+                                   WHEN 0 THEN 1 WHEN 2 THEN 3
+                                   WHEN 3 THEN 3 WHEN 4 THEN 2
+                                   WHEN 6 THEN 4 END
+                              WHEN 4 THEN {_b('sofm+9')}
+                              ELSE 3 END
             WHEN 'jpeg' THEN {_b('sofm+9')}
             WHEN 'tiff' THEN {_b('ifd+82')} + 256*{_b('ifd+83')}
           END)::BIGINT AS channels

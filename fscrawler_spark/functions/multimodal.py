@@ -359,10 +359,12 @@ def _unpack_subbyte(rows: np.ndarray, pw: int, depth: int) -> np.ndarray:
 def _decode_bmp(data: bytes) -> tuple[int, int, int, np.ndarray]:
     """Real BMP decode, stdlib-only (BITMAPINFOHEADER): 24-bit BGR and
     32-bit BGRX truecolor, 1/4/8-bit palette rows, RLE8/RLE4
-    decompression, plus 16-bit (BI_RGB 555 default) and BI_BITFIELDS
+    decompression, 16-bit (BI_RGB 555 default) and BI_BITFIELDS
     16/32-bit with arbitrary contiguous masks (V3-appended or V4/V5
     embedded — same file offset either way) — all with 4-byte row
-    padding, bottom-up or top-down (negative biHeight)."""
+    padding, bottom-up or top-down (negative biHeight) — plus the
+    BI_JPEG/BI_PNG embedding forms, delegated to the repo's own
+    JPEG/PNG codecs."""
     if len(data) < 54:
         raise ValueError("BMP too short")
     (off_bits,) = struct.unpack_from("<I", data, 10)
@@ -372,12 +374,38 @@ def _decode_bmp(data: bytes) -> tuple[int, int, int, np.ndarray]:
     w, h_signed = struct.unpack_from("<ii", data, 18)
     (bitcount,) = struct.unpack_from("<H", data, 28)
     (compression,) = struct.unpack_from("<I", data, 30)
-    if compression not in (0, 1, 2, 3):
+    if compression not in (0, 1, 2, 3, 4, 5):
         raise NotImplementedError(
             f"BMP compression {compression} "
-            "(BI_RGB/BI_RLE8/BI_RLE4/BI_BITFIELDS only)"
+            "(BI_RGB/BI_RLE8/BI_RLE4/BI_BITFIELDS/BI_JPEG/BI_PNG only)"
         )
     top_down, h = h_signed < 0, abs(h_signed)
+    if compression in (4, 5):
+        # BI_JPEG / BI_PNG: the bitmap data is a complete embedded
+        # JPEG/PNG stream (biSizeImage bytes at bfOffBits) — delegate
+        # to the repo's own codecs.  The header's biWidth/biHeight
+        # describe the DECOMPRESSED image (MSDN semantics); a mismatch
+        # means a corrupt container, contained as ValueError.  The
+        # embedded stream carries its own orientation, so no
+        # bottom-up flip applies.
+        (size_image,) = struct.unpack_from("<I", data, 34)
+        end = min(off_bits + size_image, len(data)) if size_image \
+            else len(data)
+        stream = bytes(data[off_bits:end])
+        if compression == 4:
+            if stream[:3] != b"\xff\xd8\xff":
+                raise ValueError("BI_JPEG without an embedded JPEG stream")
+            ew, eh, ec, px = decode_jpeg(stream)
+            px = px.reshape(eh, ew, ec)
+        else:
+            if stream[:8] != PNG_MAGIC:
+                raise ValueError("BI_PNG without an embedded PNG stream")
+            ew, eh, ec, px = _decode_png(stream)
+        if (ew, eh) != (w, h):
+            raise ValueError(
+                f"BMP embedded stream is {ew}x{eh}, header says {w}x{h}"
+            )
+        return ew, eh, ec, px
     if compression == 3 and bitcount not in (16, 32):
         raise ValueError(f"BMP BI_BITFIELDS with bit count {bitcount}")
     if compression in (1, 2):

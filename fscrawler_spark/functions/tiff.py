@@ -41,6 +41,7 @@ _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_COUNTS = 279
 _TAG_PLANAR_CONFIG = 284
 _TAG_PREDICTOR = 317
+_TAG_JPEG_TABLES = 347
 
 _LZW_CLEAR, _LZW_EOI, _LZW_FIRST = 256, 257, 258
 
@@ -196,7 +197,7 @@ def _packbits_encode_row(row: bytes) -> bytes:
     return bytes(out)
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i"}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 7: "B", 8: "h", 9: "i"}
 
 
 def _read_tag_values(data: bytes, e: str, ttype: int, count: int,
@@ -243,7 +244,7 @@ def _decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
         if tag in (_TAG_WIDTH, _TAG_HEIGHT, _TAG_BPS, _TAG_COMPRESSION,
                    _TAG_PHOTOMETRIC, _TAG_STRIP_OFFSETS, _TAG_SPP,
                    _TAG_ROWS_PER_STRIP, _TAG_STRIP_COUNTS,
-                   _TAG_PLANAR_CONFIG, _TAG_PREDICTOR):
+                   _TAG_PLANAR_CONFIG, _TAG_PREDICTOR, _TAG_JPEG_TABLES):
             tags[tag] = _read_tag_values(
                 data, e, ttype, count, data[at + 8: at + 12]
             )
@@ -260,13 +261,15 @@ def _decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
     if w == 0 or h == 0:
         raise ValueError("TIFF with empty dimensions")
     compression = one(_TAG_COMPRESSION, 1)
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 7, 32773):
         raise NotImplementedError(
-            f"TIFF compression {compression} (1/LZW/PackBits only)"
+            f"TIFF compression {compression} (1/LZW/JPEG/PackBits only)"
         )
     predictor = one(_TAG_PREDICTOR, 1)
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
+    if compression == 7 and predictor != 1:
+        raise ValueError("TIFF predictor with JPEG compression")
     spp = one(_TAG_SPP, 1)
     # PlanarConfiguration 2 stores each sample plane separately; the
     # strip byte count is identical to chunky, so without this guard a
@@ -284,6 +287,47 @@ def _decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("TIFF strip tables missing or inconsistent")
     rps = one(_TAG_ROWS_PER_STRIP, h) or h
+    if compression == 7:
+        # New-style JPEG-in-TIFF (Technical Note 2): each strip is a
+        # JPEG entropy stream, decoded by the repo's own from-scratch
+        # codec (functions/jpeg.py).  An optional JPEGTables tag holds
+        # an abbreviated stream (SOI..tables..EOI) shared by all
+        # strips; it is spliced after each strip's SOI so per-strip
+        # tables, when present, still win (they come later).  Our
+        # 3-channel JPEG path assumes the standard YCbCr coding, so
+        # photometric must say so (6), or 1 for grayscale.
+        if photometric not in (1, 6):
+            raise NotImplementedError(
+                f"JPEG-in-TIFF photometric {photometric} (1/6 only)"
+            )
+        from fscrawler_spark.functions.jpeg import decode_jpeg
+
+        tables = b""
+        if _TAG_JPEG_TABLES in tags:
+            tbl = bytes(tags[_TAG_JPEG_TABLES])
+            if tbl[:2] != b"\xff\xd8" or tbl[-2:] != b"\xff\xd9":
+                raise ValueError("JPEGTables is not an abbreviated stream")
+            tables = tbl[2:-2]
+        parts = []
+        for i, (off, cnt) in enumerate(zip(offsets, counts)):
+            chunk = data[off: off + cnt]
+            if len(chunk) < cnt:
+                raise ValueError("TIFF strip outside file")
+            if chunk[:2] != b"\xff\xd8":
+                raise ValueError("JPEG-in-TIFF strip without SOI")
+            rows_here = min(rps, h - i * rps)
+            if rows_here <= 0:
+                raise ValueError("TIFF has more strips than rows")
+            sw, sh, sc, px = decode_jpeg(
+                chunk[:2] + tables + chunk[2:] if tables else chunk
+            )
+            if (sw, sh, sc) != (w, rows_here, spp):
+                raise ValueError(
+                    f"JPEG-in-TIFF strip shape ({sw},{sh},{sc}) != "
+                    f"IFD ({w},{rows_here},{spp})"
+                )
+            parts.append(px.reshape(sh, sw, sc))
+        return w, h, spp, np.ascontiguousarray(np.concatenate(parts))
     raw = bytearray()
     for i, (off, cnt) in enumerate(zip(offsets, counts)):
         chunk = data[off: off + cnt]
@@ -314,17 +358,25 @@ def _decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
 def encode_tiff(arr: np.ndarray, rows_per_strip: int | None = None,
                 compression: int = 1, predictor: int = 1) -> bytes:
     """Encode (h, w[, 1|3|4]) uint8 pixels as little-endian classic
-    TIFF (one IFD, optionally multiple strips), Compression 1/5/32773,
-    optional horizontal-differencing Predictor 2."""
+    TIFF (one IFD, optionally multiple strips), Compression 1/5/32773
+    or 7 (new-style JPEG: each strip a standalone stream from the
+    repo's own encoder — lossy, so roundtrip tests compare against
+    the JPEG codec's own decode, not the source pixels), optional
+    horizontal-differencing Predictor 2 (lossless modes only)."""
     arr = np.asarray(arr)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     if arr.ndim != 3 or arr.shape[2] not in (1, 3, 4) or arr.dtype != np.uint8:
         raise ValueError("encode_tiff wants (h,w) or (h,w,{1,3,4}) uint8")
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 7, 32773):
         raise ValueError(f"encode_tiff compression {compression}")
     if predictor not in (1, 2):
         raise ValueError(f"encode_tiff predictor {predictor}")
+    if compression == 7:
+        if arr.shape[2] not in (1, 3):
+            raise ValueError("JPEG-in-TIFF encode wants 1 or 3 channels")
+        if predictor != 1:
+            raise ValueError("predictor does not apply to JPEG strips")
     h, w, spp = arr.shape
     if h == 0 or w == 0:
         raise ValueError("empty image")
@@ -337,6 +389,12 @@ def encode_tiff(arr: np.ndarray, rows_per_strip: int | None = None,
     def pack(strip: np.ndarray) -> bytes:
         if compression == 5:
             return _lzw_encode(strip.tobytes())
+        if compression == 7:  # one standalone JPEG stream per strip
+            from fscrawler_spark.functions.jpeg import encode_jpeg
+
+            return encode_jpeg(
+                strip[:, :, 0] if spp == 1 else strip, quality=100
+            )
         if compression == 32773:  # PackBits: one stream per row
             return b"".join(
                 _packbits_encode_row(strip[y].tobytes())
@@ -372,7 +430,11 @@ def encode_tiff(arr: np.ndarray, rows_per_strip: int | None = None,
     else:
         entries.append((_TAG_BPS, 3, spp, long_(bps_off)))
     entries.append((_TAG_COMPRESSION, 3, 1, short(compression)))
-    entries.append((_TAG_PHOTOMETRIC, 3, 1, short(1 if spp == 1 else 2)))
+    # color JPEG strips are coded YCbCr (the codec's standard path);
+    # lossless color stays RGB
+    entries.append((_TAG_PHOTOMETRIC, 3, 1, short(
+        1 if spp == 1 else (6 if compression == 7 else 2)
+    )))
     if len(strips) == 1:
         entries.append((_TAG_STRIP_OFFSETS, 4, 1, long_(strip_offsets[0])))
     else:

@@ -242,3 +242,54 @@ def test_rle_palette_index_beyond_color_table_contained():
     blob2 = _bmp(3, 2, 4, _pack_rows_bottom_up(idx, 4), pal)
     with pytest.raises(MM.DECODE_ERRORS):
         MM.decode_image_py(blob2)
+
+
+# --- BI_JPEG / BI_PNG embedding forms (round-5): the bitmap data is a
+# complete JPEG/PNG stream, delegated to the repo's own codecs -------
+
+
+def test_bmp_bi_png_delegates_exact():
+    from fscrawler_spark.functions.multimodal import encode_png
+
+    for c in (1, 3, 4):
+        arr = np.random.Generator(np.random.PCG64(70 + c)).integers(
+            0, 256, (6, 5, c), dtype=np.uint8
+        )
+        blob = _bmp(5, 6, 0, encode_png(arr), compression=5)  # BI_PNG
+        w, h, ch, out = MM.decode_image_py(blob)
+        assert (w, h, ch) == (5, 6, c)
+        assert np.array_equal(np.asarray(out).reshape(arr.shape), arr)
+
+
+def test_bmp_bi_jpeg_matches_jpeg_codec():
+    from fscrawler_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    arr = np.random.Generator(np.random.PCG64(80)).integers(
+        0, 256, (8, 9, 3), dtype=np.uint8
+    )
+    stream = encode_jpeg(arr, quality=100)
+    blob = _bmp(9, 8, 0, stream, compression=4)  # BI_JPEG
+    w, h, ch, out = MM.decode_image_py(blob)
+    jw, jh, jc, jpx = decode_jpeg(stream)
+    assert (w, h, ch) == (jw, jh, jc) == (9, 8, 3)
+    assert np.array_equal(
+        np.asarray(out).reshape(8, 9, 3), jpx.reshape(8, 9, 3)
+    )
+
+
+def test_bmp_embedded_corruption_contained():
+    from fscrawler_spark.functions.multimodal import encode_png
+
+    arr = np.random.Generator(np.random.PCG64(81)).integers(
+        0, 256, (4, 4, 3), dtype=np.uint8
+    )
+    stream = encode_png(arr)
+    # header dims disagree with the embedded stream -> contained
+    with pytest.raises(ValueError):
+        MM.decode_image_py(_bmp(9, 9, 0, stream, compression=5))
+    # BI_PNG whose payload is not a PNG -> contained
+    with pytest.raises(MM.DECODE_ERRORS):
+        MM.decode_image_py(_bmp(4, 4, 0, b"\x00" * 32, compression=5))
+    # BI_JPEG whose payload is not a JPEG -> contained
+    with pytest.raises(MM.DECODE_ERRORS):
+        MM.decode_image_py(_bmp(4, 4, 0, b"\x00" * 32, compression=4))

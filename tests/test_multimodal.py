@@ -325,8 +325,14 @@ def test_bmp_compressed_raises():
     struct.pack_into("<I", blob, 30, 3)  # BI_BITFIELDS
     with pytest.raises(MM.DECODE_ERRORS):
         MM.decode_image_py(bytes(blob))
-    # compression 4 (BI_JPEG) stays the honest boundary
+    # BI_JPEG is SUPPORTED now (delegated to functions/jpeg.py) — on
+    # this blob the bitmap data is not a JPEG stream, contained as
+    # corrupt (tests/test_bmp_profiles.py has the real-stream cases)
     struct.pack_into("<I", blob, 30, 4)
+    with pytest.raises(MM.DECODE_ERRORS):
+        MM.decode_image_py(bytes(blob))
+    # compression 6 (BI_ALPHABITFIELDS / old-style) stays the boundary
+    struct.pack_into("<I", blob, 30, 6)
     with pytest.raises(NotImplementedError):
         MM.decode_image_py(bytes(blob))
 

@@ -67,12 +67,16 @@ def test_big_endian_and_min_is_white():
 def test_unsupported_compression_is_stubbed_not_fatal():
     arr = _rng(2).integers(0, 256, (4, 4), dtype=np.uint8)
     blob = bytearray(encode_tiff(arr))
-    # flip the Compression tag value (tag 259) to 7 (JPEG-in-TIFF,
-    # still a declared boundary now that LZW/PackBits are real)
+    # flip the Compression tag value (tag 259) to 8 (Adobe Deflate,
+    # still a declared boundary now that LZW/PackBits/JPEG are real)
     i = blob.find(struct.pack("<HHI", 259, 3, 1))
     assert i > 0
-    blob[i + 8] = 7
+    blob[i + 8] = 8
     with pytest.raises(NotImplementedError):
+        decode_tiff(bytes(blob))
+    # compression 7 over NON-JPEG strip bytes is corrupt, contained
+    blob[i + 8] = 7
+    with pytest.raises(ValueError):
         decode_tiff(bytes(blob))
 
 
@@ -214,3 +218,110 @@ def test_compressed_tiff_through_spark_dispatch():
     w, h, c, out = MM.decode_image_py(blob)
     assert (w, h, c) == (8, 10, 3)
     np.testing.assert_array_equal(out, arr)
+
+
+# --- Compression 7: new-style JPEG-in-TIFF (round-5), delegated to
+# the repo's own JPEG codec (functions/jpeg.py) ----------------------
+
+
+@pytest.mark.parametrize("spp,rps", [(1, None), (3, None), (3, 4)])
+def test_jpeg_in_tiff_matches_jpeg_codec(spp, rps):
+    from fscrawler_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    shape = (11, 13) if spp == 1 else (11, 13, spp)
+    arr = _rng(40 + spp + (rps or 0)).integers(0, 256, shape,
+                                               dtype=np.uint8)
+    blob = encode_tiff(arr, rows_per_strip=rps, compression=7)
+    w, h, c, out = decode_tiff(blob)
+    assert (w, h, c) == (13, 11, spp)
+    # lossy codec: the TIFF assembly must equal the JPEG codec's own
+    # per-strip decode EXACTLY (same streams, same IDCT)
+    a3 = arr if arr.ndim == 3 else arr[:, :, None]
+    rows = []
+    for y in range(0, 11, rps or 11):
+        strip = a3[y: y + (rps or 11)]
+        sw, sh, sc, px = decode_jpeg(encode_jpeg(
+            strip[:, :, 0] if spp == 1 else strip, quality=100
+        ))
+        rows.append(px.reshape(sh, sw, sc))
+    assert np.array_equal(out, np.concatenate(rows))
+
+
+def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Move every DQT/DHT segment of a standalone JPEG into an
+    abbreviated JPEGTables stream (SOI..tables..EOI), returning
+    (tables_stream, tables-less strip stream)."""
+    pos = 2
+    tables, rest = bytearray(), bytearray(b"\xff\xd8")
+    while pos < len(stream):
+        assert stream[pos] == 0xFF
+        marker = stream[pos + 1]
+        if marker == 0xDA:  # SOS: entropy data runs to EOI, keep all
+            rest += stream[pos:]
+            break
+        (seg_len,) = struct.unpack_from(">H", stream, pos + 2)
+        seg = stream[pos: pos + 2 + seg_len]
+        (tables if marker in (0xDB, 0xC4) else rest).extend(seg)
+        pos += 2 + seg_len
+    return bytes(b"\xff\xd8" + bytes(tables) + b"\xff\xd9"), bytes(rest)
+
+
+def _tiff_with_jpeg_tables(strip: bytes, tables: bytes, w: int, h: int,
+                           spp: int) -> bytes:
+    """Hand-built little-endian single-strip Compression-7 TIFF with a
+    JPEGTables tag (347, type UNDEFINED)."""
+    bps_off = 8 + len(strip)
+    tbl_off = bps_off + (2 * spp if spp > 1 else 0)
+    ifd_off = tbl_off + len(tables)
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    out += strip
+    if spp > 1:
+        out += struct.pack("<" + "H" * spp, *([8] * spp))
+    out += tables
+    tags = [
+        (256, 3, 1, struct.pack("<HH", w, 0)),
+        (257, 3, 1, struct.pack("<HH", h, 0)),
+        (258, 3, spp, struct.pack("<I", bps_off) if spp > 1
+         else struct.pack("<HH", 8, 0)),
+        (259, 3, 1, struct.pack("<HH", 7, 0)),
+        (262, 3, 1, struct.pack("<HH", 6 if spp == 3 else 1, 0)),
+        (273, 4, 1, struct.pack("<I", 8)),
+        (277, 3, 1, struct.pack("<HH", spp, 0)),
+        (278, 3, 1, struct.pack("<HH", h, 0)),
+        (279, 4, 1, struct.pack("<I", len(strip))),
+        (347, 7, len(tables), struct.pack("<I", tbl_off)),
+    ]
+    out += struct.pack("<H", len(tags))
+    for tag, t, n, v in tags:
+        out += struct.pack("<HHI", tag, t, n) + v
+    out += struct.pack("<I", 0)
+    return bytes(out)
+
+
+def test_jpeg_in_tiff_jpegtables_splice():
+    from fscrawler_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    arr = _rng(55).integers(0, 256, (10, 7, 3), dtype=np.uint8)
+    full = encode_jpeg(arr, quality=100)
+    tables, strip = _split_jpeg_tables(full)
+    assert len(tables) > 4 and len(strip) < len(full)
+    blob = _tiff_with_jpeg_tables(strip, tables, 7, 10, 3)
+    w, h, c, out = decode_tiff(blob)
+    jw, jh, jc, jpx = decode_jpeg(full)
+    assert (w, h, c) == (jw, jh, jc) == (7, 10, 3)
+    assert np.array_equal(out, jpx.reshape(10, 7, 3))
+    # corrupt JPEGTables (no SOI/EOI framing) is contained
+    bad = _tiff_with_jpeg_tables(strip, b"\x00" * len(tables), 7, 10, 3)
+    with pytest.raises(ValueError):
+        decode_tiff(bad)
+
+
+def test_jpeg_in_tiff_strip_shape_mismatch_contained():
+    from fscrawler_spark.functions.jpeg import encode_jpeg
+
+    arr = _rng(56).integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    strip = encode_jpeg(arr, quality=100)
+    # IFD claims 9x9: the decoded strip shape disagrees -> contained
+    blob = _tiff_with_jpeg_tables(strip, b"\xff\xd8\xff\xd9", 9, 9, 3)
+    with pytest.raises(ValueError):
+        decode_tiff(blob)
