@@ -739,6 +739,24 @@ def _q35_media_rows():
         shape = (5 + i, 7) if spp == 1 else (5 + i, 7, 3)
         arr = rng(995 + i).integers(0, 256, shape, dtype=np.uint8)
         add(encode_tiff(arr, rows_per_strip=rps, compression=7), "tif")
+    for i, pred in enumerate([1, 2]):  # TIFF Deflate, predictor off/on
+        arr = rng(1000 + i).integers(0, 256, (6, 5 + i, 3),
+                                     dtype=np.uint8)
+        add(encode_tiff(arr, rows_per_strip=2, compression=8,
+                        predictor=pred), "tif")
+    # BMP BI_ALPHABITFIELDS (compression 6): four appended masks
+    # (4-4-4-4 ARGB), decodes to 4 channels
+    vals = rng(1010).integers(0, 1 << 16, (5, 4), dtype=np.uint16)
+    pix = bytearray()
+    for y in range(4, -1, -1):
+        line = vals[y].astype("<u2").tobytes()
+        pix += line + b"\x00" * (-len(line) % 4)
+    masks = _st.pack("<IIII", 0x0F00, 0x00F0, 0x000F, 0xF000)
+    off = 14 + 40 + 16
+    hdr = b"BM" + _st.pack("<IHHI", off + len(pix), 0, 0, off)
+    hdr += _st.pack("<IiiHHIIiiII", 40, 4, 5, 1, 16, 6, len(pix),
+                    2835, 2835, 0, 0)
+    add(bytes(hdr) + masks + bytes(pix), "bmp")
     return rows
 
 
@@ -1617,14 +1635,16 @@ def oracle_sql() -> dict[str, str]:
                                   WHEN 6 THEN 4 END
             WHEN 'gif'  THEN 3
             -- BI_PNG(5): embedded PNG IHDR color type at bfOffBits=54
-            -- + 25; BI_JPEG(4): embedded SOF component count; all
-            -- native profiles decode to 3 channels
+            -- + 25; BI_JPEG(4): embedded SOF component count;
+            -- BI_ALPHABITFIELDS(6): four masks -> 4 channels; the
+            -- native profiles in this fixture decode to 3
             WHEN 'bmp'  THEN CASE {_b(30)}
                               WHEN 5 THEN CASE {_b(79)}
                                    WHEN 0 THEN 1 WHEN 2 THEN 3
                                    WHEN 3 THEN 3 WHEN 4 THEN 2
                                    WHEN 6 THEN 4 END
                               WHEN 4 THEN {_b('sofm+9')}
+                              WHEN 6 THEN 4
                               ELSE 3 END
             WHEN 'jpeg' THEN {_b('sofm+9')}
             WHEN 'tiff' THEN {_b('ifd+82')} + 256*{_b('ifd+83')}

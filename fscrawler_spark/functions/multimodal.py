@@ -16,9 +16,10 @@ Decoders (magic-byte dispatch, round 4):
           spectral-selection/successive-approximation scans), real
           GIF (from-scratch
           LZW codec in functions/gif.py: palettes, interlace,
-          transparency -> RGBA first frame), real uncompressed TIFF
+          transparency -> RGBA first frame), real TIFF
           (functions/tiff.py: both byte orders, multi-strip,
-          gray/RGB/RGBA) plus the deterministic
+          gray/RGB/RGBA, LZW/Deflate/PackBits/JPEG strips) plus the
+          deterministic
           FAKEIMG fixture; other formats raise
           ``NotImplementedError`` behind a PIL import-try (drop-in
           once PIL ships).
@@ -374,10 +375,10 @@ def _decode_bmp(data: bytes) -> tuple[int, int, int, np.ndarray]:
     w, h_signed = struct.unpack_from("<ii", data, 18)
     (bitcount,) = struct.unpack_from("<H", data, 28)
     (compression,) = struct.unpack_from("<I", data, 30)
-    if compression not in (0, 1, 2, 3, 4, 5):
+    if compression not in (0, 1, 2, 3, 4, 5, 6):
         raise NotImplementedError(
-            f"BMP compression {compression} "
-            "(BI_RGB/BI_RLE8/BI_RLE4/BI_BITFIELDS/BI_JPEG/BI_PNG only)"
+            f"BMP compression {compression} (BI_RGB/BI_RLE8/BI_RLE4/"
+            "BI_BITFIELDS/BI_JPEG/BI_PNG/BI_ALPHABITFIELDS only)"
         )
     top_down, h = h_signed < 0, abs(h_signed)
     if compression in (4, 5):
@@ -406,7 +407,7 @@ def _decode_bmp(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 f"BMP embedded stream is {ew}x{eh}, header says {w}x{h}"
             )
         return ew, eh, ec, px
-    if compression == 3 and bitcount not in (16, 32):
+    if compression in (3, 6) and bitcount not in (16, 32):
         raise ValueError(f"BMP BI_BITFIELDS with bit count {bitcount}")
     if compression in (1, 2):
         if (compression, bitcount) not in ((1, 8), (2, 4)):
@@ -416,17 +417,20 @@ def _decode_bmp(data: bytes) -> tuple[int, int, int, np.ndarray]:
             )
         if top_down:  # the format forbids top-down RLE
             raise ValueError("top-down RLE BMP")
-    if bitcount == 16 or (bitcount == 32 and compression == 3):
+    if bitcount == 16 or (bitcount == 32 and compression in (3, 6)):
         # Masked truecolor: BI_RGB 16-bit defaults to 555; BI_BITFIELDS
         # reads the three (or four, V3+) channel mask DWORDs, which sit
         # at file offset 54 whether appended after a 40-byte info
-        # header or embedded in a V4/V5 header.
-        if compression == 3:
-            if len(data) < 54 + 12:
+        # header or embedded in a V4/V5 header; BI_ALPHABITFIELDS (6)
+        # always carries all four.
+        if compression in (3, 6):
+            need = 16 if compression == 6 else 12
+            if len(data) < 54 + need:
                 raise ValueError("BMP bitfield masks outside file")
             rm, gm, bm = struct.unpack_from("<III", data, 54)
             am = (struct.unpack_from("<I", data, 66)[0]
-                  if hdr_size >= 56 and len(data) >= 70 else 0)
+                  if compression == 6
+                  or (hdr_size >= 56 and len(data) >= 70) else 0)
         else:
             rm, gm, bm, am = 0x7C00, 0x03E0, 0x001F, 0
         nbytes = bitcount // 8

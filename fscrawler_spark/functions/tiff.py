@@ -9,17 +9,19 @@ roundtrippable with no spec constant tables.
 
   decode — both byte orders (II little-endian, MM big-endian), classic
            (non-Big) TIFF, first IFD: Compression 1 (none), 5 (LZW,
-           per-strip streams), 32773 (PackBits); Predictor 2
-           (horizontal differencing) undone per row; 8-bit grayscale
-           (both MinIsBlack and MinIsWhite) and RGB / RGBA (extra
-           samples appended), multi-strip assembly via StripOffsets/
-           StripByteCounts/RowsPerStrip.  JPEG-in-TIFF and other
-           compressions raise NotImplementedError; malformed
-           structures raise ValueError — both inside the shared
-           DECODE_ERRORS containment.
+           per-strip streams), 7 (new-style JPEG, per-strip streams
+           decoded by the repo's own codec with optional JPEGTables
+           splice), 8/32946 (Deflate, one zlib stream per strip),
+           32773 (PackBits); Predictor 2 (horizontal differencing)
+           undone per row; 8-bit grayscale (both MinIsBlack and
+           MinIsWhite) and RGB / RGBA (extra samples appended),
+           multi-strip assembly via StripOffsets/StripByteCounts/
+           RowsPerStrip.  Other compressions raise
+           NotImplementedError; malformed structures raise ValueError
+           — both inside the shared DECODE_ERRORS containment.
   encode — little-endian classic TIFF, one or more strips, gray/RGB/
-           RGBA, same three compressions + predictor, for the
-           exact-roundtrip tests.
+           RGBA, compressions 1/5/7/8/32773 + predictor, for the
+           roundtrip tests (exact for the lossless modes).
 
 Wired into multimodal.decode_image_py behind the II*/MM* magic.
 """
@@ -27,6 +29,7 @@ Wired into multimodal.decode_image_py behind the II*/MM* magic.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -261,9 +264,10 @@ def _decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
     if w == 0 or h == 0:
         raise ValueError("TIFF with empty dimensions")
     compression = one(_TAG_COMPRESSION, 1)
-    if compression not in (1, 5, 7, 32773):
+    if compression not in (1, 5, 7, 8, 32773, 32946):
         raise NotImplementedError(
-            f"TIFF compression {compression} (1/LZW/JPEG/PackBits only)"
+            f"TIFF compression {compression} "
+            "(1/LZW/JPEG/Deflate/PackBits only)"
         )
     predictor = one(_TAG_PREDICTOR, 1)
     if predictor not in (1, 2):
@@ -340,8 +344,16 @@ def _decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
             if rows_here <= 0:
                 raise ValueError("TIFF has more strips than rows")
             expect = rows_here * w * spp
-            raw += (_lzw_decode if compression == 5
-                    else _packbits_decode)(chunk, expect)
+            if compression in (8, 32946):
+                # Adobe Deflate (8) / legacy Deflate (32946): each
+                # strip is one zlib stream
+                dec = zlib.decompress(bytes(chunk))
+                if len(dec) != expect:
+                    raise ValueError("TIFF Deflate strip length mismatch")
+                raw += dec
+            else:
+                raw += (_lzw_decode if compression == 5
+                        else _packbits_decode)(chunk, expect)
     need = w * h * spp
     if len(raw) < need:
         raise ValueError("TIFF pixel data truncated")
@@ -358,8 +370,8 @@ def _decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
 def encode_tiff(arr: np.ndarray, rows_per_strip: int | None = None,
                 compression: int = 1, predictor: int = 1) -> bytes:
     """Encode (h, w[, 1|3|4]) uint8 pixels as little-endian classic
-    TIFF (one IFD, optionally multiple strips), Compression 1/5/32773
-    or 7 (new-style JPEG: each strip a standalone stream from the
+    TIFF (one IFD, optionally multiple strips), Compression
+    1/5/8(Deflate)/32773 or 7 (new-style JPEG: each strip a standalone stream from the
     repo's own encoder — lossy, so roundtrip tests compare against
     the JPEG codec's own decode, not the source pixels), optional
     horizontal-differencing Predictor 2 (lossless modes only)."""
@@ -368,7 +380,7 @@ def encode_tiff(arr: np.ndarray, rows_per_strip: int | None = None,
         arr = arr[:, :, None]
     if arr.ndim != 3 or arr.shape[2] not in (1, 3, 4) or arr.dtype != np.uint8:
         raise ValueError("encode_tiff wants (h,w) or (h,w,{1,3,4}) uint8")
-    if compression not in (1, 5, 7, 32773):
+    if compression not in (1, 5, 7, 8, 32773):
         raise ValueError(f"encode_tiff compression {compression}")
     if predictor not in (1, 2):
         raise ValueError(f"encode_tiff predictor {predictor}")
@@ -389,6 +401,8 @@ def encode_tiff(arr: np.ndarray, rows_per_strip: int | None = None,
     def pack(strip: np.ndarray) -> bytes:
         if compression == 5:
             return _lzw_encode(strip.tobytes())
+        if compression == 8:  # Adobe Deflate: one zlib stream per strip
+            return zlib.compress(strip.tobytes(), 9)
         if compression == 7:  # one standalone JPEG stream per strip
             from fscrawler_spark.functions.jpeg import encode_jpeg
 

@@ -293,3 +293,26 @@ def test_bmp_embedded_corruption_contained():
     # BI_JPEG whose payload is not a JPEG -> contained
     with pytest.raises(MM.DECODE_ERRORS):
         MM.decode_image_py(_bmp(4, 4, 0, b"\x00" * 32, compression=4))
+
+
+def test_bmp_alphabitfields_16bit_argb():
+    """BI_ALPHABITFIELDS (compression 6): FOUR masks appended after the
+    40-byte header — 4-4-4-4 ARGB here — decode to 4 channels."""
+    rng = np.random.default_rng(4444)
+    vals = rng.integers(0, 1 << 16, (3, 5), dtype=np.uint16)
+    masks = struct.pack("<IIII", 0x0F00, 0x00F0, 0x000F, 0xF000)
+    base = _bmp(5, 3, 16, _pix16(vals), compression=6)
+    blob = bytearray(base[:54] + masks + base[54:])
+    struct.pack_into("<I", blob, 10, 54 + 16)  # off_bits past 4 masks
+    gw, gh, gc, out = MM.decode_image_py(bytes(blob))
+    assert (gw, gh, gc) == (5, 3, 4)
+    exp = np.dstack([
+        ((vals >> 8) & 15) * 255 // 15,
+        ((vals >> 4) & 15) * 255 // 15,
+        (vals & 15) * 255 // 15,
+        ((vals >> 12) & 15) * 255 // 15,
+    ]).astype(np.uint8)
+    np.testing.assert_array_equal(out, exp)
+    # truncated mask table (only 12 of the 16 required bytes) contained
+    with pytest.raises(ValueError):
+        MM.decode_image_py(bytes(blob[:54 + 12]))

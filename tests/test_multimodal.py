@@ -331,8 +331,13 @@ def test_bmp_compressed_raises():
     struct.pack_into("<I", blob, 30, 4)
     with pytest.raises(MM.DECODE_ERRORS):
         MM.decode_image_py(bytes(blob))
-    # compression 6 (BI_ALPHABITFIELDS / old-style) stays the boundary
+    # BI_ALPHABITFIELDS is SUPPORTED at 16/32 bits — on this 24-bit
+    # header it's a bitcount mismatch, contained as corrupt
     struct.pack_into("<I", blob, 30, 6)
+    with pytest.raises(MM.DECODE_ERRORS):
+        MM.decode_image_py(bytes(blob))
+    # BI_CMYK (11) stays the honest boundary
+    struct.pack_into("<I", blob, 30, 11)
     with pytest.raises(NotImplementedError):
         MM.decode_image_py(bytes(blob))
 

@@ -65,18 +65,24 @@ def test_big_endian_and_min_is_white():
 
 
 def test_unsupported_compression_is_stubbed_not_fatal():
+    import zlib as _zlib
+
     arr = _rng(2).integers(0, 256, (4, 4), dtype=np.uint8)
     blob = bytearray(encode_tiff(arr))
-    # flip the Compression tag value (tag 259) to 8 (Adobe Deflate,
-    # still a declared boundary now that LZW/PackBits/JPEG are real)
+    # flip the Compression tag value (tag 259) to 9 (JBIG, still a
+    # declared boundary now that LZW/Deflate/PackBits/JPEG are real)
     i = blob.find(struct.pack("<HHI", 259, 3, 1))
     assert i > 0
-    blob[i + 8] = 8
+    blob[i + 8] = 9
     with pytest.raises(NotImplementedError):
         decode_tiff(bytes(blob))
     # compression 7 over NON-JPEG strip bytes is corrupt, contained
     blob[i + 8] = 7
     with pytest.raises(ValueError):
+        decode_tiff(bytes(blob))
+    # compression 8 over NON-zlib strip bytes is corrupt, contained
+    blob[i + 8] = 8
+    with pytest.raises((ValueError, _zlib.error)):
         decode_tiff(bytes(blob))
 
 
@@ -165,7 +171,7 @@ def test_lzw_clear_reset_roundtrip():
     assert _lzw_decode(_lzw_encode(data), len(data)) == data
 
 
-@pytest.mark.parametrize("compression", [5, 32773])
+@pytest.mark.parametrize("compression", [5, 8, 32773])
 @pytest.mark.parametrize("predictor", [1, 2])
 def test_compressed_tiff_roundtrips_exact(compression, predictor):
     rng = _rng(compression * 10 + predictor)
@@ -325,3 +331,22 @@ def test_jpeg_in_tiff_strip_shape_mismatch_contained():
     blob = _tiff_with_jpeg_tables(strip, b"\xff\xd8\xff\xd9", 9, 9, 3)
     with pytest.raises(ValueError):
         decode_tiff(blob)
+
+
+def test_deflate_legacy_code_32946_decodes():
+    """Compression 32946 (legacy Deflate) is byte-identical to 8: flip
+    the tag value on an encoded blob and the decode is unchanged."""
+    arr = _rng(60).integers(0, 256, (7, 9, 3), dtype=np.uint8)
+    blob = bytearray(encode_tiff(arr, compression=8))
+    i = blob.find(struct.pack("<HHI", 259, 3, 1) + struct.pack("<HH", 8, 0))
+    assert i > 0
+    blob[i + 8: i + 12] = struct.pack("<I", 32946)[:2] + b"\x00\x00"
+    struct.pack_into("<H", blob, i + 8, 32946)
+    w, h, c, out = decode_tiff(bytes(blob))
+    assert (w, h, c) == (9, 7, 3)
+    assert np.array_equal(out, arr)
+    # corrupt zlib stream is contained (zlib.error is in DECODE_ERRORS)
+    bad = bytearray(encode_tiff(arr, compression=8))
+    bad[10] ^= 0xFF
+    with pytest.raises(DECODE_ERRORS):
+        decode_tiff(bytes(bad))
