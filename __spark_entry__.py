@@ -936,6 +936,21 @@ def q36_media_metadata(spark, sf_dir):
     )
 
 
+def q37_repeated_passages(spark, sf_dir):
+    """Exact repeated-passage detection: word 8-grams shared by >= 2
+    distinct documents (fixed-window substring-dedup signal, the
+    distributable form of suffix-array training-data dedup).  Same
+    tokenizer convention as q14's Jaccard shingles, so the DuckDB twin
+    restates it with regexp_split + list slicing."""
+    from fscrawler_spark.operators.similarity import repeated_ngram_passages
+
+    d = _load(spark, sf_dir, "documents")
+    return (
+        repeated_ngram_passages(d, "doc_id", "text", n=8, min_docs=2)
+        .orderBy(F.desc("n_docs"), "gram")
+    )
+
+
 def q23_cube_rollup(spark, sf_dir):
     """Grouping sets — cube over two dims with exact decimal sums
     (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
@@ -1178,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_thumbnails": q34_thumbnails,
         "q35_real_codec_info": q35_real_codec_info,
         "q36_media_metadata": q36_media_metadata,
+        "q37_repeated_passages": q37_repeated_passages,
     }
 
 
@@ -1822,6 +1838,26 @@ def oracle_sql() -> dict[str, str]:
         "q34_thumbnails": _q34_sql,
         "q35_real_codec_info": _q35_sql,
         "q36_media_metadata": _q36_sql,
+        # q37: same tokenizer restatement as q14 (regexp_split after
+        # trim+lower, 1-based inclusive list slices = word 8-grams,
+        # list_distinct per doc so count(*) is the distinct-doc count)
+        "q37_repeated_passages": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     list_distinct(
+                       [array_to_string(toks[i:i+7], ' ')
+                        for i in generate_series(1, len(toks)-7)]) AS sh
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(lower(text)),
+                                                 '\s+') AS toks
+                    FROM documents WHERE trim(text) <> '')
+              WHERE len(toks) >= 8)
+            SELECT gram, count(*)::BIGINT AS n_docs
+            FROM (SELECT doc_id, unnest(sh) AS gram FROM s)
+            GROUP BY gram
+            HAVING count(*) >= 2
+            ORDER BY n_docs DESC, gram
+        """,
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(((l_quantity::DECIMAL(18,2)) * 100)::BIGINT)::BIGINT AS sum_qty_c2,

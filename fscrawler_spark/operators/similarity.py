@@ -848,3 +848,40 @@ def hyperplane_lsh_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
     )
+
+
+def repeated_ngram_passages(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact repeated-passage detection: word n-grams present in >=
+    min_docs distinct documents (the substring-duplication signal of
+    suffix-array training-data dedup — Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better" — at fixed window
+    width, which is the form that distributes).
+
+    Plan shape: shingles() emits each doc's DISTINCT n-grams in one
+    regex pass, so after the explode every (doc, gram) pair is unique
+    and a plain count(*) per gram IS the distinct-document count — no
+    count-distinct aggregate.  One explode + one hash aggregate, fully
+    JVM-side; the only shuffle keys on the gram, so the aggregate is
+    map-side combined and gram cardinality spreads across the cluster
+    (hot grams partial-aggregate before the exchange).  At 100 TB the
+    gram STRINGS dominate the exchange; shuffling xxhash64(gram)
+    instead and rejoining one representative text per surviving hash
+    cuts it ~6x — kept out of this form so the output stays the
+    passage text itself.
+
+    Returns (gram string, n_docs bigint), n_docs >= min_docs.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )

@@ -316,3 +316,29 @@ def test_bmp_alphabitfields_16bit_argb():
     # truncated mask table (only 12 of the 16 required bytes) contained
     with pytest.raises(ValueError):
         MM.decode_image_py(bytes(blob[:54 + 12]))
+
+
+def test_bmp_embedded_fuzz_contained():
+    """Truncations/byte flips over BI_PNG and BI_JPEG containers may
+    only raise DECODE_ERRORS (the embedded codecs' own containment
+    plus the wrapper's dims check)."""
+    from fscrawler_spark.functions.jpeg import encode_jpeg
+    from fscrawler_spark.functions.multimodal import encode_png
+
+    rng = np.random.default_rng(90)
+    arr = rng.integers(0, 256, (7, 6, 3), dtype=np.uint8)
+    for comp, stream in ((5, encode_png(arr)),
+                         (4, encode_jpeg(arr, quality=100))):
+        blob = bytearray(_bmp(6, 7, 0, stream, compression=comp))
+        for trial in range(40):
+            bad = bytearray(blob)
+            if trial % 3 == 0:
+                bad = bad[: int(rng.integers(14, len(bad)))]
+            else:
+                for _ in range(int(rng.integers(1, 6))):
+                    bad[int(rng.integers(2, len(bad)))] = int(
+                        rng.integers(0, 256))
+            try:
+                MM.decode_image_py(bytes(bad))
+            except MM.DECODE_ERRORS:
+                pass  # the only acceptable failure mode

@@ -201,3 +201,36 @@ def test_ivf_centroids_order_independent(spark):
     a = train_ivf_centroids(e.repartition(3), n_centroids=8, iters=3)
     b = train_ivf_centroids(e.repartition(17), n_centroids=8, iters=3)
     assert np.array_equal(a, b)
+
+
+def test_repeated_ngram_passages_exact(spark):
+    """Hand-built corpus: a 9-word passage shared by docs 1/2/3 (two
+    8-gram windows, three docs each), an 8-gram shared by 4/5 only,
+    and unique text in 6; singleton grams are dropped."""
+    from fscrawler_spark.operators.similarity import (
+        repeated_ngram_passages,
+    )
+
+    passage = "the quick brown fox jumps over the lazy dog"
+    octet = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"{passage} first tail words"),
+        (2, f"intro {passage}"),
+        (3, passage),
+        (4, f"{octet} trailing"),
+        (5, f"lead-in {octet}"),
+        (6, "completely unrelated text with eight distinct words here"),
+        (7, "short"),
+        (8, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["gram"], r["n_docs"])
+        for r in repeated_ngram_passages(df, "doc_id", "text", 8, 2).collect()
+    }
+    w = passage.split()
+    assert got == {
+        (" ".join(w[0:8]), 3),
+        (" ".join(w[1:9]), 3),
+        (octet, 2),
+    }

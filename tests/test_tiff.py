@@ -340,7 +340,6 @@ def test_deflate_legacy_code_32946_decodes():
     blob = bytearray(encode_tiff(arr, compression=8))
     i = blob.find(struct.pack("<HHI", 259, 3, 1) + struct.pack("<HH", 8, 0))
     assert i > 0
-    blob[i + 8: i + 12] = struct.pack("<I", 32946)[:2] + b"\x00\x00"
     struct.pack_into("<H", blob, i + 8, 32946)
     w, h, c, out = decode_tiff(bytes(blob))
     assert (w, h, c) == (9, 7, 3)
@@ -350,3 +349,26 @@ def test_deflate_legacy_code_32946_decodes():
     bad[10] ^= 0xFF
     with pytest.raises(DECODE_ERRORS):
         decode_tiff(bytes(bad))
+
+
+@pytest.mark.parametrize("compression", [7, 8])
+def test_jpeg_and_deflate_corruption_contained_fuzzed(compression):
+    """Same protocol as the base fuzz: random truncations and byte
+    flips over encoded Compression-7/8 blobs may only raise
+    DECODE_ERRORS — nothing (IndexError, ZeroDivisionError, ...)
+    escapes the containment envelope."""
+    rng = _rng(70 + compression)
+    arr = _rng(71).integers(0, 256, (12, 10, 3), dtype=np.uint8)
+    blob = bytearray(encode_tiff(arr, rows_per_strip=5,
+                                 compression=compression))
+    for trial in range(60):
+        bad = bytearray(blob)
+        if trial % 3 == 0:
+            bad = bad[: int(rng.integers(4, len(bad)))]
+        else:
+            for _ in range(int(rng.integers(1, 6))):
+                bad[int(rng.integers(4, len(bad)))] = int(rng.integers(0, 256))
+        try:
+            decode_tiff(bytes(bad))
+        except DECODE_ERRORS:
+            pass  # the only acceptable failure mode
