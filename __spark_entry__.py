@@ -951,6 +951,55 @@ def q37_repeated_passages(spark, sf_dir):
     )
 
 
+def q38_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: the q15 pair graph resolved to connected
+    components (alternating large-star/small-star — Kiveris et al.
+    2014) with a deterministic min-id canonical per cluster; every
+    document labeled, singletons included.  The DuckDB twin computes
+    the same pairs, then the transitive closure as a recursive CTE."""
+    from fscrawler_spark.operators.graph import dedup_clusters
+    from fscrawler_spark.operators.similarity import minhash_lsh_pairs
+
+    d = _load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", 0.5, num_hashes=128, bands=64)
+    return (
+        dedup_clusters(d, "doc_id", pairs)
+        .orderBy("doc_id")
+    )
+
+
+def q39_stratified_sample(spark, sf_dir):
+    """Deterministic per-language downsampling (hash-threshold
+    sampling): en to 25%, zh to 60%, everything else 50%.  The
+    predicate is a pushable scan filter — md5 hex compared against a
+    fixed-width hex threshold string, bit-identical in any engine, so
+    the DuckDB twin runs the SAME expression (no RNG to reconcile)."""
+    from fscrawler_spark.operators.sampling import stratified_hash_sample
+
+    d = _load(spark, sf_dir, "documents")
+    return (
+        stratified_hash_sample(
+            d, "lang", "doc_id", {"en": 0.25, "zh": 0.6},
+            default_fraction=0.5, salt="s1",
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def q40_decontamination(spark, sf_dir):
+    """Train/test decontamination: training docs (doc_id % 10 != 0)
+    sharing any word-8-gram with the held-out slice (doc_id % 10 == 0).
+    Test grams collapse to distinct before a broadcast semi-join — the
+    training corpus never shuffles."""
+    from fscrawler_spark.operators.similarity import contaminated_ids
+
+    d = _load(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 10 != 0)
+    test = d.where(F.col("doc_id") % 10 == 0)
+    return contaminated_ids(train, test, "doc_id", "text", n=8).orderBy("doc_id")
+
+
 def q23_cube_rollup(spark, sf_dir):
     """Grouping sets — cube over two dims with exact decimal sums
     (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
@@ -1194,6 +1243,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_real_codec_info": q35_real_codec_info,
         "q36_media_metadata": q36_media_metadata,
         "q37_repeated_passages": q37_repeated_passages,
+        "q38_dedup_clusters": q38_dedup_clusters,
+        "q39_stratified_sample": q39_stratified_sample,
+        "q40_decontamination": q40_decontamination,
     }
 
 
@@ -1841,6 +1893,66 @@ def oracle_sql() -> dict[str, str]:
         # q37: same tokenizer restatement as q14 (regexp_split after
         # trim+lower, 1-based inclusive list slices = word 8-grams,
         # list_distinct per doc so count(*) is the distinct-doc count)
+        # q39: the SAME md5-hex-threshold expression the Spark side
+        # runs — fixed-width lowercase hex compares lexicographically
+        # == numerically, and md5 is engine-portable by definition.
+        "q39_stratified_sample": r"""
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5('s1' || doc_id::VARCHAR), 1, 8) <
+                  CASE WHEN lang = 'zh' THEN '99999999'
+                       WHEN lang = 'en' THEN '40000000'
+                       ELSE '80000000' END
+            ORDER BY doc_id
+        """,
+        # q40: q37's shingle restatement on both slices; EXISTS-style
+        # semi join on the gram, distinct train ids out.
+        "q40_decontamination": r"""
+            WITH g AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       [array_to_string(toks[i:i+7], ' ')
+                        for i in generate_series(1, len(toks)-7)])) AS gram
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                    FROM documents WHERE trim(text) <> '')
+              WHERE len(toks) >= 8)
+            SELECT DISTINCT tr.doc_id
+            FROM (SELECT * FROM g WHERE doc_id % 10 <> 0) tr
+            SEMI JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0) te
+              ON tr.gram = te.gram
+            ORDER BY doc_id
+        """,
+        # q38: q15's pair derivation, then connected components as a
+        # recursive-CTE transitive closure (UNION dedups, so it
+        # terminates); component label = min reachable id.
+        "q38_dedup_clusters": r"""
+            WITH RECURSIVE s AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(toks[i:i+2], ' ')
+                                    for i in generate_series(1, len(toks)-2)]) AS sh
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                    FROM documents WHERE trim(text) <> '')
+              WHERE len(toks) >= 3),
+            p AS (
+              SELECT a.doc_id AS ia, b.doc_id AS ib
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+            e AS (SELECT ia AS u, ib AS v FROM p
+                  UNION SELECT ib, ia FROM p),
+            reach(u, v) AS (
+              SELECT u, v FROM e
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+            comp AS (SELECT u AS id, least(u, min(v)) AS c
+                     FROM reach GROUP BY u)
+            SELECT d.doc_id,
+                   coalesce(comp.c, d.doc_id) AS cluster_id,
+                   (coalesce(comp.c, d.doc_id) = d.doc_id) AS is_canonical
+            FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
+            ORDER BY d.doc_id
+        """,
         "q37_repeated_passages": r"""
             WITH s AS (
               SELECT doc_id,

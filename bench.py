@@ -164,6 +164,10 @@ def main() -> None:
     _noop_write(bench_embedding_lsh(spark, SF_DIR))
     timings["q26_embedding_lsh_t90"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    _noop_write(all_q["q38_dedup_clusters"](spark, SF_DIR))
+    timings["q38_dedup_clusters"] = round(time.time() - t0, 3)
+
     crawl_secs, scheduled = crawl_bench(spark, "small")
     timings["crawl_small"] = round(crawl_secs, 3)
     urls_per_sec = round(scheduled / crawl_secs, 1) if crawl_secs else 0.0

@@ -1,0 +1,144 @@
+"""Distributed connected components + dedup clustering.
+
+The step the reference never needed (its processed-paths set fits one
+process) but a 100 TB training-data pipeline always does: near-dup
+PAIRS (MinHash/SimHash/embedding LSH) must become CLUSTERS before a
+canonical document can be kept per group.  Pair output is a graph;
+cluster assignment is connected components.
+
+Algorithm: the alternating large-star / small-star method (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC 2014) —
+O(log^2 n) rounds worst case, ~5 rounds in practice, each round a pair
+of groupBy+join passes.  Chosen over label-propagation-until-stable
+(O(diameter) rounds) and over GraphFrames (not a baked-in dependency)
+because every primitive is a plain DataFrame op Catalyst can plan.
+
+Scale notes (the reason for each shape below):
+- per-node minima come from groupBy().min() + join-back, NEVER
+  collect_list: min partial-aggregates map-side, so a mega-component's
+  hub node (the skew case — one cluster of 10^8 boilerplate pages)
+  never materializes a neighbor list on one task.
+- every iteration ends in localCheckpoint(eager=True): the loop would
+  otherwise stack O(iters) joins into one Catalyst plan (analysis time
+  explodes, and the final job re-executes every round's shuffle).
+- convergence is an EXACT set-equality check (counts + subtract on the
+  slim 2-column frame), one extra job per round — no probabilistic
+  hash-compare that could terminate early on an engineered input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge list canonicalized to u > v, self-loops and
+    duplicates dropped."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    return e.select(
+        F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+    ).distinct()
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to m = min(N(u) u {u}).
+
+    Input/output orientation u > v.  Output stays oriented because the
+    emitted pair (v, m) has m <= u < v.
+    """
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select("u", F.least("_mn", F.col("u")).alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Connect every smaller neighbor of u (and u itself) to
+    m = min(N_small(u) u {u}).  Input oriented u > v, so
+    min(N_small(u) u {u}) is just min(v)."""
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        e.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(mins.select("u", F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(id, component) for every node in `edges`, component = the
+    MINIMUM node id in its connected component (deterministic label;
+    works for any orderable id type).
+
+    Alternating large-star/small-star until the edge set reaches its
+    fixed point (a star forest rooted at component minima), checked
+    exactly.  Raises RuntimeError if max_iters rounds don't converge
+    (the algorithm's proven bound is O(log^2 n) rounds — 50 covers any
+    input this engine can hold).
+    """
+    e = _canon_edges(edges, src, dst).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        same_size = e2.count() == e.count()
+        if same_size and e2.subtract(e).isEmpty():
+            e = e2
+            break
+        e = e2
+    else:
+        raise RuntimeError(f"connected_components: no fixed point in {max_iters} rounds")
+    # fixed point is a star forest: u -> root; roots appear only as v
+    return (
+        e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+        .unionByName(
+            e.select(F.col("v").alias("id"), F.col("v").alias("component"))
+        )
+        .distinct()
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Cluster assignment for EVERY row of `df` from a near-dup pair
+    list: (id_col, cluster_id, is_canonical).  Rows in no pair are
+    their own singleton cluster; the canonical member of a cluster is
+    its minimum id (deterministic keep-policy — swap in a quality-score
+    argmax downstream if preferred).
+
+    The components frame is bounded by the paired-node count (<< |df|
+    after LSH), so the label join broadcasts when small; Catalyst/AQE
+    picks the strategy from the actual size.
+    """
+    cc = connected_components(pairs, id_a, id_b)
+    return (
+        df.select(F.col(id_col))
+        .join(cc, df[id_col] == cc["id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+            (
+                F.coalesce(F.col("component"), F.col(id_col)) == F.col(id_col)
+            ).alias("is_canonical"),
+        )
+    )

@@ -1,0 +1,64 @@
+"""Deterministic hash-based sampling.
+
+Training-data pipelines need samples that are REPRODUCIBLE (same rows
+on every run, cluster size, and partitioning), CONSISTENT across
+tables (the same key always lands in the sample, so joins between a
+sampled fact table and its sampled children still line up), and cheap
+(no shuffle, no state).  `df.sample()` gives none of these — its
+Bernoulli draw depends on partition layout and seed plumbing.
+
+The standard fix: hash the key, keep rows whose hash falls below the
+fraction threshold.  We compare the first 8 hex digits of md5 against
+a fixed-width lowercase-hex threshold STRING — lexicographic order on
+fixed-width hex equals numeric order, md5 renders identically in every
+engine, so the predicate is bit-portable (the DuckDB oracle runs the
+very same expression) and stays a scan-level filter Catalyst pushes
+into the parquet reader's row-group evaluation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hex_threshold(fraction: float) -> str:
+    """fraction in [0,1] -> 8-digit lowercase hex of fraction * 2^32."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return format(min(int(fraction * 2**32), 2**32 - 1), "08x")
+
+
+def _bucket(key: Column, salt: str) -> Column:
+    return F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8)
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows with
+    md5(salt || key)[:8] < hex(fraction * 2^32).  Same key -> same
+    verdict everywhere; disjoint salts give independent samples (e.g.
+    train/validation splits that can never overlap when drawn with
+    fraction_a + fraction_b <= 1 from complementary ranges)."""
+    return df.where(_bucket(F.col(key_col), salt) < F.lit(_hex_threshold(fraction)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fractions: dict,
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample 'en' to 5%
+    but keep 100% of low-resource languages).  The per-stratum
+    threshold is a CASE expression — no join, no shuffle; the strata
+    map is plan-side metadata, so this stays a pushable filter."""
+    expr = F.lit(_hex_threshold(default_fraction))
+    for value, frac in sorted(fractions.items(), key=lambda kv: str(kv[0])):
+        expr = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(_hex_threshold(frac))
+        ).otherwise(expr)
+    return df.where(_bucket(F.col(key_col), salt) < expr)

@@ -885,3 +885,31 @@ def repeated_ngram_passages(
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
     )
+
+
+def contaminated_ids(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+) -> DataFrame:
+    """Test-set decontamination: ids of training documents that share
+    at least one word n-gram with any benchmark/test document (the
+    GPT-3-style 13-gram overlap rule; `n` is a knob because synthetic
+    and short-text corpora need smaller windows).
+
+    Plan shape: the test side collapses to DISTINCT grams BEFORE the
+    join — at real scale the benchmark suite is tiny next to the
+    training corpus, so AQE broadcast-joins it and the training side
+    is a single scan + explode + broadcast-semi-probe with NO shuffle
+    of training data.  The semi join short-circuits per gram hit; the
+    final distinct dedups ids, the only exchange (on the slim id).
+    """
+    tr = train.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("gram")
+    )
+    te = test.select(
+        F.explode(shingles(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    return tr.join(te, "gram", "left_semi").select(id_col).distinct()
