@@ -1000,6 +1000,67 @@ def q40_decontamination(spark, sf_dir):
     return contaminated_ids(train, test, "doc_id", "text", n=8).orderBy("doc_id")
 
 
+def q41_pii_redaction(spark, sf_dir):
+    """PII masking (C4/Dolma-style): emails -> <EMAIL>, IPv4 -> <IP>,
+    E.164-ish phones -> <PHONE>, one fused codegen projection
+    (functions/pii.py — patterns deterministic under both Java regex
+    and RE2, so the oracle md5-compares the redacted text
+    byte-for-byte).  Deterministic PII is appended per-doc first so
+    every row exercises all three masks regardless of corpus content."""
+    from fscrawler_spark.functions import pii
+
+    d = _load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.1."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(".7 call +1 555 "),
+        F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+    )
+    e_masked = pii.mask_emails(aug)
+    i_masked = pii.mask_ipv4(e_masked)
+    return (
+        d.select(
+            "doc_id",
+            pii.email_count(aug).alias("email_cnt"),
+            F.regexp_count(e_masked, F.lit(pii.IPV4_RE)).cast("int").alias("ipv4_cnt"),
+            F.regexp_count(i_masked, F.lit(pii.PHONE_RE)).cast("int").alias("phone_cnt"),
+            F.md5(pii.mask_phones(i_masked)).alias("red_md5"),
+            F.length(pii.mask_phones(i_masked)).alias("red_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q42_crawl_pagerank(spark, sf_dir):
+    """Crawl-frontier prioritization: 3-iteration fixed-point PageRank
+    (operators/graph.py pagerank_scores) over a deterministic synthetic
+    link graph derived from `documents` (node = dense doc rank, three
+    out-links per node via a fixed affine map).  Integer micro-rank
+    arithmetic end-to-end, so the oracle (the same three rounds
+    unrolled as DuckDB CTEs) matches bit-for-bit — float PageRank sums
+    would be partition-order-dependent and uncheckable."""
+    from fscrawler_spark.operators.graph import pagerank_scores
+
+    d = _load(spark, sf_dir, "documents")
+    n = d.count()
+    w = Window.orderBy("doc_id")
+    nid = d.select((F.row_number().over(w) - 1).cast("long").alias("nid"))
+    e = (
+        nid.select(
+            "nid", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j")
+        )
+        .select(
+            F.col("nid").alias("src"),
+            ((F.col("nid") * 31 + F.col("j") * 97) % n).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    return pagerank_scores(e, iters=3).orderBy("id")
+
+
 def q23_cube_rollup(spark, sf_dir):
     """Grouping sets — cube over two dims with exact decimal sums
     (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
@@ -1246,6 +1307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_dedup_clusters": q38_dedup_clusters,
         "q39_stratified_sample": q39_stratified_sample,
         "q40_decontamination": q40_decontamination,
+        "q41_pii_redaction": q41_pii_redaction,
+        "q42_crawl_pagerank": q42_crawl_pagerank,
     }
 
 
@@ -1921,6 +1984,76 @@ def oracle_sql() -> dict[str, str]:
             SEMI JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0) te
               ON tr.gram = te.gram
             ORDER BY doc_id
+        """,
+        # q41: the same three masks re-stated in RE2 (DuckDB), applied
+        # in the same normative order (email -> ipv4 -> phone); md5 of
+        # the final redacted text compares the masking byte-for-byte.
+        # Patterns are copied verbatim from functions/pii.py.
+        "q41_pii_redaction": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     coalesce(text,'') || ' Contact user' || doc_id ||
+                     '@example.com from 10.1.' || (doc_id % 250) ||
+                     '.7 call +1 555 ' ||
+                     lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') AS t
+              FROM documents),
+            m1 AS (SELECT doc_id, t,
+                     regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1 FROM aug),
+            m2 AS (SELECT *, regexp_replace(t1,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                     '<IP>', 'g') AS t2 FROM m1),
+            m3 AS (SELECT *, regexp_replace(t2,
+                     '\+\d{1,3}[ -]\d{3}[ -]\d{3,4}\b',
+                     '<PHONE>', 'g') AS t3 FROM m2)
+            SELECT doc_id,
+                   len(regexp_extract_all(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INTEGER
+                     AS email_cnt,
+                   len(regexp_extract_all(t1,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::INTEGER
+                     AS ipv4_cnt,
+                   len(regexp_extract_all(t2,
+                     '\+\d{1,3}[ -]\d{3}[ -]\d{3,4}\b'))::INTEGER
+                     AS phone_cnt,
+                   md5(t3) AS red_md5,
+                   length(t3)::INTEGER AS red_len
+            FROM m3 ORDER BY doc_id
+        """,
+        # q42: the three PageRank rounds unrolled as CTEs; identical
+        # integer micro-rank arithmetic (DIV == // on positives), so
+        # ranks compare bit-for-bit.  base = 1e6*(100-85)//100.
+        "q42_crawl_pagerank": r"""
+            WITH nid AS (SELECT (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT
+                           AS nid FROM documents),
+            nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+            e AS (SELECT nid AS s, ((nid*31 + j*97) % nn.n)::BIGINT AS d
+                  FROM nid, nn, (SELECT unnest([1,2,3]) AS j) js
+                  WHERE nid <> (nid*31 + j*97) % nn.n),
+            nodes AS (SELECT DISTINCT s AS id FROM e
+                      UNION SELECT DISTINCT d FROM e),
+            o AS (SELECT s, count(*)::BIGINT AS odeg FROM e GROUP BY s),
+            r0 AS (SELECT id, 1000000::BIGINT AS rank FROM nodes),
+            c1 AS (SELECT e.d AS id,
+                          sum((r.rank * 85) // (100 * o.odeg))::BIGINT AS m
+                   FROM e JOIN r0 r ON e.s = r.id JOIN o ON e.s = o.s
+                   GROUP BY e.d),
+            r1 AS (SELECT nodes.id, (150000 + coalesce(m, 0))::BIGINT AS rank
+                   FROM nodes LEFT JOIN c1 ON nodes.id = c1.id),
+            c2 AS (SELECT e.d AS id,
+                          sum((r.rank * 85) // (100 * o.odeg))::BIGINT AS m
+                   FROM e JOIN r1 r ON e.s = r.id JOIN o ON e.s = o.s
+                   GROUP BY e.d),
+            r2 AS (SELECT nodes.id, (150000 + coalesce(m, 0))::BIGINT AS rank
+                   FROM nodes LEFT JOIN c2 ON nodes.id = c2.id),
+            c3 AS (SELECT e.d AS id,
+                          sum((r.rank * 85) // (100 * o.odeg))::BIGINT AS m
+                   FROM e JOIN r2 r ON e.s = r.id JOIN o ON e.s = o.s
+                   GROUP BY e.d),
+            r3 AS (SELECT nodes.id, (150000 + coalesce(m, 0))::BIGINT AS rank
+                   FROM nodes LEFT JOIN c3 ON nodes.id = c3.id)
+            SELECT id, rank FROM r3 ORDER BY id
         """,
         # q38: q15's pair derivation, then connected components as a
         # recursive-CTE transitive closure (UNION dedups, so it

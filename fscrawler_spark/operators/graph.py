@@ -113,6 +113,78 @@ def connected_components(
     )
 
 
+def pagerank_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-point (integer) PageRank over a link graph: (id, rank).
+
+    Crawl-frontier prioritization (the OPIC/PageRank tier of a
+    production crawler — Cho et al. 1998; Abiteboul et al. WWW 2003
+    for the online variant).  The reference crawler walks local
+    filesystems and never ranks its frontier; a web-scale tier needs
+    link-derived priority, so this follows the published recipe.
+
+    ALL arithmetic is 64-bit integer on a ``scale`` grid (default
+    micro-ranks): rank_0 = scale; each round every edge (s, d) carries
+    ``(rank(s) * damping_num) DIV (damping_den * outdeg(s))`` to d, and
+    ``rank(d) = scale*(den-num) DIV den + sum(contribs)``.  Integer
+    sums are order- and partition-independent, so the result is
+    bit-identical across runs, partitionings, and engines — float
+    PageRank cannot be oracle-checked byte-for-byte, this can (q42).
+    Dangling-node mass leaks (no redistribution), the standard
+    simplification; totals shrink, ORDER is what a frontier consumes.
+    Overflow headroom: rank <= scale * |V|, so int64 holds through
+    damping multiply up to |V| ~ 1e11 at the default scale.
+
+    Scale shape: per round ONE join of edges against the (id, rank)
+    table plus a map-side-combined sum keyed on dst — no collect, no
+    per-node lists; localCheckpoint per round keeps the Catalyst plan
+    flat (same reasoning as connected_components above).  outdeg is
+    computed once, joined per round.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    nodes = (
+        e.select(F.col("s").alias("id"))
+        .unionByName(e.select(F.col("d").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out = e.groupBy("s").agg(F.count("*").alias("odeg"))
+    ew = e.join(out, "s").localCheckpoint(eager=True)  # (s, d, odeg), reused per round
+    base = scale * (damping_den - damping_num) // damping_den
+    ranks = nodes.select("id", F.lit(int(scale)).cast("long").alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            ew.join(ranks, ew["s"] == ranks["id"])
+            .select(
+                F.col("d").alias("id"),
+                F.expr(
+                    f"(rank * CAST({damping_num} AS BIGINT))"
+                    f" DIV (CAST({damping_den} AS BIGINT) * odeg)"
+                ).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("inmass"))
+        )
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .select(
+                "id",
+                (F.lit(int(base)).cast("long") + F.coalesce(F.col("inmass"), F.lit(0)))
+                .cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
 def dedup_clusters(
     df: DataFrame,
     id_col: str,

@@ -99,3 +99,74 @@ def test_cc_plan_is_jvm_side(spark):
     df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
     plan = connected_components(df, "src", "dst")._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- pagerank_scores (integer fixed-point) -------------------------------
+
+def _ref_pagerank(edges, iters=3, num=85, den=100, scale=10**6):
+    """Pure-Python reference with the same integer arithmetic."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    odeg = {}
+    for s, _ in edges:
+        odeg[s] = odeg.get(s, 0) + 1
+    rank = {u: scale for u in nodes}
+    base = scale * (den - num) // den
+    for _ in range(iters):
+        inmass = {u: 0 for u in nodes}
+        for s, d in edges:
+            inmass[d] += (rank[s] * num) // (den * odeg[s])
+        rank = {u: base + inmass[u] for u in nodes}
+    return rank
+
+
+def _pr_edges():
+    # 12 nodes: a hub (0), a chain, a 3-cycle, a dangling sink (11 has
+    # in-edges only — its mass leaks, which the operator documents).
+    e = [(0, i) for i in range(1, 6)]
+    e += [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1)]
+    e += [(6, 7), (7, 8), (8, 6)]
+    e += [(1, 11), (9, 11), (10, 11), (9, 0), (10, 6)]
+    return e
+
+
+def test_pagerank_matches_integer_reference(spark):
+    from fscrawler_spark.operators.graph import pagerank_scores
+
+    edges = _pr_edges()
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["rank"] for r in pagerank_scores(df, iters=3).collect()}
+    assert got == _ref_pagerank(edges, iters=3)
+
+
+def test_pagerank_partitioning_invariant(spark):
+    """Integer sums are order-independent: any repartitioning of the
+    edge list yields bit-identical ranks."""
+    from fscrawler_spark.operators.graph import pagerank_scores
+
+    edges = _pr_edges()
+    a = spark.createDataFrame(edges, "src long, dst long").repartition(7)
+    b = spark.createDataFrame(list(reversed(edges)), "src long, dst long").coalesce(1)
+    ra = sorted(pagerank_scores(a, iters=2).collect())
+    rb = sorted(pagerank_scores(b, iters=2).collect())
+    assert ra == rb
+
+
+def test_pagerank_uniform_on_regular_cycle(spark):
+    """On a k-regular cycle every node keeps the same rank: base +
+    floor-divided share of its one predecessor."""
+    from fscrawler_spark.operators.graph import pagerank_scores
+
+    n = 6
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["rank"] for r in pagerank_scores(df, iters=4).collect()}
+    assert len(set(got.values())) == 1
+    assert got[0] == _ref_pagerank(edges, iters=4)[0]
+
+
+def test_pagerank_plan_is_jvm_side(spark):
+    from fscrawler_spark.operators.graph import pagerank_scores
+
+    df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    plan = pagerank_scores(df, iters=1)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
