@@ -1061,6 +1061,32 @@ def q42_crawl_pagerank(spark, sf_dir):
     return pagerank_scores(e, iters=3).orderBy("id")
 
 
+def q43_tfidf_topk(spark, sf_dir):
+    """Per-document salient-term extraction: top-3 terms by linear-idf
+    tf-idf (operators/textsearch.tfidf_topk) over the q27 posting
+    table.  n_docs is the one config-scale scalar collected."""
+    from fscrawler_spark.operators.textsearch import build_inverted_index, tfidf_topk
+
+    d = _load(spark, sf_dir, "documents")
+    idx = build_inverted_index(d, "doc_id", "text")
+    return tfidf_topk(idx, n_docs=d.count(), k=3).orderBy("doc_id", "rk")
+
+
+def q44_repetition_filter(spark, sf_dir):
+    """Gopher-style word-level repetition rules
+    (operators/textsearch.repetition_stats): top-word fraction,
+    duplicate-word mass, unique-word ratio, and the keep decision —
+    thresholds chosen so the sf corpus splits on every rule."""
+    from fscrawler_spark.operators.textsearch import (
+        build_inverted_index,
+        repetition_stats,
+    )
+
+    d = _load(spark, sf_dir, "documents")
+    idx = build_inverted_index(d, "doc_id", "text")
+    return repetition_stats(idx).orderBy("doc_id")
+
+
 def q23_cube_rollup(spark, sf_dir):
     """Grouping sets — cube over two dims with exact decimal sums
     (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
@@ -1309,6 +1335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_decontamination": q40_decontamination,
         "q41_pii_redaction": q41_pii_redaction,
         "q42_crawl_pagerank": q42_crawl_pagerank,
+        "q43_tfidf_topk": q43_tfidf_topk,
+        "q44_repetition_filter": q44_repetition_filter,
     }
 
 
@@ -2054,6 +2082,63 @@ def oracle_sql() -> dict[str, str]:
             r3 AS (SELECT nodes.id, (150000 + coalesce(m, 0))::BIGINT AS rank
                    FROM nodes LEFT JOIN c3 ON nodes.id = c3.id)
             SELECT id, rank FROM r3 ORDER BY id
+        """,
+        # q43: identical tokenization (lower, trim, split on \s+) and
+        # identical score arithmetic — exact int64 product cast to
+        # double, then ONE correctly-rounded IEEE division, so the
+        # doubles (and repr hashes) match bit-for-bit.  rk cast to
+        # INTEGER to mirror Spark's row_number IntegerType.
+        "q43_tfidf_topk": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\s+'))
+                       AS term
+              FROM documents WHERE trim(coalesce(text, '')) <> ''),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM words GROUP BY 1, 2),
+            dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+            nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                     CAST(tf.tf * nn.n AS DOUBLE) / dfq.df AS score
+              FROM tf JOIN dfq USING (term), nn),
+            rked AS (
+              SELECT *, row_number() OVER (
+                          PARTITION BY doc_id
+                          ORDER BY score DESC, term ASC)::INTEGER AS rk
+              FROM scored)
+            SELECT doc_id, term, tf, df, score, rk
+            FROM rked WHERE rk <= 3 ORDER BY doc_id, rk
+        """,
+        # q44: same posting-table aggregate; each fraction is one
+        # int->double cast + one IEEE division, thresholds are exact
+        # double literals on both sides.
+        "q44_repetition_filter": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\s+'))
+                       AS term
+              FROM documents WHERE trim(coalesce(text, '')) <> ''),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM words GROUP BY 1, 2),
+            per AS (
+              SELECT doc_id,
+                     sum(tf)::BIGINT AS n_words,
+                     max(tf)::BIGINT AS top_tf,
+                     count(*)::BIGINT AS n_uniq,
+                     sum(CASE WHEN tf >= 2 THEN tf ELSE 0 END)::BIGINT
+                       AS dup_mass
+              FROM tf GROUP BY 1),
+            fr AS (
+              SELECT doc_id, n_words, n_uniq,
+                     CAST(top_tf AS DOUBLE) / n_words AS top_frac,
+                     CAST(dup_mass AS DOUBLE) / n_words AS dup_frac,
+                     CAST(n_uniq AS DOUBLE) / n_words AS uniq_frac
+              FROM per)
+            SELECT *,
+                   (top_frac <= 0.10 AND dup_frac <= 0.80
+                    AND uniq_frac >= 0.40) AS keep
+            FROM fr ORDER BY doc_id
         """,
         # q38: q15's pair derivation, then connected components as a
         # recursive-CTE transitive closure (UNION dedups, so it

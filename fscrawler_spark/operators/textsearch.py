@@ -119,3 +119,85 @@ def match_query(
         )
         hits = hits.join(banned, "doc_id", "left_anti")
     return hits
+
+
+def tfidf_topk(index: DataFrame, n_docs: int, k: int = 3) -> DataFrame:
+    """Per-document top-``k`` salient terms by tf-idf with LINEAR idf:
+    score = tf * n_docs / df.  Linear rather than log idf keeps the
+    score one exact int64 product plus one IEEE-754 division — both
+    engines round-to-nearest identically, so a SQL oracle matches the
+    doubles bit-for-bit (``ln()`` is not reproducible to the last ulp
+    across engines); the ranking is what tf-idf is used for, and a
+    monotone idf variant preserves the per-term ordering semantics.
+    Ties break on term ASC.  Returns (doc_id, term, tf, df, score, rk).
+
+    Scale shape: df is a second hash aggregate OF THE INDEX (no re-scan
+    of the text); the tf⋈df join keys on term — vocabulary-sized and
+    Zipf-skewed, so stopword keys are the hot partitions: left to AQE
+    skew-join splitting, which handles it without a salting pass.  The
+    per-doc top-k is one window over the doc_id shuffle (rank pushed by
+    Spark's WindowGroupLimit, so only k rows per doc survive the
+    sort)."""
+    from pyspark.sql import Window
+
+    dfreq = index.groupBy("term").agg(F.count("*").alias("df"))
+    scored = index.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        ((F.col("tf") * F.lit(int(n_docs))).cast("double") / F.col("df")).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= int(k))
+    )
+
+
+def repetition_stats(
+    index: DataFrame,
+    max_top_frac: float = 0.10,
+    max_dup_frac: float = 0.80,
+    min_uniq_frac: float = 0.40,
+) -> DataFrame:
+    """Gopher-style word-level repetition filter (Rae et al. 2021,
+    app. A1.1 repetition rules, reduced to word granularity): per
+    document, from the posting table alone —
+
+      top_frac  = tf of the most frequent word / total words
+      dup_frac  = mass of words occurring >= 2 times / total words
+      uniq_frac = distinct words / total words
+      keep      = top_frac <= max_top_frac AND dup_frac <= max_dup_frac
+                  AND uniq_frac >= min_uniq_frac
+
+    One hash aggregate over the index (no joins, no text re-scan);
+    every fraction is a single int->double cast + one IEEE division, so
+    a SQL oracle reproduces keep decisions bit-for-bit.  Returns
+    (doc_id, n_words, n_uniq, top_frac, dup_frac, uniq_frac, keep)."""
+    per = index.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_words"),
+        F.max("tf").cast("long").alias("top_tf"),
+        F.count("*").alias("n_uniq"),
+        F.sum(F.when(F.col("tf") >= 2, F.col("tf")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("dup_mass"),
+    )
+    per = per.select(
+        "doc_id",
+        "n_words",
+        "n_uniq",
+        (F.col("top_tf").cast("double") / F.col("n_words")).alias("top_frac"),
+        (F.col("dup_mass").cast("double") / F.col("n_words")).alias("dup_frac"),
+        (F.col("n_uniq").cast("double") / F.col("n_words")).alias("uniq_frac"),
+    )
+    return per.select(
+        "*",
+        (
+            (F.col("top_frac") <= F.lit(float(max_top_frac)))
+            & (F.col("dup_frac") <= F.lit(float(max_dup_frac)))
+            & (F.col("uniq_frac") >= F.lit(float(min_uniq_frac)))
+        ).alias("keep"),
+    )

@@ -146,3 +146,48 @@ def test_partitioned_index_prunes(spark, tmp_path):
     got_m = {r["doc_id"] for r in match_query(pidx, ["spark", "vector"]).collect()}
     want_m = {r["doc_id"] for r in match_query(idx, ["spark", "vector"]).collect()}
     assert got_m == want_m
+
+
+def test_tfidf_topk_hand_computed(spark):
+    from fscrawler_spark.operators.textsearch import tfidf_topk
+
+    idx = build_inverted_index(_docs(spark), "doc_id", "text")
+    got = [
+        (r["doc_id"], r["rk"], r["term"], r["tf"], r["df"], r["score"])
+        for r in tfidf_topk(idx, n_docs=6, k=3).orderBy("doc_id", "rk").collect()
+    ]
+    # df: spark 3, vector 3, everything else 1; score = tf*6/df;
+    # ties (equal score) break on term ASC.
+    assert got == [
+        (1, 1, "merge", 1, 1, 6.0),
+        (1, 2, "scan", 1, 1, 6.0),
+        (1, 3, "spark", 2, 3, 4.0),
+        (2, 1, "table", 1, 1, 6.0),
+        (2, 2, "spark", 1, 3, 2.0),
+        (2, 3, "vector", 1, 3, 2.0),
+        (3, 1, "slow", 1, 1, 6.0),
+        (3, 2, "vector", 2, 3, 4.0),
+        (4, 1, "fast", 1, 1, 6.0),
+        (4, 2, "spark", 1, 3, 2.0),
+        (4, 3, "vector", 1, 3, 2.0),
+    ]
+
+
+def test_repetition_stats_hand_computed(spark):
+    from fscrawler_spark.operators.textsearch import repetition_stats
+
+    docs = _docs(spark).union(
+        spark.createDataFrame(
+            [(7, "a b c d e f g h i j")], "doc_id int, text string"
+        )
+    )
+    idx = build_inverted_index(docs, "doc_id", "text")
+    rows = {r["doc_id"]: r for r in repetition_stats(idx).collect()}
+    d1 = rows[1]  # spark spark scan merge
+    assert (d1["n_words"], d1["n_uniq"]) == (4, 3)
+    assert (d1["top_frac"], d1["dup_frac"], d1["uniq_frac"]) == (0.5, 0.5, 0.75)
+    assert d1["keep"] is False  # top_frac 0.5 > 0.10
+    d7 = rows[7]  # ten distinct words: passes every rule
+    assert (d7["top_frac"], d7["dup_frac"], d7["uniq_frac"]) == (0.1, 0.0, 1.0)
+    assert d7["keep"] is True
+    assert 5 not in rows and 6 not in rows  # empty/null docs never indexed
