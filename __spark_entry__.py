@@ -1087,6 +1087,19 @@ def q44_repetition_filter(spark, sf_dir):
     return repetition_stats(idx).orderBy("doc_id")
 
 
+def q45_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) document fingerprints: word 4-gram md5
+    prefixes, minimum per sliding window of 4
+    (operators/similarity.winnow_fingerprints) — the position-robust
+    substring sketch with the 2/(w+1) density guarantee."""
+    from fscrawler_spark.operators.similarity import winnow_fingerprints
+
+    d = _load(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, "doc_id", "text", k=4, w=4).orderBy(
+        "doc_id", "fp"
+    )
+
+
 def q23_cube_rollup(spark, sf_dir):
     """Grouping sets — cube over two dims with exact decimal sums
     (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
@@ -1337,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_crawl_pagerank": q42_crawl_pagerank,
         "q43_tfidf_topk": q43_tfidf_topk,
         "q44_repetition_filter": q44_repetition_filter,
+        "q45_winnow_fingerprints": q45_winnow_fingerprints,
     }
 
 
@@ -2139,6 +2153,32 @@ def oracle_sql() -> dict[str, str]:
                    (top_frac <= 0.10 AND dup_frac <= 0.80
                     AND uniq_frac >= 0.40) AS keep
             FROM fr ORDER BY doc_id
+        """,
+        # q45: the winnowing selection restated relationally — the gram
+        # hash is a fixed-width lowercase md5 hex prefix on BOTH sides,
+        # so lexicographic window MIN == the engine's numeric MIN and
+        # the selected fingerprint set matches bit-for-bit.
+        "q45_winnow_fingerprints": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM documents WHERE trim(coalesce(text, '')) <> ''),
+            g AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, len(toks) - 3)) AS pos,
+                     unnest([substr(md5(array_to_string(toks[i:i+3], ' ')), 1, 8)
+                             for i in generate_series(1, len(toks) - 3)]) AS h
+              FROM t WHERE len(toks) >= 4),
+            m AS (
+              SELECT doc_id, pos,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                       AS fp,
+                     count(*) OVER (PARTITION BY doc_id) AS n_grams
+              FROM g)
+            SELECT DISTINCT doc_id, fp
+            FROM m WHERE pos <= greatest(1, n_grams - 3)
+            ORDER BY doc_id, fp
         """,
         # q38: q15's pair derivation, then connected components as a
         # recursive-CTE transitive closure (UNION dedups, so it

@@ -234,3 +234,69 @@ def test_repeated_ngram_passages_exact(spark):
         (" ".join(w[1:9]), 3),
         (octet, 2),
     }
+
+
+def _py_winnow(text, k=4, w=4):
+    """Pure-Python reference winnowing (Schleimer et al. 2003): md5-hex
+    prefix gram hashes, leftmost-min per window (min() on equal keys is
+    positional-stable but equal hex strings are equal values, so the
+    selected SET is tie-agnostic)."""
+    import hashlib
+    import re
+
+    toks = re.split(r"\s+", text.strip().lower()) if text and text.strip() else []
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [hashlib.md5(g.encode()).hexdigest()[:8] for g in grams]
+    if not hs:
+        return set()
+    n_win = max(1, len(hs) - w + 1)
+    return {min(hs[j : j + w]) for j in range(n_win)}
+
+
+def test_winnow_matches_python_reference(spark):
+    from fscrawler_spark.operators.similarity import winnow_fingerprints
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "a b c d e f g h i j k l m n o p q r s t"),
+        (3, "one two three four"),          # exactly k tokens -> 1 gram
+        (4, "one two three"),               # < k tokens -> nothing
+        (5, "x y z w x y z w x y z w"),     # heavy repetition / hash ties
+        (6, None),
+        (7, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, "doc_id", "text", k=4, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    want = {i: _py_winnow(t) for i, t in rows if _py_winnow(t)}
+    assert got == want
+
+
+def test_winnow_coverage_guarantee(spark):
+    """The winnowing guarantee: two documents sharing a substring of
+    >= k + w - 1 words share at least one fingerprint."""
+    from fscrawler_spark.operators.similarity import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 = k + w - 1
+    rows = [
+        (1, f"completely different head words here {shared}"),
+        (2, f"{shared} and an unrelated long tail of filler tokens"),
+        (3, "no overlap with anything else in this tiny corpus at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {}
+    for r in winnow_fingerprints(df, "doc_id", "text", k=4, w=4).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2], "shared 7-word substring must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_winnow_plan_is_jvm_only_single_exchange(spark):
+    """Hot path stays in codegen: no Python eval; the only exchanges
+    are the doc-id hash partition for the window + the distinct."""
+    from fscrawler_spark.operators.similarity import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "a b c d e f g h")], "doc_id long, text string")
+    plan = winnow_fingerprints(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
