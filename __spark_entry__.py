@@ -1100,6 +1100,19 @@ def q45_winnow_fingerprints(spark, sf_dir):
     )
 
 
+def q46_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the events stream via Spark's NATIVE
+    batch session_window aggregate (operators/sessions.sessionize):
+    6-hour idle gap, per-session counts/bounds/duration plus an exact
+    centi-unit value sum."""
+    from fscrawler_spark.operators.sessions import sessionize
+
+    e = _load(spark, sf_dir, "events")
+    return sessionize(e, "user_id", "ts", "6 hours", value_col="value").orderBy(
+        "user_id", "session_seq"
+    )
+
+
 def q23_cube_rollup(spark, sf_dir):
     """Grouping sets — cube over two dims with exact decimal sums
     (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
@@ -1351,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_tfidf_topk": q43_tfidf_topk,
         "q44_repetition_filter": q44_repetition_filter,
         "q45_winnow_fingerprints": q45_winnow_fingerprints,
+        "q46_sessionize": q46_sessionize,
     }
 
 
@@ -2179,6 +2193,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id, fp
             FROM m WHERE pos <= greatest(1, n_grams - 3)
             ORDER BY doc_id, fp
+        """,
+        # q46: the session_window gap-merge restated as lag + cumulative
+        # CASE sum; a delta of EXACTLY the gap starts a new session
+        # (Spark's per-event window is half-open [ts, ts+gap)), hence
+        # `>=` here.  All outputs int64 (epoch micros / counts /
+        # centi-units), so the hash compare is engine-exact.
+        "q46_sessionize": r"""
+            WITH o AS (
+              SELECT user_id, event_id, ts, value,
+                     lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_us
+              FROM events),
+            s AS (
+              SELECT user_id, ts, value,
+                     sum(CASE WHEN prev_us IS NULL
+                                OR epoch_us(ts) - prev_us >= 21600000000
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS sess
+              FROM o)
+            SELECT user_id,
+                   sess::BIGINT AS session_seq,
+                   count(*)::BIGINT AS n_events,
+                   min(epoch_us(ts))::BIGINT AS start_us,
+                   max(epoch_us(ts))::BIGINT AS end_us,
+                   (max(epoch_us(ts)) - min(epoch_us(ts)))::BIGINT
+                     AS duration_us,
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT
+                     AS sum_value_e2
+            FROM s GROUP BY user_id, sess
+            ORDER BY user_id, session_seq
         """,
         # q38: q15's pair derivation, then connected components as a
         # recursive-CTE transitive closure (UNION dedups, so it
