@@ -1113,6 +1113,41 @@ def q46_sessionize(spark, sf_dir):
     )
 
 
+def q47_asof_join(spark, sf_dir):
+    """Backward as-of join (operators/asof.asof_join_backward): each
+    click attributed to the user's latest view at or before it — the
+    union + carry-forward pattern, one shuffle, no inequality join.
+    Oracle: DuckDB's NATIVE ASOF LEFT JOIN."""
+    from fscrawler_spark.operators.asof import asof_join_backward
+
+    def us(c):
+        return F.timestamp_diff(
+            "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), c
+        )
+
+    e = _load(spark, sf_dir, "events")
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_id"),
+        us(F.col("ts")).alias("view_us"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    j = asof_join_backward(
+        clicks, views, ["user_id"], "ts", ["click_id"], ["view_id", "view_us"]
+    )
+    return j.select(
+        "user_id",
+        us(F.col("ts")).alias("click_us"),
+        "click_id",
+        "view_id",
+        "view_us",
+        (us(F.col("ts")) - F.col("view_us")).alias("lag_us"),
+    ).orderBy("click_id")
+
+
 def q23_cube_rollup(spark, sf_dir):
     """Grouping sets — cube over two dims with exact decimal sums
     (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
@@ -1365,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_repetition_filter": q44_repetition_filter,
         "q45_winnow_fingerprints": q45_winnow_fingerprints,
         "q46_sessionize": q46_sessionize,
+        "q47_asof_join": q47_asof_join,
     }
 
 
@@ -2226,6 +2262,25 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_value_e2
             FROM s GROUP BY user_id, sess
             ORDER BY user_id, session_seq
+        """,
+        # q47: DuckDB's native ASOF LEFT JOIN is the independent oracle
+        # for the union+carry-forward implementation (backward,
+        # inclusive; (user_id, ts) pairs are unique in the fixture so
+        # tie rules never engage).
+        "q47_asof_join": r"""
+            WITH v AS (
+              SELECT user_id, ts, event_id AS view_id,
+                     epoch_us(ts) AS view_us
+              FROM events WHERE event_type = 'view'),
+            c AS (
+              SELECT user_id, ts, event_id AS click_id
+              FROM events WHERE event_type = 'click')
+            SELECT c.user_id, epoch_us(c.ts) AS click_us, c.click_id,
+                   v.view_id, v.view_us,
+                   epoch_us(c.ts) - v.view_us AS lag_us
+            FROM c ASOF LEFT JOIN v
+              ON c.user_id = v.user_id AND v.ts <= c.ts
+            ORDER BY click_id
         """,
         # q38: q15's pair derivation, then connected components as a
         # recursive-CTE transitive closure (UNION dedups, so it

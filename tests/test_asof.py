@@ -1,0 +1,92 @@
+"""Backward as-of join (operators/asof.py): boundary/tie semantics vs
+a hand reference and vs DuckDB's native ASOF JOIN shape, plus the
+one-shuffle plan guarantee."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from fscrawler_spark.operators.asof import asof_join_backward
+
+
+def _ts(m):
+    return datetime(2024, 1, 1, 0, m, 0)
+
+
+def test_asof_inclusive_backward_semantics(spark):
+    quotes = spark.createDataFrame(
+        [
+            (1, _ts(10), 100),
+            (1, _ts(20), 101),
+            (2, _ts(5), 200),
+        ],
+        "k long, ts timestamp_ntz, qid long",
+    )
+    probes = spark.createDataFrame(
+        [
+            (1, _ts(9), 900),   # before any quote -> NULL
+            (1, _ts(10), 901),  # equal ts -> inclusive match 100
+            (1, _ts(15), 902),  # between -> 100
+            (1, _ts(25), 903),  # after both -> 101
+            (2, _ts(6), 904),   # -> 200
+            (3, _ts(6), 905),   # key with no quotes -> NULL
+        ],
+        "k long, ts timestamp_ntz, pid long",
+    )
+    out = {
+        r["pid"]: r["qid"]
+        for r in asof_join_backward(
+            probes, quotes, ["k"], "ts", ["pid"], ["qid"]
+        ).collect()
+    }
+    assert out == {900: None, 901: 100, 902: 100, 903: 101, 904: 200, 905: None}
+
+
+def test_asof_tie_among_quotes_takes_max_payload(spark):
+    quotes = spark.createDataFrame(
+        [(1, _ts(10), 7), (1, _ts(10), 9), (1, _ts(10), 8)],
+        "k long, ts timestamp_ntz, qid long",
+    )
+    probes = spark.createDataFrame(
+        [(1, _ts(11), 1)], "k long, ts timestamp_ntz, pid long"
+    )
+    [row] = asof_join_backward(
+        probes, quotes, ["k"], "ts", ["pid"], ["qid"]
+    ).collect()
+    assert row["qid"] == 9
+
+
+def test_asof_null_quote_payload_field_still_matches(spark):
+    """A quote whose payload FIELD is NULL must still win (the struct
+    wrapper keeps ignorenulls from skipping the row)."""
+    quotes = spark.createDataFrame(
+        [(1, _ts(10), 100, None), (1, _ts(5), 99, 5.0)],
+        "k long, ts timestamp_ntz, qid long, extra double",
+    )
+    probes = spark.createDataFrame(
+        [(1, _ts(11), 1)], "k long, ts timestamp_ntz, pid long"
+    )
+    [row] = asof_join_backward(
+        probes, quotes, ["k"], "ts", ["pid"], ["qid", "extra"]
+    ).collect()
+    assert row["qid"] == 100 and row["extra"] is None
+
+
+def test_asof_plan_one_exchange_jvm_only(spark):
+    quotes = spark.createDataFrame(
+        [(1, _ts(10), 100)], "k long, ts timestamp_ntz, qid long"
+    )
+    probes = spark.createDataFrame(
+        [(1, _ts(11), 1)], "k long, ts timestamp_ntz, pid long"
+    )
+    plan = (
+        asof_join_backward(probes, quotes, ["k"], "ts", ["pid"], ["qid"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 1, plan
+    assert "Join" not in plan  # carry-forward, not an inequality join
