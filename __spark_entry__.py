@@ -1148,6 +1148,42 @@ def q47_asof_join(spark, sf_dir):
     ).orderBy("click_id")
 
 
+def q48_range_join(spark, sf_dir):
+    """Bucketed range join (operators/rangejoin.interval_point_join):
+    every event vs the ±5-minute windows around error events — the
+    concurrent-incident counter.  Oracle: a plain theta join (DuckDB
+    IEJoin) over the same inclusive bounds."""
+    from fscrawler_spark.operators.rangejoin import interval_point_join
+
+    def us(c):
+        return F.timestamp_diff(
+            "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), c
+        )
+
+    e = _load(spark, sf_dir, "events")
+    half = 300_000_000  # 5 minutes in micros
+    points = e.select("event_id", "event_type", us(F.col("ts")).alias("x_us"))
+    errs = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        (us(F.col("ts")) - half).alias("lo_us"),
+        (us(F.col("ts")) + half).alias("hi_us"),
+    )
+    pairs = interval_point_join(
+        points, errs, "x_us", "lo_us", "hi_us", bucket_width=2 * half, how="left"
+    )
+    return (
+        pairs.groupBy("event_id", "event_type")
+        .agg(
+            F.count(
+                F.when(F.col("err_id") != F.col("event_id"), F.col("err_id"))
+            )
+            .cast("long")
+            .alias("n_concurrent_errors")
+        )
+        .orderBy("event_id")
+    )
+
+
 def q23_cube_rollup(spark, sf_dir):
     """Grouping sets — cube over two dims with exact decimal sums
     (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
@@ -1401,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_winnow_fingerprints": q45_winnow_fingerprints,
         "q46_sessionize": q46_sessionize,
         "q47_asof_join": q47_asof_join,
+        "q48_range_join": q48_range_join,
     }
 
 
@@ -2281,6 +2318,26 @@ def oracle_sql() -> dict[str, str]:
             FROM c ASOF LEFT JOIN v
               ON c.user_id = v.user_id AND v.ts <= c.ts
             ORDER BY click_id
+        """,
+        # q48: the range join as DuckDB's IEJoin theta join — an
+        # independent physical strategy for the same inclusive bounds.
+        "q48_range_join": r"""
+            WITH p AS (
+              SELECT event_id, event_type, epoch_us(ts) AS x_us
+              FROM events),
+            iv AS (
+              SELECT event_id AS err_id,
+                     epoch_us(ts) - 300000000 AS lo_us,
+                     epoch_us(ts) + 300000000 AS hi_us
+              FROM events WHERE event_type = 'error')
+            SELECT p.event_id, p.event_type,
+                   count(CASE WHEN iv.err_id <> p.event_id
+                              THEN iv.err_id END)::BIGINT
+                     AS n_concurrent_errors
+            FROM p LEFT JOIN iv
+              ON iv.lo_us <= p.x_us AND p.x_us <= iv.hi_us
+            GROUP BY p.event_id, p.event_type
+            ORDER BY p.event_id
         """,
         # q38: q15's pair derivation, then connected components as a
         # recursive-CTE transitive closure (UNION dedups, so it
