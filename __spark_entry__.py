@@ -1184,6 +1184,17 @@ def q48_range_join(spark, sf_dir):
     )
 
 
+def q49_percentiles(spark, sf_dir):
+    """Per-type exact distribution profile
+    (metrics.distribution_profile): count/min/max + exact interpolated
+    p50/p90/p99 — Spark's sort-based percentile aggregate, digit-exact
+    vs ANSI percentile_cont."""
+    from fscrawler_spark.metrics import distribution_profile
+
+    e = _load(spark, sf_dir, "events")
+    return distribution_profile(e, "event_type", "value").orderBy("event_type")
+
+
 def q23_cube_rollup(spark, sf_dir):
     """Grouping sets — cube over two dims with exact decimal sums
     (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
@@ -1438,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_sessionize": q46_sessionize,
         "q47_asof_join": q47_asof_join,
         "q48_range_join": q48_range_join,
+        "q49_percentiles": q49_percentiles,
     }
 
 
@@ -2338,6 +2350,19 @@ def oracle_sql() -> dict[str, str]:
               ON iv.lo_us <= p.x_us AND p.x_us <= iv.hi_us
             GROUP BY p.event_id, p.event_type
             ORDER BY p.event_id
+        """,
+        # q49: exact percentiles — quantile_cont shares percentile's
+        # interpolation convention (h = (n-1)q, one IEEE multiply-add),
+        # so doubles hash-match digit-for-digit.
+        "q49_percentiles": r"""
+            SELECT event_type,
+                   count(*)::BIGINT AS n,
+                   min(value) AS min_v,
+                   max(value) AS max_v,
+                   quantile_cont(value, 0.5) AS p50,
+                   quantile_cont(value, 0.9) AS p90,
+                   quantile_cont(value, 0.99) AS p99
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         # q38: q15's pair derivation, then connected components as a
         # recursive-CTE transitive closure (UNION dedups, so it

@@ -154,3 +154,35 @@ def crawl_report(results: DataFrame, metrics: DataFrame) -> dict:
         for r in metrics.groupBy("metric").agg(F.sum("value").alias("total")).collect()
     }
     return {**agg.asDict(), **by_metric}
+
+
+def distribution_profile(
+    df: DataFrame, group_col: str, value_col: str, quantiles=(0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Per-group EXACT distribution profile: count, min, max, and exact
+    interpolated percentiles via Spark's sort-based ``percentile``
+    aggregate (not percentile_approx — the approx sketch is
+    engine-specific and can't be oracle-checked).  The linear
+    interpolation ``v[l] + (h - l) * (v[l+1] - v[l])`` at
+    ``h = (n-1) * q`` is the same convention as ANSI
+    ``percentile_cont`` / DuckDB ``quantile_cont`` and the arithmetic
+    is a single IEEE multiply-add on both engines, so results are
+    digit-exact cross-engine (probed on the events fixture).
+
+    Scale: one hash exchange on the group key; the exact sort is
+    per-group (bounded by group cardinality x values per group).  At
+    100 TB you'd reserve this for grouped profiles where per-group rows
+    fit an executor (host-level, type-level) and use
+    ``percentile_approx`` for global profiles — the exact form is the
+    oracle-able one, so it is what ships here.
+    """
+    aggs = [
+        F.count("*").cast("long").alias("n"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+    ]
+    for q in quantiles:
+        aggs.append(
+            F.percentile(value_col, q).alias(f"p{int(q * 100):02d}")
+        )
+    return df.groupBy(group_col).agg(*aggs)

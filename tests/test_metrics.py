@@ -85,3 +85,25 @@ def test_crawl_report(spark, results):
 def test_longest_urls(results):
     got = M.top_longest_urls(results, 1).collect()[0]
     assert got["url"] == "http://b.x/deep/d/e/p5.txt"
+
+
+def test_distribution_profile_exact_percentiles(spark):
+    """Hand-checkable 5-value group: p50 is the middle value, p90/p99
+    interpolate linearly at h=(n-1)q."""
+    from fscrawler_spark.metrics import distribution_profile
+
+    vals = [1.0, 2.0, 3.0, 4.0, 10.0]
+    df = spark.createDataFrame([("a", v) for v in vals], "g string, value double")
+    [r] = distribution_profile(df, "g", "value").collect()
+    assert r["n"] == 5 and r["min_v"] == 1.0 and r["max_v"] == 10.0
+    assert r["p50"] == 3.0
+
+    def ref(q):
+        # the engines' exact convention: h=(n-1)q, v[l] + (h-l)(v[l+1]-v[l]),
+        # reproduced in the SAME IEEE op order (h-l keeps the rounding)
+        h = (len(vals) - 1) * q
+        lo = int(h)
+        return vals[lo] + (h - lo) * (vals[lo + 1] - vals[lo])
+
+    assert r["p90"] == ref(0.9)
+    assert r["p99"] == ref(0.99)
