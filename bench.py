@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "q17_lang_quality_agg",
     "q18_cosine_topk",
     "q27_text_search",
+    "q45_winnow_fingerprints",
+    "q47_asof_join",
 ]
 
 
