@@ -1195,6 +1195,16 @@ def q49_percentiles(spark, sf_dir):
     return distribution_profile(e, "event_type", "value").orderBy("event_type")
 
 
+def q50_hashed_classifier(spark, sf_dir):
+    """fastText-shape hashed linear classifier
+    (functions/textclass.hashed_linear_score): 16-bit md5 feature
+    hashing, deterministic integer weights, per-doc score + keep."""
+    from fscrawler_spark.functions.textclass import hashed_linear_score
+
+    d = _load(spark, sf_dir, "documents")
+    return hashed_linear_score(d, "doc_id", "text").orderBy("doc_id")
+
+
 def q23_cube_rollup(spark, sf_dir):
     """Grouping sets — cube over two dims with exact decimal sums
     (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
@@ -1450,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_asof_join": q47_asof_join,
         "q48_range_join": q48_range_join,
         "q49_percentiles": q49_percentiles,
+        "q50_hashed_classifier": q50_hashed_classifier,
     }
 
 
@@ -2363,6 +2374,25 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(value, 0.9) AS p90,
                    quantile_cont(value, 0.99) AS p99
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # q50: identical hash/weight arithmetic — the 16-bit md5 prefix
+        # parses via the 0x cast, weights are pure int64 expressions.
+        "q50_hashed_classifier": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\s+'))
+                       AS term
+              FROM documents WHERE trim(coalesce(text, '')) <> ''),
+            sc AS (
+              SELECT doc_id,
+                     (CAST(concat('0x', substr(md5(term), 1, 4)) AS BIGINT)
+                        % 65536) * 2654435761 % 1000 - 500 AS w
+              FROM words)
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_tokens,
+                   sum(w)::BIGINT AS score,
+                   (sum(w) >= 0) AS keep
+            FROM sc GROUP BY doc_id ORDER BY doc_id
         """,
         # q38: q15's pair derivation, then connected components as a
         # recursive-CTE transitive closure (UNION dedups, so it

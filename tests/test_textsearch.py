@@ -191,3 +191,40 @@ def test_repetition_stats_hand_computed(spark):
     assert (d7["top_frac"], d7["dup_frac"], d7["uniq_frac"]) == (0.1, 0.0, 1.0)
     assert d7["keep"] is True
     assert 5 not in rows and 6 not in rows  # empty/null docs never indexed
+
+
+def test_hashed_linear_score_reference_and_plan(spark):
+    """hashlib/int reference parity + JVM-only plan for the hashed
+    linear classifier (functions/textclass.py)."""
+    import hashlib
+    import re
+
+    from fscrawler_spark.functions.textclass import hashed_linear_score
+
+    def ref(text):
+        toks = re.split(r"\s+", text.strip().lower())
+        score = 0
+        for t in toks:
+            b = int(hashlib.md5(t.encode()).hexdigest()[:4], 16) % 65536
+            score += (b * 2654435761) % 1000 - 500
+        return len(toks), score
+
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "repeated repeated repeated"),
+        (3, "unique mixture of several tokens in one line"),
+        (4, None),
+        (5, "  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = hashed_linear_score(df, "doc_id", "text")
+    got = {r["doc_id"]: (r["n_tokens"], r["score"], r["keep"]) for r in out.collect()}
+    want = {}
+    for i, t in rows:
+        if t and t.strip():
+            n, s = ref(t)
+            want[i] = (n, s, s >= 0)
+    assert got == want
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
