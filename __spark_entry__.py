@@ -1205,6 +1205,40 @@ def q50_hashed_classifier(spark, sf_dir):
     return hashed_linear_score(d, "doc_id", "text").orderBy("doc_id")
 
 
+def q51_hopping_window(spark, sf_dir):
+    """Hopping (sliding) time-window aggregation with Spark's NATIVE
+    F.window operator — 1-day windows every 6 hours, so each event
+    lands in 4 overlapping windows; per (window, type) counts and
+    exact centi-unit sums.  SURVEY §2.5's time windows as a
+    first-class batch query (the streaming twin is
+    streaming/pipeline.host_window_counts)."""
+
+    def us(c):
+        return F.timestamp_diff(
+            "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), c
+        )
+
+    e = _load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 day", "6 hours").alias("win"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("sum_value_e2"),
+        )
+        .select(
+            us(F.col("win.start")).alias("win_start_us"),
+            "event_type",
+            "n",
+            "sum_value_e2",
+        )
+        .orderBy("win_start_us", "event_type")
+    )
+
+
 def q23_cube_rollup(spark, sf_dir):
     """Grouping sets — cube over two dims with exact decimal sums
     (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
@@ -1461,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_range_join": q48_range_join,
         "q49_percentiles": q49_percentiles,
         "q50_hashed_classifier": q50_hashed_classifier,
+        "q51_hopping_window": q51_hopping_window,
     }
 
 
@@ -2393,6 +2428,28 @@ def oracle_sql() -> dict[str, str]:
                    sum(w)::BIGINT AS score,
                    (sum(w) >= 0) AS keep
             FROM sc GROUP BY doc_id ORDER BY doc_id
+        """,
+        # q51: Spark's hopping windows are epoch-aligned multiples of
+        # the slide; an event at t belongs to starts s with
+        # t - len < s <= t — restated as one generate_series per event.
+        "q51_hopping_window": r"""
+            WITH e AS (
+              SELECT event_type, epoch_us(ts) AS t,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events),
+            x AS (
+              SELECT event_type, v,
+                     unnest(generate_series(
+                       ((t - 86400000000) // 21600000000 + 1)
+                         * 21600000000,
+                       (t // 21600000000) * 21600000000,
+                       21600000000)) AS win_start_us
+              FROM e)
+            SELECT win_start_us, event_type,
+                   count(*)::BIGINT AS n,
+                   sum(v)::BIGINT AS sum_value_e2
+            FROM x GROUP BY win_start_us, event_type
+            ORDER BY win_start_us, event_type
         """,
         # q38: q15's pair derivation, then connected components as a
         # recursive-CTE transitive closure (UNION dedups, so it

@@ -66,3 +66,24 @@ def test_sessionize_single_exchange_jvm_only(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_hopping_window_membership_and_boundary(spark):
+    """An event sits in exactly len/slide hopping windows; an event
+    exactly on a window start belongs to that window but NOT to the
+    window ending there (half-open [start, start+len))."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, datetime(1970, 1, 2, 0, 0, 0))], "id long, ts timestamp_ntz"
+    )
+    wins = (
+        df.groupBy(F.window("ts", "1 day", "6 hours").alias("w"))
+        .count()
+        .select("w.start", "w.end")
+        .collect()
+    )
+    assert len(wins) == 4
+    starts = sorted(r["start"] for r in wins)
+    assert starts[0] == datetime(1970, 1, 1, 6, 0, 0)  # ends 1d+6h > t
+    assert starts[-1] == datetime(1970, 1, 2, 0, 0, 0)  # starts AT t
