@@ -1239,6 +1239,18 @@ def q51_hopping_window(spark, sf_dir):
     )
 
 
+def q52_prefix_filter_join(spark, sf_dir):
+    """Exact threshold Jaccard join via prefix filtering (PPJoin
+    family, operators/similarity.prefix_filter_jaccard_pairs):
+    subquadratic AND exact — same contract and oracle as q14/q15."""
+    from fscrawler_spark.operators.similarity import prefix_filter_jaccard_pairs
+
+    d = _load(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(d, "doc_id", "text", 0.5, 3).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def q23_cube_rollup(spark, sf_dir):
     """Grouping sets — cube over two dims with exact decimal sums
     (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
@@ -1496,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_percentiles": q49_percentiles,
         "q50_hashed_classifier": q50_hashed_classifier,
         "q51_hopping_window": q51_hopping_window,
+        "q52_prefix_filter_join": q52_prefix_filter_join,
     }
 
 
@@ -2599,6 +2612,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY fp HAVING count(*) > 1 ORDER BY fp
         """,
         "q14_ngram_jaccard": _JACCARD_SQL,
+        # q52: exact-join algorithms must agree with the exact all-pairs
+        # derivation — same oracle as q14/q15 by construction.
+        "q52_prefix_filter_join": _JACCARD_SQL,
         "q15_minhash_lsh": _JACCARD_SQL,  # LSH@b64r2 == exact (see docstring)
         "q16_text_stats": f"""
             SELECT doc_id,

@@ -300,3 +300,37 @@ def test_winnow_plan_is_jvm_only_single_exchange(spark):
     df = spark.createDataFrame([(1, "a b c d e f g h")], "doc_id long, text string")
     plan = winnow_fingerprints(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_prefix_filter_equals_exact_all_pairs(spark):
+    """PPJoin-style prefix filtering is EXACT: identical pair set and
+    jaccard values to the O(n^2) baseline on a mixed corpus (near-dups,
+    partial overlaps, unrelated docs, tiny docs)."""
+    import random
+
+    from fscrawler_spark.operators.similarity import (
+        exact_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(24):
+        base = rng.sample(vocab, 12)
+        rows.append((2 * i, " ".join(base)))
+        # a near-dup with a few words swapped
+        mut = list(base)
+        for _ in range(rng.randrange(0, 4)):
+            mut[rng.randrange(len(mut))] = rng.choice(vocab)
+        rows.append((2 * i + 1, " ".join(mut)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filter_jaccard_pairs(df, "doc_id", "text", 0.5, 3).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in exact_jaccard_pairs(df, "doc_id", "text", 0.5, 3).collect()
+    }
+    assert got == want and len(want) > 0
