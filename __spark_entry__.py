@@ -1251,6 +1251,18 @@ def q52_prefix_filter_join(spark, sf_dir):
     )
 
 
+def q53_scalar_quantize(spark, sf_dir):
+    """FAISS-SQ8-style per-vector scalar quantization
+    (operators/similarity.scalar_quantize_codes): engine-exact int
+    codes for every (vector, dim)."""
+    from fscrawler_spark.operators.similarity import scalar_quantize_codes
+
+    e = _load(spark, sf_dir, "embeddings")
+    return scalar_quantize_codes(e, "vec_id", "embedding").orderBy(
+        "vec_id", "pos"
+    )
+
+
 def q23_cube_rollup(spark, sf_dir):
     """Grouping sets — cube over two dims with exact decimal sums
     (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
@@ -1509,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_hashed_classifier": q50_hashed_classifier,
         "q51_hopping_window": q51_hopping_window,
         "q52_prefix_filter_join": q52_prefix_filter_join,
+        "q53_scalar_quantize": q53_scalar_quantize,
     }
 
 
@@ -2463,6 +2476,25 @@ def oracle_sql() -> dict[str, str]:
                    sum(v)::BIGINT AS sum_value_e2
             FROM x GROUP BY win_start_us, event_type
             ORDER BY win_start_us, event_type
+        """,
+        # q53: floats widen to double FIRST on both sides; the rounded
+        # quantity is non-negative so HALF_UP == half-away-from-zero.
+        "q53_scalar_quantize": r"""
+            WITH e AS (
+              SELECT vec_id,
+                     unnest(generate_series(0, len(embedding) - 1)) AS pos,
+                     unnest([x::DOUBLE for x in embedding]) AS xd
+              FROM embeddings),
+            m AS (
+              SELECT vec_id, pos, xd,
+                     min(xd) OVER (PARTITION BY vec_id) AS mn,
+                     max(xd) OVER (PARTITION BY vec_id) AS mx
+              FROM e)
+            SELECT vec_id, pos::INTEGER AS pos,
+                   CASE WHEN mx = mn THEN 0
+                        ELSE CAST(round(255 * (xd - mn) / (mx - mn))
+                                  AS INTEGER) END AS code
+            FROM m ORDER BY vec_id, pos
         """,
         # q38: q15's pair derivation, then connected components as a
         # recursive-CTE transitive closure (UNION dedups, so it

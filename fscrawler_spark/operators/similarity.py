@@ -1055,3 +1055,47 @@ def prefix_filter_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def scalar_quantize_codes(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Per-vector int8-style scalar quantization — the storage-side
+    half of every large-scale ANN system (FAISS SQ8): each float
+    vector maps to codes round(255·(x−min)/(max−min)) against its own
+    [min, max] range, shrinking a 10^9-vector float32 corpus 4x before
+    the IVF/LSH index ever sees it.
+
+    Relational shape (same reasoning as winnow_fingerprints): the
+    vector posexplodes to rows and min/max come from a window over the
+    vector id — an array-lambda form would re-reduce array_min/max per
+    element inside the transform (the HOF-CSE cliff).  One shuffle on
+    the id; per-key rows = the fixed dim, so no skew axis at all.
+
+    All arithmetic is double (floats widened FIRST — float ops stay
+    single-precision per-engine and would diverge), and the quantity
+    255·(x−min)/(max−min) is non-negative, so HALF_UP and
+    half-away-from-zero rounding agree: codes are engine-exact ints.
+    Returns (id, pos, code); constant vectors (max == min) code to 0.
+    """
+    from pyspark.sql import Window
+
+    rows = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("pos", "xd"),
+    )
+    by_vec = Window.partitionBy(id_col)
+    w = rows.select(
+        id_col,
+        "pos",
+        "xd",
+        F.min("xd").over(by_vec).alias("mn"),
+        F.max("xd").over(by_vec).alias("mx"),
+    )
+    code = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.round(
+            F.lit(255.0) * (F.col("xd") - F.col("mn")) / (F.col("mx") - F.col("mn")),
+            0,
+        ).cast("int")
+    )
+    return w.select(id_col, "pos", code.alias("code"))

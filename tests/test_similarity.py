@@ -334,3 +334,31 @@ def test_prefix_filter_equals_exact_all_pairs(spark):
         for r in exact_jaccard_pairs(df, "doc_id", "text", 0.5, 3).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_scalar_quantize_reference_and_roundtrip(spark):
+    """numpy reference parity + reconstruction error bound
+    (<= scale/510 per element, the SQ8 guarantee)."""
+    import numpy as np
+
+    from fscrawler_spark.operators.similarity import scalar_quantize_codes
+
+    rng = np.random.default_rng(5)
+    vecs = [rng.standard_normal(16).astype(np.float32) for _ in range(6)]
+    vecs.append(np.zeros(8, dtype=np.float32))  # constant vector -> code 0
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {}
+    for r in scalar_quantize_codes(df, "vec_id", "embedding").collect():
+        got.setdefault(r["vec_id"], {})[r["pos"]] = r["code"]
+    for i, v in enumerate(vecs):
+        xd = v.astype(np.float64)
+        mn, mx = xd.min(), xd.max()
+        if mx == mn:
+            want = np.zeros(len(xd), dtype=int)
+        else:
+            want = np.floor(255.0 * (xd - mn) / (mx - mn) + 0.5).astype(int)
+        assert [got[i][p] for p in range(len(xd))] == list(want), i
+        if mx > mn:
+            recon = mn + np.array(want) * (mx - mn) / 255.0
+            assert np.abs(recon - xd).max() <= (mx - mn) / 510 + 1e-12
