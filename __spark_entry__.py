@@ -1263,6 +1263,16 @@ def q53_scalar_quantize(spark, sf_dir):
     )
 
 
+def q54_collocations(spark, sf_dir):
+    """Corpus collocations by integer-exact cosine association
+    (operators/textsearch.collocations_topk): top-50 adjacent pairs,
+    score_e6 = cxy^2*1e6 DIV (cx*cy)."""
+    from fscrawler_spark.operators.textsearch import collocations_topk
+
+    d = _load(spark, sf_dir, "documents")
+    return collocations_topk(d, "doc_id", "text", k=50, min_pair=2)
+
+
 def q23_cube_rollup(spark, sf_dir):
     """Grouping sets — cube over two dims with exact decimal sums
     (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
@@ -1522,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_hopping_window": q51_hopping_window,
         "q52_prefix_filter_join": q52_prefix_filter_join,
         "q53_scalar_quantize": q53_scalar_quantize,
+        "q54_collocations": q54_collocations,
     }
 
 
@@ -2495,6 +2506,33 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(round(255 * (xd - mn) / (mx - mn))
                                   AS INTEGER) END AS code
             FROM m ORDER BY vec_id, pos
+        """,
+        # q54: same bigram/unigram counts; the TakeOrdered tie rule
+        # (score desc, pair asc) restated via ORDER BY + LIMIT.
+        "q54_collocations": r"""
+            WITH t AS (
+              SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM documents WHERE trim(coalesce(text, '')) <> ''),
+            pr AS (
+              SELECT unnest([array_to_string(toks[i:i+1], ' ')
+                             for i in generate_series(1, len(toks) - 1)])
+                       AS pair
+              FROM t WHERE len(toks) >= 2),
+            cp AS (SELECT pair, count(*)::BIGINT AS c_pair
+                   FROM pr GROUP BY pair),
+            un AS (
+              SELECT unnest(toks) AS term FROM t),
+            cu AS (SELECT term, count(*)::BIGINT AS c FROM un GROUP BY term)
+            SELECT cp.pair, cp.c_pair,
+                   cl.c AS c_left, cr.c AS c_right,
+                   (cp.c_pair * cp.c_pair * 1000000)
+                     // (cl.c * cr.c) AS score_e6
+            FROM cp
+            JOIN cu cl ON cl.term = string_split(cp.pair, ' ')[1]
+            JOIN cu cr ON cr.term = string_split(cp.pair, ' ')[2]
+            WHERE cp.c_pair >= 2
+            ORDER BY score_e6 DESC, cp.pair ASC
+            LIMIT 50
         """,
         # q38: q15's pair derivation, then connected components as a
         # recursive-CTE transitive closure (UNION dedups, so it

@@ -201,3 +201,59 @@ def repetition_stats(
             & (F.col("uniq_frac") >= F.lit(float(min_uniq_frac)))
         ).alias("keep"),
     )
+
+
+def collocations_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+    min_pair: int = 2,
+) -> DataFrame:
+    """Corpus-level collocation (phrase) mining: adjacent word pairs
+    ranked by the cosine association score cxy^2 / (cx * cy) — the
+    integer-exact member of the PMI family (PMI itself needs ln();
+    cosine association ranks identically for fixed corpus size and
+    stays in int64: score_e6 = cxy*cxy*1e6 DIV (cx*cy), headroom to
+    ~3e5 pair occurrences).  The phrase-mining pass a training corpus
+    runs before tokenizer training (wordpiece/unigram-LM seeding).
+
+    Plan: one ordered bigram extract (the same single-regex-pass idiom
+    as textstats.shingles, non-distinct), two map-side-combined counts
+    (pairs; unigrams), then TWO vocabulary-keyed joins to fetch the
+    marginals — Zipf-skewed like every term join, left to AQE skew
+    splitting.  Final global top-k is a TakeOrderedAndProject (no full
+    sort).  Ties: score desc, pair asc.  Returns
+    (pair, c_pair, c_left, c_right, score_e6).
+    """
+    norm = F.regexp_replace(
+        F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " "
+    )
+    pairs = df.select(
+        F.explode(
+            F.regexp_extract_all(norm, F.lit(r"(?:^| )(?=([^ ]+ [^ ]+))"), 1)
+        ).alias("pair")
+    )
+    cp = pairs.groupBy("pair").agg(F.count("*").alias("c_pair"))
+    toks = df.select(
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term")
+    ).where(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "")
+    cu = toks.groupBy("term").agg(F.count("*").alias("c"))
+    scored = (
+        cp.where(F.col("c_pair") >= min_pair)
+        .withColumn("lt", F.split("pair", " ").getItem(0))
+        .withColumn("rt", F.split("pair", " ").getItem(1))
+        .join(cu.select(F.col("term").alias("lt"), F.col("c").alias("c_left")), "lt")
+        .join(cu.select(F.col("term").alias("rt"), F.col("c").alias("c_right")), "rt")
+        .select(
+            "pair",
+            F.col("c_pair").cast("long").alias("c_pair"),
+            F.col("c_left").cast("long").alias("c_left"),
+            F.col("c_right").cast("long").alias("c_right"),
+            F.expr(
+                "CAST(c_pair AS BIGINT) * c_pair * 1000000"
+                " DIV (CAST(c_left AS BIGINT) * c_right)"
+            ).alias("score_e6"),
+        )
+    )
+    return scored.orderBy(F.col("score_e6").desc(), F.col("pair").asc()).limit(k)

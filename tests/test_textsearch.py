@@ -228,3 +228,36 @@ def test_hashed_linear_score_reference_and_plan(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_collocations_reference(spark):
+    """Counter-based reference on a hand corpus: 'new york' dominates,
+    singleton pairs are gated."""
+    from collections import Counter
+
+    from fscrawler_spark.operators.textsearch import collocations_topk
+
+    rows = [
+        (1, "new york is big and new york is loud"),
+        (2, "i love new york more than old york"),
+        (3, "totally unrelated words here"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["pair"], r["c_pair"], r["score_e6"])
+        for r in collocations_topk(df, "doc_id", "text", k=5, min_pair=2).collect()
+    ]
+    toks = [t.split() for _, t in rows if t]
+    cu = Counter(w for ts in toks for w in ts)
+    cp = Counter(" ".join(p) for ts in toks for p in zip(ts, ts[1:]))
+    want = sorted(
+        (
+            (p, c, c * c * 1_000_000 // (cu[p.split()[0]] * cu[p.split()[1]]))
+            for p, c in cp.items()
+            if c >= 2
+        ),
+        key=lambda r: (-r[2], r[0]),
+    )[:5]
+    assert got == want
+    assert got[0][0] == "new york" and got[0][1] == 3
