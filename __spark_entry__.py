@@ -1273,6 +1273,47 @@ def q54_collocations(spark, sf_dir):
     return collocations_topk(d, "doc_id", "text", k=50, min_pair=2)
 
 
+def q55_json_extract(spark, sf_dir):
+    """JSON path extraction over the events props column (SURVEY §2.8
+    scalar-function surface): get_json_object stays inside codegen; per
+    type, sum/min/max/distinct of the extracted integer."""
+    e = _load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count_distinct("k").cast("long").alias("n_distinct_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q56_pivot(spark, sf_dir):
+    """Relational PIVOT (wide counts): days x event_type via Spark's
+    native pivot with an explicit value list (explicit values keep the
+    plan one pass — no distinct-collection job — and pin the output
+    schema for the oracle)."""
+    e = _load(spark, sf_dir, "events")
+    day = F.date_trunc("DAY", F.col("ts")).cast("date")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        e.select(day.alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+    return out.select(
+        F.col("day").cast("string").alias("day"),
+        *[F.col(t).cast("long").alias(f"n_{t}") for t in types],
+    ).orderBy("day")
+
+
 def q23_cube_rollup(spark, sf_dir):
     """Grouping sets — cube over two dims with exact decimal sums
     (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
@@ -1533,6 +1574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_prefix_filter_join": q52_prefix_filter_join,
         "q53_scalar_quantize": q53_scalar_quantize,
         "q54_collocations": q54_collocations,
+        "q55_json_extract": q55_json_extract,
+        "q56_pivot": q56_pivot,
     }
 
 
@@ -2533,6 +2576,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE cp.c_pair >= 2
             ORDER BY score_e6 DESC, cp.pair ASC
             LIMIT 50
+        """,
+        # q55: ->> extraction + the same aggregate set, all int64.
+        "q55_json_extract": r"""
+            SELECT event_type,
+                   count(*)::BIGINT AS n,
+                   sum((props->>'k')::BIGINT)::BIGINT AS sum_k,
+                   min((props->>'k')::BIGINT)::BIGINT AS min_k,
+                   max((props->>'k')::BIGINT)::BIGINT AS max_k,
+                   count(DISTINCT (props->>'k')::BIGINT)::BIGINT
+                     AS n_distinct_k
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # q56: the pivot restated as conditional counts (the classic
+        # CASE encoding), day rendered as a date string on both sides.
+        "q56_pivot": r"""
+            SELECT CAST(date_trunc('day', ts) AS DATE)::VARCHAR AS day,
+                   count(*) FILTER (event_type = 'click')::BIGINT
+                     AS n_click,
+                   count(*) FILTER (event_type = 'error')::BIGINT
+                     AS n_error,
+                   count(*) FILTER (event_type = 'purchase')::BIGINT
+                     AS n_purchase,
+                   count(*) FILTER (event_type = 'signup')::BIGINT
+                     AS n_signup,
+                   count(*) FILTER (event_type = 'view')::BIGINT
+                     AS n_view
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         # q38: q15's pair derivation, then connected components as a
         # recursive-CTE transitive closure (UNION dedups, so it
