@@ -1314,6 +1314,32 @@ def q56_pivot(spark, sf_dir):
     ).orderBy("day")
 
 
+def q57_corpus_prep(spark, sf_dir):
+    """End-to-end corpus-prep composition — the recipe every published
+    pipeline runs, as ONE declarative plan Catalyst optimizes whole:
+    Gopher repetition filter (q44 machinery) -> exact near-dup
+    canonicalization (min doc_id per normalized-text fingerprint) ->
+    deterministic 50% hash sample (q39 machinery)."""
+    from fscrawler_spark.functions.textstats import fingerprint
+    from fscrawler_spark.operators.sampling import hash_sample
+    from fscrawler_spark.operators.textsearch import (
+        build_inverted_index,
+        repetition_stats,
+    )
+    from pyspark.sql import Window
+
+    d = _load(spark, sf_dir, "documents")
+    idx = build_inverted_index(d, "doc_id", "text")
+    kept_ids = repetition_stats(idx).where(F.col("keep")).select("doc_id")
+    kept = d.join(kept_ids, "doc_id", "left_semi")
+    fp = kept.withColumn("fp", fingerprint(F.col("text")))
+    canon = fp.withColumn(
+        "canon_id", F.min("doc_id").over(Window.partitionBy("fp"))
+    ).where(F.col("doc_id") == F.col("canon_id"))
+    out = hash_sample(canon, "doc_id", 0.5, salt="corpusv1")
+    return out.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+
+
 def q23_cube_rollup(spark, sf_dir):
     """Grouping sets — cube over two dims with exact decimal sums
     (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
@@ -1576,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_collocations": q54_collocations,
         "q55_json_extract": q55_json_extract,
         "q56_pivot": q56_pivot,
+        "q57_corpus_prep": q57_corpus_prep,
     }
 
 
@@ -2603,6 +2630,42 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (event_type = 'view')::BIGINT
                      AS n_view
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        # q57: the three stages restated and chained; the sample
+        # threshold is the engine's exact hex literal for 0.5.
+        "q57_corpus_prep": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\s+'))
+                       AS term
+              FROM documents WHERE trim(coalesce(text, '')) <> ''),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM words GROUP BY 1, 2),
+            per AS (
+              SELECT doc_id, sum(tf)::BIGINT AS n_words,
+                     max(tf)::BIGINT AS top_tf,
+                     count(*)::BIGINT AS n_uniq,
+                     sum(CASE WHEN tf >= 2 THEN tf ELSE 0 END)::BIGINT
+                       AS dup_mass
+              FROM tf GROUP BY 1),
+            kept AS (
+              SELECT d.* FROM documents d JOIN per USING (doc_id)
+              WHERE CAST(per.top_tf AS DOUBLE) / per.n_words <= 0.10
+                AND CAST(per.dup_mass AS DOUBLE) / per.n_words <= 0.80
+                AND CAST(per.n_uniq AS DOUBLE) / per.n_words >= 0.40),
+            fp AS (
+              SELECT *, md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                                '\s+', ' ', 'g'))) AS f
+              FROM kept),
+            canon AS (
+              SELECT *, min(doc_id) OVER (PARTITION BY f) AS canon_id
+              FROM fp)
+            SELECT doc_id, lang, source, n_chars
+            FROM canon
+            WHERE doc_id = canon_id
+              AND substr(md5('corpusv1' || doc_id::VARCHAR), 1, 8)
+                    < '80000000'
+            ORDER BY doc_id
         """,
         # q38: q15's pair derivation, then connected components as a
         # recursive-CTE transitive closure (UNION dedups, so it
