@@ -1315,28 +1315,15 @@ def q56_pivot(spark, sf_dir):
 
 
 def q57_corpus_prep(spark, sf_dir):
-    """End-to-end corpus-prep composition — the recipe every published
-    pipeline runs, as ONE declarative plan Catalyst optimizes whole:
+    """End-to-end corpus-prep composition (operators/prep.corpus_prep):
     Gopher repetition filter (q44 machinery) -> exact near-dup
     canonicalization (min doc_id per normalized-text fingerprint) ->
-    deterministic 50% hash sample (q39 machinery)."""
-    from fscrawler_spark.functions.textstats import fingerprint
-    from fscrawler_spark.operators.sampling import hash_sample
-    from fscrawler_spark.operators.textsearch import (
-        build_inverted_index,
-        repetition_stats,
-    )
-    from pyspark.sql import Window
+    deterministic 50% hash sample (q39 machinery), as ONE declarative
+    plan Catalyst optimizes whole."""
+    from fscrawler_spark.operators.prep import corpus_prep
 
     d = _load(spark, sf_dir, "documents")
-    idx = build_inverted_index(d, "doc_id", "text")
-    kept_ids = repetition_stats(idx).where(F.col("keep")).select("doc_id")
-    kept = d.join(kept_ids, "doc_id", "left_semi")
-    fp = kept.withColumn("fp", fingerprint(F.col("text")))
-    canon = fp.withColumn(
-        "canon_id", F.min("doc_id").over(Window.partitionBy("fp"))
-    ).where(F.col("doc_id") == F.col("canon_id"))
-    out = hash_sample(canon, "doc_id", 0.5, salt="corpusv1")
+    out = corpus_prep(d, "doc_id", "text", 0.5, salt="corpusv1")
     return out.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
 
 

@@ -184,6 +184,41 @@ def cmd_dedup(args: argparse.Namespace) -> None:
         print(json.dumps({"pairs": pairs.count(), "dropped": drop.count()}))
 
 
+def cmd_text(args: argparse.Namespace) -> None:
+    """Text-pipeline ops over a parquet of documents: winnowing
+    fingerprints, hashed linear quality classification, collocation
+    mining, or the full corpus-prep composition (filter -> dedup
+    canonicalize -> deterministic sample)."""
+    spark = get_spark("fscrawler_text", cores=args.cores)
+    df = spark.read.parquet(args.input)
+    if args.op == "winnow":
+        from fscrawler_spark.operators.similarity import winnow_fingerprints
+
+        out = winnow_fingerprints(df, args.id_col, args.text_col)
+    elif args.op == "classify":
+        from fscrawler_spark.functions.textclass import hashed_linear_score
+
+        out = hashed_linear_score(df, args.id_col, args.text_col)
+    elif args.op == "collocations":
+        from fscrawler_spark.operators.textsearch import collocations_topk
+
+        out = collocations_topk(df, args.id_col, args.text_col, k=args.topk)
+    elif args.op == "prep":
+        from fscrawler_spark.operators.prep import corpus_prep
+
+        out = corpus_prep(
+            df, args.id_col, args.text_col, args.fraction, salt=args.salt
+        )
+    else:
+        sys.exit(f"unknown text op: {args.op}")
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"op": args.op, "rows": out.count(), "out": args.out}))
+    else:
+        out.show(20, truncate=False)
+        print(json.dumps({"op": args.op, "rows": out.count()}))
+
+
 def cmd_media(args: argparse.Namespace) -> None:
     """Media processing over a parquet of binary blobs (MEDIA_SCHEMA
     shape) — the CLI face of the reference's preview/metadata
@@ -265,6 +300,21 @@ def main(argv: list[str] | None = None) -> None:
     d.add_argument("--threshold", type=float, default=0.8)
     d.add_argument("--out")
     d.set_defaults(fn=cmd_dedup)
+
+    t = sub.add_parser(
+        "text",
+        help="text-pipeline ops (winnow/classify/collocations/prep)",
+    )
+    t.add_argument("--input", required=True)
+    t.add_argument("--op", default="prep",
+                   choices=["winnow", "classify", "collocations", "prep"])
+    t.add_argument("--id-col", default="doc_id")
+    t.add_argument("--text-col", default="text")
+    t.add_argument("--topk", type=int, default=50)
+    t.add_argument("--fraction", type=float, default=0.5)
+    t.add_argument("--salt", default="corpusv1")
+    t.add_argument("--out")
+    t.set_defaults(fn=cmd_text)
 
     m = sub.add_parser(
         "media",

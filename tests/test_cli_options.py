@@ -128,3 +128,29 @@ def test_media_meta_subcommand(spark, tmp_path, capsys, monkeypatch):
     assert rows[3]["codec"] == "opus" and rows[3]["duration_sec"] == 2.0
     assert rows[4]["container"] is None  # contained
     capsys.readouterr()
+
+
+def test_cli_text_ops(tmp_path):
+    """`text` subcommand drives winnow/classify/prep end-to-end from a
+    fresh process (the spark-submit surface)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    import duckdb
+
+    for op, min_rows in [("classify", 400), ("prep", 1)]:
+        out = tmp_path / f"text_{op}"
+        r = subprocess.run(
+            [sys.executable, "-m", "fscrawler_spark.cli", "--cores", "4",
+             "text", "--input", "/root/testdata/sf0.001/documents.parquet",
+             "--op", op, "--out", str(out)],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        payload = _json.loads(r.stdout.strip().splitlines()[-1])
+        assert payload["rows"] >= min_rows, (op, payload)
+        n = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{out}/*.parquet')"
+        ).fetchone()[0]
+        assert n == payload["rows"]
