@@ -1327,6 +1327,21 @@ def q57_corpus_prep(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
 
 
+def q58_surt_keys(spark, sf_dir):
+    """SURT canonical URL keys (functions/urls.surt_key) over the
+    synthesized documents-URL view — the CDX/WARC locality + frontier
+    range-partitioning key; domain_key is the host-only prefix."""
+    from fscrawler_spark.functions.urls import surt_key, url_host
+
+    d = _doc_urls(spark, sf_dir)
+    host = F.lower(url_host(F.col("url")))
+    return d.select(
+        "doc_id",
+        surt_key(F.col("url")).alias("surt"),
+        F.array_join(F.reverse(F.split(host, r"\.")), ",").alias("domain_key"),
+    ).orderBy("surt", "doc_id")
+
+
 def q23_cube_rollup(spark, sf_dir):
     """Grouping sets — cube over two dims with exact decimal sums
     (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
@@ -1590,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_json_extract": q55_json_extract,
         "q56_pivot": q56_pivot,
         "q57_corpus_prep": q57_corpus_prep,
+        "q58_surt_keys": q58_surt_keys,
     }
 
 
@@ -2653,6 +2669,37 @@ def oracle_sql() -> dict[str, str]:
               AND substr(md5('corpusv1' || doc_id::VARCHAR), 1, 8)
                     < '80000000'
             ORDER BY doc_id
+        """,
+        # q58: the same URL synthesis (q12's view) + SURT restated with
+        # list_reverse; '.' splits are literal on both sides.
+        "q58_surt_keys": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     concat('http://', source, '.example/', lang,
+                            CASE WHEN doc_id % 3 = 0 THEN ''
+                                 ELSE concat('/d', (doc_id % 7)::VARCHAR)
+                            END,
+                            '/doc', doc_id::VARCHAR,
+                            CASE WHEN doc_id % 4 = 0 THEN '.html'
+                                 WHEN doc_id % 4 = 1 THEN '.txt'
+                                 WHEN doc_id % 4 = 2 THEN '.tmp'
+                                 ELSE '' END) AS url
+              FROM documents),
+            h AS (
+              SELECT doc_id, url,
+                     lower(regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://([^/]+)', 1)) AS host,
+                     regexp_replace(url,
+                       '^[a-z][a-z0-9+.-]*://[^/]+', '') AS path
+              FROM u)
+            SELECT doc_id,
+                   concat(array_to_string(
+                            list_reverse(string_split(host, '.')), ','),
+                          ')', path) AS surt,
+                   array_to_string(
+                     list_reverse(string_split(host, '.')), ',')
+                     AS domain_key
+            FROM h ORDER BY surt, doc_id
         """,
         # q38: q15's pair derivation, then connected components as a
         # recursive-CTE transitive closure (UNION dedups, so it

@@ -202,3 +202,24 @@ def url_resolve_py(base: str, href: str) -> str | None:
     if base_dir.count("/") < 3:
         base_dir = scheme_host + "/"
     return base_dir + href
+
+
+def surt_key(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key — the Common
+    Crawl / Internet Archive canonical form: scheme stripped, host
+    lower-cased and dot-reversed with commas, ')' then the path.
+    ``http://www.example.com/a/b`` -> ``com,example,www)/a/b``.
+
+    Sorting by this key clusters every URL of a registered domain (and
+    its subdomains) adjacently — the locality key CDX indexes and WARC
+    shard layouts sort by, and the natural range-partitioning key for
+    a 10^10-row frontier (one domain's crawl state lands in one
+    partition range instead of scattering by hostname string order).
+    Pure codegen: one regex host extract, one split/reverse/join, one
+    concat."""
+    host = F.lower(url_host(url))
+    return F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"),
+        url_path(url),
+    )

@@ -82,3 +82,18 @@ def test_depth_semantics():
     assert U.url_depth_py("http://h0.example/") == 0
     assert U.url_depth_py("http://h0.example/a") == 1
     assert U.url_depth_py("http://h0.example/a/b/") == 2
+
+
+def test_surt_key_canonical_form(spark):
+    from fscrawler_spark.functions.urls import surt_key
+
+    rows = [
+        (1, "http://www.Example.COM/a/b.html"),
+        (2, "https://sub.deep.example.org/"),
+        (3, "http://example.com"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r["id"]: r["s"] for r in df.select("id", surt_key(F.col("url")).alias("s")).collect()}
+    assert got[1] == "com,example,www)/a/b.html"
+    assert got[2] == "org,example,deep,sub)/"
+    assert got[3] == "com,example)"
