@@ -1342,6 +1342,28 @@ def q58_surt_keys(spark, sf_dir):
     ).orderBy("surt", "doc_id")
 
 
+def q59_hash_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/valid/test split
+    (operators/sampling.hash_split): complementary md5 ranges —
+    disjoint and exhaustive by construction, stable across engines."""
+    from fscrawler_spark.operators.sampling import hash_split
+
+    d = _load(spark, sf_dir, "documents")
+    out = hash_split(
+        d, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}, salt="splitv1"
+    )
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("split")
+    )
+
+
 def q23_cube_rollup(spark, sf_dir):
     """Grouping sets — cube over two dims with exact decimal sums
     (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
@@ -1606,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_pivot": q56_pivot,
         "q57_corpus_prep": q57_corpus_prep,
         "q58_surt_keys": q58_surt_keys,
+        "q59_hash_split": q59_hash_split,
     }
 
 
@@ -2700,6 +2723,30 @@ def oracle_sql() -> dict[str, str]:
                      list_reverse(string_split(host, '.')), ',')
                      AS domain_key
             FROM h ORDER BY surt, doc_id
+        """,
+        # q59: identical bucket expression and hex range bounds
+        # (0.8 -> 'cccccccc', 0.9 -> 'e6666666' on both engines since
+        # the thresholds are engine-independent python-format literals
+        # baked into the CASE on the Spark side and written out here).
+        "q59_hash_split": r"""
+            WITH b AS (
+              SELECT *, substr(md5('splitv1' || doc_id::VARCHAR), 1, 8)
+                          AS bk
+              FROM documents),
+            s AS (
+              SELECT *,
+                     CASE WHEN bk >= '00000000' AND bk < 'cccccccc'
+                            THEN 'train'
+                          WHEN bk >= 'cccccccc' AND bk < 'e6666666'
+                            THEN 'valid'
+                          WHEN bk >= 'e6666666' AND bk < 'ffffffff'
+                            THEN 'test'
+                     END AS split
+              FROM b)
+            SELECT split, count(*)::BIGINT AS n,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id,
+                   sum(n_chars)::BIGINT AS sum_chars
+            FROM s GROUP BY split ORDER BY split
         """,
         # q38: q15's pair derivation, then connected components as a
         # recursive-CTE transitive closure (UNION dedups, so it

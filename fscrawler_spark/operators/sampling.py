@@ -62,3 +62,40 @@ def stratified_hash_sample(
             F.col(strata_col) == F.lit(value), F.lit(_hex_threshold(frac))
         ).otherwise(expr)
     return df.where(_bucket(F.col(key_col), salt) < expr)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic N-way disjoint split (train/valid/test) by
+    COMPLEMENTARY hash ranges: split i gets bucket values in
+    [cum_i, cum_{i+1}) of md5(salt||key)[:8].  Disjointness and
+    exhaustiveness hold by construction (ranges partition the hash
+    space), the assignment is stable across runs/partitionings/engines
+    (same md5 everywhere), and — unlike sampling each split
+    independently — a document can never land in two splits.  Rows
+    beyond sum(fractions) of the space get split = NULL (with
+    fractions summing to 1 every row is labeled except the single
+    bucket value 0xffffffff — _hex_threshold caps there — a 2^-32
+    sliver that is at least the SAME sliver on every engine).
+
+    Adds a ``split`` column; the predicate is a pushable CASE over
+    fixed hex-literal comparisons (no shuffle, no Python).
+    """
+    names = list(fractions)
+    cum = 0.0
+    bounds = []
+    for n in names:
+        lo = cum
+        cum += fractions[n]
+        bounds.append((n, _hex_threshold(lo), _hex_threshold(min(cum, 1.0))))
+    if cum > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {cum} > 1")
+    b = _bucket(F.col(key_col), salt)
+    expr = F.lit(None).cast("string")
+    for n, lo, hi in reversed(bounds):
+        expr = F.when((b >= F.lit(lo)) & (b < F.lit(hi)), F.lit(n)).otherwise(expr)
+    return df.withColumn("split", expr)

@@ -95,3 +95,38 @@ def test_contaminated_ids_hand_corpus(spark):
     )
     got = {r["doc_id"] for r in contaminated_ids(train, test, "doc_id", "text", n=8).collect()}
     assert got == {1, 3}
+
+
+def test_hash_split_disjoint_exhaustive_stable(spark):
+    """Every row gets exactly one label, proportions are near the
+    requested fractions, and relabeling with the same salt is
+    byte-stable while a different salt reshuffles."""
+    from fscrawler_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "k")
+    fr = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    out = hash_split(df, "k", fr, salt="s1").collect()
+    labels = {r["k"]: r["split"] for r in out}
+    assert all(v in fr for v in labels.values())  # no NULLs in practice
+    counts = {n: sum(1 for v in labels.values() if v == n) for n in fr}
+    assert abs(counts["train"] / 4000 - 0.8) < 0.03
+    assert abs(counts["valid"] / 4000 - 0.1) < 0.02
+    again = {
+        r["k"]: r["split"]
+        for r in hash_split(df, "k", fr, salt="s1").collect()
+    }
+    assert again == labels
+    other = {
+        r["k"]: r["split"]
+        for r in hash_split(df, "k", fr, salt="s2").collect()
+    }
+    assert other != labels
+
+
+def test_hash_split_rejects_oversum():
+    import pytest as _pytest
+
+    from fscrawler_spark.operators.sampling import hash_split
+
+    with _pytest.raises(ValueError):
+        hash_split(None, "k", {"a": 0.7, "b": 0.5})
