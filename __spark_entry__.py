@@ -1364,6 +1364,45 @@ def q59_hash_split(spark, sf_dir):
     )
 
 
+def q60_star_join(spark, sf_dir):
+    """TPC-H Q5-shaped star join: region -> nation -> customer ->
+    orders -> lineitem with the local-supplier constraint
+    (s_nationkey = c_nationkey).  Dims are broadcast (explicitly for
+    region/nation/supplier; AQE would pick the same), the two fact
+    joins are the only shuffles, and revenue uses the q01 scaled-
+    BIGINT recipe so the sum is exact and order-independent."""
+    r = _load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _load(spark, sf_dir, "nation")
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _load(spark, sf_dir, "lineitem")
+    s = _load(spark, sf_dir, "supplier")
+    rev = (
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,6)") * 1000000
+    ).cast("long")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).alias("revenue_c6"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+        .orderBy(F.col("revenue_c6").desc(), "n_name")
+    )
+
+
 def q23_cube_rollup(spark, sf_dir):
     """Grouping sets — cube over two dims with exact decimal sums
     (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
@@ -1629,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_corpus_prep": q57_corpus_prep,
         "q58_surt_keys": q58_surt_keys,
         "q59_hash_split": q59_hash_split,
+        "q60_star_join": q60_star_join,
     }
 
 
@@ -2747,6 +2787,26 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS min_id, max(doc_id) AS max_id,
                    sum(n_chars)::BIGINT AS sum_chars
             FROM s GROUP BY split ORDER BY split
+        """,
+        # q60: TPC-H Q5 restated; revenue on the q01 scaled-BIGINT grid.
+        "q60_star_join": r"""
+            SELECT n.n_name,
+                   sum(CAST(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                      )::BIGINT AS revenue_c6,
+                   count(*)::BIGINT AS n_items
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                           AND s.s_nationkey = c.c_nationkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name
+            ORDER BY revenue_c6 DESC, n.n_name
         """,
         # q38: q15's pair derivation, then connected components as a
         # recursive-CTE transitive closure (UNION dedups, so it
