@@ -1403,6 +1403,33 @@ def q60_star_join(spark, sf_dir):
     )
 
 
+def q61_quality_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail corpus bucketing: ntile(3) over the
+    exact quality score within each language (deterministic total
+    order: score desc, doc_id asc), then per-bucket profile.  The
+    perplexity-tercile pattern with the engine-exact q17 score."""
+    from pyspark.sql import Window
+
+    from fscrawler_spark.functions.textstats import quality_e4
+
+    d = _load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("q_e4").desc(), F.col("doc_id").asc()
+    )
+    scored = d.select(
+        "doc_id", "lang", quality_e4(F.col("text")).alias("q_e4")
+    ).withColumn("bucket", F.ntile(3).over(w))
+    return (
+        scored.groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("q_e4").alias("min_q"),
+            F.max("q_e4").alias("max_q"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
 def q23_cube_rollup(spark, sf_dir):
     """Grouping sets — cube over two dims with exact decimal sums
     (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
@@ -1669,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_surt_keys": q58_surt_keys,
         "q59_hash_split": q59_hash_split,
         "q60_star_join": q60_star_join,
+        "q61_quality_buckets": q61_quality_buckets,
     }
 
 
@@ -2807,6 +2835,24 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n.n_name
             ORDER BY revenue_c6 DESC, n.n_name
+        """,
+        # q61: ntile's uneven-split rule (earlier buckets take the
+        # remainder) is ANSI-shared and the order is total, so the
+        # assignment is engine-exact; q_e4 is the canonical q17 twin.
+        "q61_quality_buckets": f"""
+            WITH s AS (
+              SELECT doc_id, lang, {_QUALITY_E4_SQL} AS q_e4
+              FROM documents),
+            b AS (
+              SELECT lang, q_e4,
+                     ntile(3) OVER (PARTITION BY lang
+                                    ORDER BY q_e4 DESC, doc_id ASC)
+                       AS bucket
+              FROM s)
+            SELECT lang, bucket::INTEGER AS bucket,
+                   count(*)::BIGINT AS n,
+                   min(q_e4) AS min_q, max(q_e4) AS max_q
+            FROM b GROUP BY lang, bucket ORDER BY lang, bucket
         """,
         # q38: q15's pair derivation, then connected components as a
         # recursive-CTE transitive closure (UNION dedups, so it

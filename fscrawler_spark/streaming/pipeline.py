@@ -106,6 +106,35 @@ def host_window_counts(
     )
 
 
+def host_session_windows(
+    pages: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-host SESSION windows over the page stream — fetch bursts
+    separated by >= gap of idle (the streaming twin of
+    operators/sessions.sessionize; session_window is the one window
+    type whose bounds are data-driven, so Spark tracks open sessions
+    in the state store and the watermark bounds how long one stays
+    open).  Works identically on a batch DataFrame — pytest pins
+    stream == batch row-for-row."""
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(
+            F.session_window("warc_ts", gap).alias("sw"),
+            url_host(F.col("url")).alias("host"),
+        )
+        .agg(
+            F.count("*").alias("pages"),
+            F.sum(F.length("html")).alias("bytes"),
+        )
+        .select(
+            "host",
+            F.col("sw.start").alias("session_start"),
+            "pages",
+            "bytes",
+        )
+    )
+
+
 HOST_STATE_SCHEMA = "host string, total_pages long, total_bytes long, batches int"
 
 

@@ -105,3 +105,35 @@ def test_stateful_host_ledger(spark, pages_dir, tiny):
         e[0] += 1
         e[1] += len(page["html"])
     assert got == {h: tuple(v) for h, v in expect.items()}
+
+
+def test_streaming_session_windows_match_batch(spark, pages_dir, tiny):
+    """host_session_windows: stream (availableNow, complete mode) ==
+    the identical expression over the same files as a batch read —
+    row-for-row, the St4 gap-session state machinery verified against
+    the stateless batch plan."""
+    from fscrawler_spark.streaming.pipeline import host_session_windows
+
+    stream = read_pages_stream(spark, f"{pages_dir}/batch0", max_files_per_trigger=1)
+    # Session windows DROP late rows before merging (unlike the tumbling
+    # complete-mode test above) and per-file triggers deliver timestamps
+    # out of order, so the parity run needs a watermark wider than the
+    # fixture's time span — nothing is "late", every session merges.
+    q = run_to_memory(
+        host_session_windows(stream, gap="30 minutes", watermark="3650 days"),
+        "host_sessions",
+        mode="complete",
+    )
+    got = {
+        (r["host"], r["session_start"], r["pages"], r["bytes"])
+        for r in spark.sql("SELECT * FROM host_sessions").collect()
+    }
+    q.stop()
+    batch = spark.read.schema(
+        spark.read.parquet(f"{pages_dir}/batch0").schema
+    ).parquet(f"{pages_dir}/batch0")
+    want = {
+        (r["host"], r["session_start"], r["pages"], r["bytes"])
+        for r in host_session_windows(batch).collect()
+    }
+    assert got == want and len(want) > 0
