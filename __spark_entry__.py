@@ -1430,6 +1430,54 @@ def q61_quality_buckets(spark, sf_dir):
     )
 
 
+def q62_recrawl_diff(spark, sf_dir):
+    """Recrawl change detection (the CDC diff that drives refresh
+    scheduling — Cho & Garcia-Molina change-rate estimation needs
+    exactly this signal): snapshot A = the documents table; snapshot B
+    = a deterministic synthetic recrawl (every 5th doc's text mutated,
+    every 11th doc dropped as a dead link, every 13th doc_id shifted
+    into a new-page id range).  Full outer join on doc_id + md5
+    compare -> added / removed / changed / unchanged, counted per
+    lang of whichever side exists."""
+    d = _load(spark, sf_dir, "documents")
+    b = (
+        d.where(F.col("doc_id") % 11 != 0)
+        .select(
+            F.when(
+                F.col("doc_id") % 13 == 0, F.col("doc_id") + 1000000
+            ).otherwise(F.col("doc_id")).alias("doc_id"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.col("text"), F.lit(" [updated]")),
+            ).otherwise(F.col("text")).alias("text"),
+            "lang",
+        )
+    )
+    a = d.select("doc_id", "text", "lang")
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .when(
+            F.md5(F.coalesce(F.col("a.text"), F.lit("")))
+            == F.md5(F.coalesce(F.col("b.text"), F.lit(""))),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("a.lang"), F.col("b.lang")).alias("lang"),
+            status.alias("status"),
+        )
+        .groupBy("lang", "status")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("lang", "status")
+    )
+
+
 def q23_cube_rollup(spark, sf_dir):
     """Grouping sets — cube over two dims with exact decimal sums
     (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
@@ -1697,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_hash_split": q59_hash_split,
         "q60_star_join": q60_star_join,
         "q61_quality_buckets": q61_quality_buckets,
+        "q62_recrawl_diff": q62_recrawl_diff,
     }
 
 
@@ -2853,6 +2902,32 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n,
                    min(q_e4) AS min_q, max(q_e4) AS max_q
             FROM b GROUP BY lang, bucket ORDER BY lang, bucket
+        """,
+        # q62: the synthetic snapshot B and the diff restated; the %5
+        # mutation keys on the ORIGINAL doc_id (applied before the %13
+        # id shift on the Spark side too, since both read the source
+        # column).
+        "q62_recrawl_diff": r"""
+            WITH b AS (
+              SELECT CASE WHEN doc_id % 13 = 0 THEN doc_id + 1000000
+                          ELSE doc_id END AS doc_id,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN concat(text, ' [updated]')
+                          ELSE text END AS text,
+                     lang
+              FROM documents WHERE doc_id % 11 <> 0),
+            a AS (SELECT doc_id, text, lang FROM documents),
+            j AS (
+              SELECT coalesce(a.lang, b.lang) AS lang,
+                     CASE WHEN a.doc_id IS NULL THEN 'added'
+                          WHEN b.doc_id IS NULL THEN 'removed'
+                          WHEN md5(coalesce(a.text, ''))
+                               = md5(coalesce(b.text, ''))
+                            THEN 'unchanged'
+                          ELSE 'changed' END AS status
+              FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+            SELECT lang, status, count(*)::BIGINT AS n
+            FROM j GROUP BY lang, status ORDER BY lang, status
         """,
         # q38: q15's pair derivation, then connected components as a
         # recursive-CTE transitive closure (UNION dedups, so it
