@@ -1478,6 +1478,41 @@ def q62_recrawl_diff(spark, sf_dir):
     )
 
 
+def q63_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve (tokenizer-budget planning: how much
+    token mass does a frequency cutoff keep).  The cumulative sum runs
+    over the COLLAPSED frequency domain — groupBy(freq) first, so the
+    no-partition window orders a few hundred Zipf levels, not the raw
+    vocabulary (the scale-safe global-cumsum pattern; a cumsum over
+    terms themselves would be a single-task sort of the whole vocab).
+    All int64: cum_frac_e6 = cum_mass*1e6 DIV total."""
+    from pyspark.sql import Window
+
+    d = _load(spark, sf_dir, "documents")
+    terms = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
+    ).where(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
+    tf = terms.groupBy("term").agg(F.count("*").alias("freq"))
+    lv = tf.groupBy("freq").agg(
+        F.count("*").cast("long").alias("n_terms")
+    ).withColumn("mass", (F.col("freq") * F.col("n_terms")).cast("long"))
+    w = Window.orderBy(F.col("freq").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = lv.withColumn("cum_mass", F.sum("mass").over(w).cast("long"))
+    total = F.sum("mass").over(
+        Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return (
+        cum.withColumn("total_mass", total.cast("long"))
+        .withColumn("cum_frac_e6", F.expr("cum_mass * 1000000 DIV total_mass"))
+        .select("freq", "n_terms", "mass", "cum_mass", "cum_frac_e6")
+        .orderBy(F.col("freq").desc())
+    )
+
+
 def q23_cube_rollup(spark, sf_dir):
     """Grouping sets — cube over two dims with exact decimal sums
     (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
@@ -1746,6 +1781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_star_join": q60_star_join,
         "q61_quality_buckets": q61_quality_buckets,
         "q62_recrawl_diff": q62_recrawl_diff,
+        "q63_vocab_coverage": q63_vocab_coverage,
     }
 
 
@@ -2928,6 +2964,29 @@ def oracle_sql() -> dict[str, str]:
               FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
             SELECT lang, status, count(*)::BIGINT AS n
             FROM j GROUP BY lang, status ORDER BY lang, status
+        """,
+        # q63: same collapse-then-cumsum; int64 throughout.
+        "q63_vocab_coverage": r"""
+            WITH words AS (
+              SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+                       AS term
+              FROM documents WHERE trim(coalesce(text, '')) <> ''),
+            tf AS (SELECT term, count(*)::BIGINT AS freq
+                   FROM words GROUP BY term),
+            lv AS (SELECT freq, count(*)::BIGINT AS n_terms,
+                          (freq * count(*))::BIGINT AS mass
+                   FROM tf GROUP BY freq),
+            c AS (
+              SELECT freq, n_terms, mass,
+                     sum(mass) OVER (ORDER BY freq DESC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW)::BIGINT
+                       AS cum_mass,
+                     sum(mass) OVER ()::BIGINT AS total_mass
+              FROM lv)
+            SELECT freq, n_terms, mass, cum_mass,
+                   (cum_mass * 1000000) // total_mass AS cum_frac_e6
+            FROM c ORDER BY freq DESC
         """,
         # q38: q15's pair derivation, then connected components as a
         # recursive-CTE transitive closure (UNION dedups, so it
