@@ -90,3 +90,21 @@ def test_asof_plan_one_exchange_jvm_only(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange") <= 1, plan
     assert "Join" not in plan  # carry-forward, not an inequality join
+
+
+def test_asof_null_ts_probe_matches_nothing(spark):
+    """A probe with NULL ts sorts NULLS FIRST (before every quote), so
+    it carries no match — pinned so the behavior is deliberate."""
+    quotes = spark.createDataFrame(
+        [(1, _ts(10), 100)], "k long, ts timestamp_ntz, qid long"
+    )
+    probes = spark.createDataFrame(
+        [(1, None, 1), (1, _ts(11), 2)], "k long, ts timestamp_ntz, pid long"
+    )
+    out = {
+        r["pid"]: r["qid"]
+        for r in asof_join_backward(
+            probes, quotes, ["k"], "ts", ["pid"], ["qid"]
+        ).collect()
+    }
+    assert out == {1: None, 2: 100}

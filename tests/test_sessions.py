@@ -87,3 +87,8 @@ def test_hopping_window_membership_and_boundary(spark):
     starts = sorted(r["start"] for r in wins)
     assert starts[0] == datetime(1970, 1, 1, 6, 0, 0)  # ends 1d+6h > t
     assert starts[-1] == datetime(1970, 1, 2, 0, 0, 0)  # starts AT t
+
+
+def test_sessionize_empty_input(spark):
+    df = spark.createDataFrame([], "user_id long, ts timestamp_ntz, value double")
+    assert sessionize(df, "user_id", "ts", "1 hour", value_col="value").count() == 0
