@@ -8,6 +8,10 @@ All-Spark implementations:
   - SimHash (64-bit, token-hash majority vote) via a vectorized
     pandas/numpy UDF + banded hamming candidate join
   - exact n-gram Jaccard (the small-scale oracle / verifier)
+  - prefix-filtering similarity join (PPJoin family): subquadratic
+    AND exact threshold-Jaccard pairs
+  - winnowing document fingerprints (Schleimer et al. 2003 / MOSS)
+  - SQ8 scalar quantization codes (the ANN storage path)
   - embedding cosine top-k: brute-force (exact baseline) and an
     LSH-bucketed variant (random-hyperplane signs) as the scale path
 
