@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from fscrawler_spark.functions.layout import zorder2_sql as _zorder2_sql
+
 _T = ["region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings"]
 
@@ -1513,6 +1515,24 @@ def q63_vocab_coverage(spark, sf_dir):
     )
 
 
+def q64_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) layout keys (functions/layout.zorder2): the
+    lakehouse data-skipping clustering transform, computed from ONE
+    SQL expression text shared verbatim with the oracle.  Sorted by z
+    so the output IS the clustered layout order."""
+    from fscrawler_spark.functions.layout import zorder2
+
+    e = _load(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            F.col("user_id"),
+            zorder2("user_id", "event_id % 65536").alias("z"),
+        )
+        .orderBy("z", "event_id")
+    )
+
+
 def q23_cube_rollup(spark, sf_dir):
     """Grouping sets — cube over two dims with exact decimal sums
     (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
@@ -1782,6 +1802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_quality_buckets": q61_quality_buckets,
         "q62_recrawl_diff": q62_recrawl_diff,
         "q63_vocab_coverage": q63_vocab_coverage,
+        "q64_zorder_layout": q64_zorder_layout,
     }
 
 
@@ -2988,6 +3009,13 @@ def oracle_sql() -> dict[str, str]:
                    (cum_mass * 1000000) // total_mass AS cum_frac_e6
             FROM c ORDER BY freq DESC
         """,
+        # q64: the SAME expression text the Spark side runs via F.expr —
+        # generated once in functions/layout.py, no twin to drift.
+        "q64_zorder_layout": (
+            "SELECT event_id, user_id, "
+            + _zorder2_sql("user_id", "event_id % 65536")
+            + " AS z FROM events ORDER BY z, event_id"
+        ),
         # q38: q15's pair derivation, then connected components as a
         # recursive-CTE transitive closure (UNION dedups, so it
         # terminates); component label = min reachable id.

@@ -97,3 +97,28 @@ def test_surt_key_canonical_form(spark):
     assert got[1] == "com,example,www)/a/b.html"
     assert got[2] == "org,example,deep,sub)/"
     assert got[3] == "com,example)"
+
+
+def test_zorder_matches_python_morton(spark):
+    """Bit-exact vs a pure-Python Morton interleave, including the
+    locality property (adjacent (x,y) cells stay within small z
+    distance blocks)."""
+    from fscrawler_spark.functions.layout import zorder2
+
+    def py_spread(v):
+        v &= 0xFFFF
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+
+    pts = [(x, y) for x in (0, 1, 2, 3, 255, 65535) for y in (0, 1, 3, 7, 65535)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zorder2("x", "y").alias("z")).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == py_spread(x) | (py_spread(y) << 1), (x, y)
+    assert got[(3, 3)] == 15  # the canonical 2x2 block check
