@@ -1533,6 +1533,22 @@ def q64_zorder_layout(spark, sf_dir):
     )
 
 
+def q65_lang_confusion(spark, sf_dir):
+    """Declared-vs-detected language confusion matrix — the evaluation
+    query a lang-id stage ships with: groupBy(declared, detected)
+    counts + per-declared-lang totals for agreement rates (all int64;
+    rate left to the consumer to keep the hash integer-exact)."""
+    from fscrawler_spark.functions.textstats import lang_id
+
+    d = _load(spark, sf_dir, "documents")
+    return (
+        d.select("lang", lang_id(F.col("text")).alias("detected"))
+        .groupBy("lang", "detected")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("lang", "detected")
+    )
+
+
 def q23_cube_rollup(spark, sf_dir):
     """Grouping sets — cube over two dims with exact decimal sums
     (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
@@ -1803,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_recrawl_diff": q62_recrawl_diff,
         "q63_vocab_coverage": q63_vocab_coverage,
         "q64_zorder_layout": q64_zorder_layout,
+        "q65_lang_confusion": q65_lang_confusion,
     }
 
 
@@ -3016,6 +3033,12 @@ def oracle_sql() -> dict[str, str]:
             + _zorder2_sql("user_id", "event_id % 65536")
             + " AS z FROM events ORDER BY z, event_id"
         ),
+        # q65: the canonical lang-id twin crossed with the declared lang.
+        "q65_lang_confusion": f"""
+            SELECT lang, {_lang_id_sql()} AS detected,
+                   count(*)::BIGINT AS n
+            FROM documents GROUP BY 1, 2 ORDER BY lang, detected
+        """,
         # q38: q15's pair derivation, then connected components as a
         # recursive-CTE transitive closure (UNION dedups, so it
         # terminates); component label = min reachable id.
