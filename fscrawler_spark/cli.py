@@ -162,6 +162,26 @@ def cmd_dedup(args: argparse.Namespace) -> None:
             df, id_col=args.id_col, vec_col=args.vec_col,
             threshold=args.threshold, method="lsh",
         )
+    elif args.method == "prefix":
+        from fscrawler_spark.operators.similarity import (
+            prefix_filter_jaccard_pairs,
+        )
+
+        pairs = prefix_filter_jaccard_pairs(
+            df, args.id_col, args.text_col, threshold=args.threshold
+        ).select("id_a", "id_b")
+    elif args.method == "winnow":
+        from fscrawler_spark.operators.similarity import winnow_fingerprints
+
+        fps = winnow_fingerprints(df, args.id_col, args.text_col)
+        a = fps.select(F.col(args.id_col).alias("id_a"), "fp")
+        b = fps.select(F.col(args.id_col).alias("id_b"), "fp")
+        pairs = (
+            a.join(b, "fp")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
     elif args.method == "exact":
         fp = df.select(
             F.col(args.id_col), fingerprint(F.col(args.text_col)).alias("_fp")
@@ -289,9 +309,10 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--checkpoint", required=True)
     s.set_defaults(fn=cmd_stats)
 
-    d = sub.add_parser("dedup", help="near-dup scan (minhash/simhash/embedding/exact)")
+    d = sub.add_parser("dedup", help="near-dup scan (minhash/simhash/embedding/exact/prefix/winnow)")
     d.add_argument("--method", default="minhash",
-                   choices=["minhash", "simhash", "embedding", "exact"])
+                   choices=["minhash", "simhash", "embedding", "exact",
+                            "prefix", "winnow"])
     d.add_argument("--vec-col", default="embedding",
                    help="vector column for --method embedding")
     d.add_argument("--input", required=True)
