@@ -1549,6 +1549,45 @@ def q65_lang_confusion(spark, sf_dir):
     )
 
 
+def q66_load_skew_gini(spark, sf_dir):
+    """Integer-exact Gini coefficient of per-entity load within each
+    event type — the skew measurement a politeness scheduler reports
+    (are fetches spread fairly across hosts, or is one hot host eating
+    the budget?).  For sorted loads x_1<=..<=x_n:
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) — all int64, scaled
+    e6 with DIV, so the hash is engine-exact.  The rank window runs
+    over the per-entity AGGREGATE (entities per group, not raw rows) —
+    the q63 collapsed-domain discipline."""
+    e = _load(spark, sf_dir, "events")
+    per = e.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("long").alias("x")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("x").asc(), F.col("user_id").asc()
+    )
+    ranked = per.withColumn("i", F.row_number().over(w).cast("long"))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_entities"),
+            F.sum("x").cast("long").alias("total"),
+            F.sum(F.col("i") * F.col("x")).cast("long").alias("iwx"),
+        )
+        .select(
+            "event_type",
+            "n_entities",
+            "total",
+            F.expr(
+                "(2 * iwx - (n_entities + 1) * total) * 1000000"
+                " DIV (n_entities * total)"
+            ).alias("gini_e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q23_cube_rollup(spark, sf_dir):
     """Grouping sets — cube over two dims with exact decimal sums
     (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
@@ -1820,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_vocab_coverage": q63_vocab_coverage,
         "q64_zorder_layout": q64_zorder_layout,
         "q65_lang_confusion": q65_lang_confusion,
+        "q66_load_skew_gini": q66_load_skew_gini,
     }
 
 
@@ -3038,6 +3078,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, {_lang_id_sql()} AS detected,
                    count(*)::BIGINT AS n
             FROM documents GROUP BY 1, 2 ORDER BY lang, detected
+        """,
+        # q66: the sorted-load Gini identity, same total rank order.
+        "q66_load_skew_gini": r"""
+            WITH per AS (
+              SELECT event_type, user_id, count(*)::BIGINT AS x
+              FROM events GROUP BY 1, 2),
+            rk AS (
+              SELECT event_type, x,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY x ASC, user_id ASC)
+                       ::BIGINT AS i
+              FROM per)
+            SELECT event_type,
+                   count(*)::BIGINT AS n_entities,
+                   sum(x)::BIGINT AS total,
+                   (((2 * sum(i * x)::BIGINT
+                      - (count(*) + 1) * sum(x)::BIGINT) * 1000000)
+                     // (count(*) * sum(x)::BIGINT))::BIGINT AS gini_e6
+            FROM rk GROUP BY event_type ORDER BY event_type
         """,
         # q38: q15's pair derivation, then connected components as a
         # recursive-CTE transitive closure (UNION dedups, so it

@@ -107,3 +107,40 @@ def test_distribution_profile_exact_percentiles(spark):
 
     assert r["p90"] == ref(0.9)
     assert r["p99"] == ref(0.99)
+
+
+def test_gini_identity_reference(spark):
+    """q66's sorted-load Gini identity vs the O(n^2) pairwise
+    definition on hand data (uniform -> 0; extreme skew -> high)."""
+    import __spark_entry__ as E
+
+    # uniform loads: every user 5 events -> G = 0
+    ev = []
+    eid = 0
+    for u in range(4):
+        for _ in range(5):
+            ev.append((eid, u, "uni"))
+            eid += 1
+    # skewed: one user 17 events, three users 1 -> pairwise Gini
+    for u, k in [(0, 17), (1, 1), (2, 1), (3, 1)]:
+        for _ in range(k):
+            ev.append((eid, u, "skew"))
+            eid += 1
+    df = spark.createDataFrame(ev, "event_id long, user_id long, event_type string")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {
+            r["event_type"]: r["gini_e6"]
+            for r in E.queries()["q66_load_skew_gini"](spark, d).collect()
+        }
+
+    def pairwise(xs):
+        n = len(xs)
+        num = sum(abs(a - b) for a in xs for b in xs)
+        return num / (2 * n * n * (sum(xs) / n))
+
+    assert out["uni"] == 0
+    want = pairwise([17, 1, 1, 1])
+    assert abs(out["skew"] / 1_000_000 - want) < 1e-4
