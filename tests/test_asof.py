@@ -108,3 +108,40 @@ def test_asof_null_ts_probe_matches_nothing(spark):
         ).collect()
     }
     assert out == {1: None, 2: 100}
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Third-implementation cross-check: random tables vs
+    pandas.merge_asof(direction='backward') — unique quote timestamps
+    per key so tie rules can't diverge."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(99)
+    quotes, probes, seen = [], [], set()
+    for j in range(300):
+        k = rng.randrange(5)
+        t = rng.randrange(100000)
+        if (k, t) in seen:
+            continue
+        seen.add((k, t))
+        quotes.append((k, _ts(0).replace(second=0, microsecond=t * 10), j))
+    for i in range(400):
+        k = rng.randrange(6)  # includes a quote-less key
+        t = rng.randrange(100000)
+        probes.append((k, _ts(0).replace(second=0, microsecond=t * 10), i))
+    qdf = spark.createDataFrame(quotes, "k long, ts timestamp_ntz, qid long")
+    pdf = spark.createDataFrame(probes, "k long, ts timestamp_ntz, pid long")
+    got = {
+        r["pid"]: r["qid"]
+        for r in asof_join_backward(pdf, qdf, ["k"], "ts", ["pid"], ["qid"]).collect()
+    }
+    pq = pd.DataFrame(quotes, columns=["k", "ts", "qid"]).sort_values("ts")
+    pp = pd.DataFrame(probes, columns=["k", "ts", "pid"]).sort_values("ts")
+    m = pd.merge_asof(pp, pq, on="ts", by="k", direction="backward")
+    want = {
+        int(r.pid): (None if pd.isna(r.qid) else int(r.qid))
+        for r in m.itertuples()
+    }
+    assert got == want

@@ -362,3 +362,28 @@ def test_scalar_quantize_reference_and_roundtrip(spark):
         if mx > mn:
             recon = mn + np.array(want) * (mx - mn) / 255.0
             assert np.abs(recon - xd).max() <= (mx - mn) / 510 + 1e-12
+
+
+def test_winnow_density_property(spark):
+    """Schleimer et al.'s expected density 2/(w+1): on random text the
+    selected-fingerprint count per document sits in a generous band
+    around 2/(w+1) of the window count (selected POSITIONS, which the
+    distinct-fp output lower-bounds; random 8-hex hashes make repeats
+    negligible at this size)."""
+    import random
+
+    from fscrawler_spark.operators.similarity import winnow_fingerprints
+
+    rng = random.Random(21)
+    vocab = [f"tok{i}" for i in range(5000)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(400))) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = {}
+    for r in winnow_fingerprints(df, "doc_id", "text", k=4, w=4).collect():
+        counts[r["doc_id"]] = counts.get(r["doc_id"], 0) + 1
+    n_windows = 400 - 4 + 1 - 3  # grams - w + 1
+    expect = 2 / (4 + 1) * n_windows
+    for i, c in counts.items():
+        assert 0.6 * expect < c < 1.6 * expect, (i, c, expect)
