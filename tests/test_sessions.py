@@ -92,3 +92,45 @@ def test_hopping_window_membership_and_boundary(spark):
 def test_sessionize_empty_input(spark):
     df = spark.createDataFrame([], "user_id long, ts timestamp_ntz, value double")
     assert sessionize(df, "user_id", "ts", "1 hour", value_col="value").count() == 0
+
+
+def test_sessionize_matches_python_reference_random(spark):
+    """Random-data cross-check vs a pure-Python gap scanner (the
+    third implementation besides the oracle SQL and session_window)."""
+    import random
+    from datetime import timedelta
+
+    rng = random.Random(3)
+    rows = []
+    for u in range(12):
+        t = datetime(2024, 1, 1)
+        for _ in range(rng.randrange(1, 40)):
+            t = t + timedelta(seconds=rng.randrange(1, 9000))
+            rows.append((u, t, 1.0))
+    df = _df(spark, rows)
+    got = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["start_us"], r["end_us"])
+        for r in sessionize(df, "user_id", "ts", "1 hour").collect()
+    }
+    want = {}
+    by_u = {}
+    for u, t, _ in rows:
+        by_u.setdefault(u, []).append(t)
+    epoch = datetime(1970, 1, 1)
+    for u, ts in by_u.items():
+        ts.sort()
+        sess, cur = [], [ts[0]]
+        for a, b in zip(ts, ts[1:]):
+            if (b - a).total_seconds() >= 3600:
+                sess.append(cur)
+                cur = [b]
+            else:
+                cur.append(b)
+        sess.append(cur)
+        for i, s in enumerate(sess, 1):
+            want[(u, i)] = (
+                len(s),
+                int((s[0] - epoch).total_seconds() * 1_000_000),
+                int((s[-1] - epoch).total_seconds() * 1_000_000),
+            )
+    assert got == want
