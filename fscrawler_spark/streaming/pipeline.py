@@ -197,3 +197,27 @@ def run_to_memory(
     )
     q.awaitTermination(timeout_sec)
     return q
+
+
+def run_to_parquet(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 180,
+):
+    """Checkpointed parquet sink — the production face of the stream
+    (run_to_memory is the test harness): availableNow drains whatever
+    has arrived, the checkpoint records the consumed file offsets, and
+    a LATER invocation with the same checkpoint processes only new
+    files — exactly-once across restarts (pytest proves no dup rows
+    after a stop/arrive/restart cycle)."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return q

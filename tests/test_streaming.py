@@ -137,3 +137,30 @@ def test_streaming_session_windows_match_batch(spark, pages_dir, tiny):
         for r in host_session_windows(batch).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_checkpointed_parquet_sink_exactly_once(spark, pages_dir, tiny, tmp_path):
+    """Stop/arrive/restart with one checkpoint: the second run consumes
+    ONLY the newly arrived files — no re-processing, no dup rows."""
+    import shutil
+
+    from fscrawler_spark.streaming.pipeline import run_to_parquet
+
+    src = str(tmp_path / "arrivals")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    shutil.copytree(f"{pages_dir}/batch0", src)
+    stream1 = read_pages_stream(spark, src).select("url", "warc_ts")
+    run_to_parquet(stream1, out, ckpt).stop()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 100
+
+    # new files arrive; a fresh query on the SAME checkpoint resumes
+    for f in __import__("os").listdir(f"{pages_dir}/batch2"):
+        if f.endswith(".parquet") and not f.startswith("."):
+            shutil.copy(f"{pages_dir}/batch2/{f}", f"{src}/late_{f}")
+    stream2 = read_pages_stream(spark, src).select("url", "warc_ts")
+    run_to_parquet(stream2, out, ckpt).stop()
+    final = spark.read.parquet(out)
+    assert final.count() == 200
+    assert final.select("url").distinct().count() == 200  # no dups
