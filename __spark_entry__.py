@@ -1588,6 +1588,20 @@ def q66_load_skew_gini(spark, sf_dir):
     )
 
 
+def q67_kmeans_sq8(spark, sf_dir):
+    """Integer-exact k-means (operators/clustering.kmeans_codes): two
+    Lloyd iterations over the q53 SQ8 codes, k=8, md5-order seeds —
+    assignments, floor-mean centroid updates, and inertia all int64,
+    so the oracle (the iterations unrolled as DuckDB CTEs, the q42
+    recipe) hash-matches the per-cluster profile bit-for-bit."""
+    from fscrawler_spark.operators.clustering import kmeans_codes
+    from fscrawler_spark.operators.similarity import scalar_quantize_codes
+
+    e = _load(spark, sf_dir, "embeddings")
+    codes = scalar_quantize_codes(e, "vec_id", "embedding")
+    return kmeans_codes(codes, "vec_id", k=8, iters=2).orderBy("cluster")
+
+
 def q23_cube_rollup(spark, sf_dir):
     """Grouping sets — cube over two dims with exact decimal sums
     (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
@@ -1860,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_zorder_layout": q64_zorder_layout,
         "q65_lang_confusion": q65_lang_confusion,
         "q66_load_skew_gini": q66_load_skew_gini,
+        "q67_kmeans_sq8": q67_kmeans_sq8,
     }
 
 
@@ -3097,6 +3112,91 @@ def oracle_sql() -> dict[str, str]:
                       - (count(*) + 1) * sum(x)::BIGINT) * 1000000)
                      // (count(*) * sum(x)::BIGINT))::BIGINT AS gini_e6
             FROM rk GROUP BY event_type ORDER BY event_type
+        """,
+        # q67: the two Lloyd iterations unrolled as CTEs (the q42
+        # integer-PageRank recipe).  Codes are the q53 SQ8 derivation;
+        # every quantity is int64 (squared-L2 distances, argmin with
+        # ties to the smallest cluster, floor-mean centroid updates —
+        # DuckDB `//` == Spark `DIV` on non-negatives), so the
+        # per-cluster profile hash-matches bit-for-bit.  DuckDB sums
+        # return HUGEINT, hence the ::BIGINT on every sum (q66's note).
+        "q67_kmeans_sq8": r"""
+            WITH eq AS (
+              SELECT vec_id,
+                     unnest(generate_series(0, len(embedding) - 1)) AS pos,
+                     unnest([x::DOUBLE for x in embedding]) AS xd
+              FROM embeddings),
+            mq AS (
+              SELECT vec_id, pos, xd,
+                     min(xd) OVER (PARTITION BY vec_id) AS mn,
+                     max(xd) OVER (PARTITION BY vec_id) AS mx
+              FROM eq),
+            c AS (
+              SELECT vec_id AS id, pos,
+                     CASE WHEN mx = mn THEN 0
+                          ELSE CAST(round(255 * (xd - mn) / (mx - mn))
+                                    AS BIGINT) END AS code
+              FROM mq),
+            sqv AS (SELECT id, sum(code * code)::BIGINT AS sq_v
+                    FROM c GROUP BY id),
+            seeds AS (
+              SELECT id,
+                     (row_number() OVER (ORDER BY md5(id::VARCHAR), id)
+                      - 1)::BIGINT AS cluster
+              FROM (SELECT DISTINCT id FROM c)
+              QUALIFY row_number() OVER (ORDER BY md5(id::VARCHAR), id) <= 8),
+            cent0 AS (SELECT s.cluster, c.pos, c.code AS ccode
+                      FROM c JOIN seeds s USING (id)),
+            sqc0 AS (SELECT cluster, sum(ccode * ccode)::BIGINT AS sq_c
+                     FROM cent0 GROUP BY cluster),
+            dot1 AS (SELECT c.id, k.cluster,
+                            sum(c.code * k.ccode)::BIGINT AS dot
+                     FROM c JOIN cent0 k USING (pos) GROUP BY 1, 2),
+            dist1 AS (SELECT d.id, d.cluster,
+                             (v.sq_v + q.sq_c - 2 * d.dot)::BIGINT AS d2
+                      FROM dot1 d JOIN sqc0 q USING (cluster)
+                                  JOIN sqv v USING (id)),
+            asg1 AS (SELECT id, cluster, d2 FROM dist1
+                     QUALIFY row_number() OVER (PARTITION BY id
+                                                ORDER BY d2, cluster) = 1),
+            sum1 AS (SELECT a.cluster, c.pos,
+                            sum(c.code)::BIGINT AS s, count(*)::BIGINT AS n
+                     FROM c JOIN asg1 a USING (id) GROUP BY 1, 2),
+            cent1 AS (SELECT k.cluster, k.pos,
+                             coalesce(s.s // s.n, k.ccode)::BIGINT AS ccode
+                      FROM cent0 k LEFT JOIN sum1 s USING (cluster, pos)),
+            sqc1 AS (SELECT cluster, sum(ccode * ccode)::BIGINT AS sq_c
+                     FROM cent1 GROUP BY cluster),
+            dot2 AS (SELECT c.id, k.cluster,
+                            sum(c.code * k.ccode)::BIGINT AS dot
+                     FROM c JOIN cent1 k USING (pos) GROUP BY 1, 2),
+            dist2 AS (SELECT d.id, d.cluster,
+                             (v.sq_v + q.sq_c - 2 * d.dot)::BIGINT AS d2
+                      FROM dot2 d JOIN sqc1 q USING (cluster)
+                                  JOIN sqv v USING (id)),
+            asg2 AS (SELECT id, cluster, d2 FROM dist2
+                     QUALIFY row_number() OVER (PARTITION BY id
+                                                ORDER BY d2, cluster) = 1),
+            sum2 AS (SELECT a.cluster, c.pos,
+                            sum(c.code)::BIGINT AS s, count(*)::BIGINT AS n
+                     FROM c JOIN asg2 a USING (id) GROUP BY 1, 2),
+            cent2 AS (SELECT k.cluster, k.pos,
+                             coalesce(s.s // s.n, k.ccode)::BIGINT AS ccode
+                      FROM cent1 k LEFT JOIN sum2 s USING (cluster, pos)),
+            prof AS (SELECT cluster,
+                            count(*)::BIGINT AS n_vecs,
+                            sum(id)::BIGINT AS sum_ids,
+                            sum(d2)::BIGINT AS inertia
+                     FROM asg2 GROUP BY cluster),
+            l1 AS (SELECT cluster, sum(ccode)::BIGINT AS centroid_l1
+                   FROM cent2 GROUP BY cluster)
+            SELECT l1.cluster,
+                   coalesce(prof.n_vecs, 0)::BIGINT AS n_vecs,
+                   coalesce(prof.sum_ids, 0)::BIGINT AS sum_ids,
+                   l1.centroid_l1,
+                   coalesce(prof.inertia, 0)::BIGINT AS inertia
+            FROM l1 LEFT JOIN prof USING (cluster)
+            ORDER BY cluster
         """,
         # q38: q15's pair derivation, then connected components as a
         # recursive-CTE transitive closure (UNION dedups, so it
