@@ -1602,6 +1602,19 @@ def q67_kmeans_sq8(spark, sf_dir):
     return kmeans_codes(codes, "vec_id", k=8, iters=2).orderBy("cluster")
 
 
+def q68_bigram_lm_score(spark, sf_dir):
+    """Corpus bigram LM fluency score per document
+    (operators/textsearch.ngram_lm_scores) — the KenLM/CCNet
+    perplexity-filter stage in its engine-exact integer form: mean
+    floor-scaled bigram MLE conditional probability, int64 end-to-end
+    so the oracle hash-matches (a log-space perplexity never could —
+    IEEE ln() sums are partition-order-dependent)."""
+    from fscrawler_spark.operators.textsearch import ngram_lm_scores
+
+    d = _load(spark, sf_dir, "documents")
+    return ngram_lm_scores(d, "doc_id", "text").orderBy("doc_id")
+
+
 def q23_cube_rollup(spark, sf_dir):
     """Grouping sets — cube over two dims with exact decimal sums
     (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
@@ -1875,6 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_lang_confusion": q65_lang_confusion,
         "q66_load_skew_gini": q66_load_skew_gini,
         "q67_kmeans_sq8": q67_kmeans_sq8,
+        "q68_bigram_lm_score": q68_bigram_lm_score,
     }
 
 
@@ -3197,6 +3211,36 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(prof.inertia, 0)::BIGINT AS inertia
             FROM l1 LEFT JOIN prof USING (cluster)
             ORDER BY cluster
+        """,
+        # q68: the q54 bigram/unigram count CTEs with the doc id
+        # retained; per-occurrence p_e6 and the per-doc mean are both
+        # floor divisions on int64, so scores match bit-for-bit.
+        "q68_bigram_lm_score": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM documents WHERE trim(coalesce(text, '')) <> ''),
+            pr AS (
+              SELECT doc_id,
+                     unnest([array_to_string(toks[i:i+1], ' ')
+                             for i in generate_series(1, len(toks) - 1)])
+                       AS pair
+              FROM t WHERE len(toks) >= 2),
+            pd AS (SELECT doc_id, pair, count(*)::BIGINT AS m
+                   FROM pr GROUP BY 1, 2),
+            cp AS (SELECT pair, count(*)::BIGINT AS c_pair
+                   FROM pr GROUP BY 1),
+            un AS (SELECT unnest(toks) AS term FROM t),
+            cu AS (SELECT term, count(*)::BIGINT AS c_left
+                   FROM un GROUP BY 1),
+            sc AS (SELECT pd.doc_id, pd.m,
+                          ((cp.c_pair * 1000000) // cu.c_left)::BIGINT AS p_e6
+                   FROM pd JOIN cp USING (pair)
+                   JOIN cu ON cu.term = string_split(pd.pair, ' ')[1])
+            SELECT doc_id,
+                   sum(m)::BIGINT AS n_bigrams,
+                   (sum(m * p_e6) // sum(m))::BIGINT AS lm_score_e6
+            FROM sc GROUP BY doc_id ORDER BY doc_id
         """,
         # q38: q15's pair derivation, then connected components as a
         # recursive-CTE transitive closure (UNION dedups, so it

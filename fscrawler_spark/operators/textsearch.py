@@ -203,6 +203,70 @@ def repetition_stats(
     )
 
 
+def ngram_lm_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Corpus bigram language-model fluency score per document — the
+    KenLM/CCNet perplexity-filter stage (Wenzek et al. 2020 score
+    corpus text with an n-gram LM and keep by perplexity tercile)
+    reduced to an engine-exact integer form.
+
+    The score is the document's mean bigram MLE conditional
+    probability, scaled e6: for each bigram occurrence (w1, w2),
+    p_e6 = c(w1 w2) * 1e6 DIV c(w1) (corpus-wide counts — the bigram
+    MLE P(w2|w1) without smoothing, floor-scaled), and
+    lm_score_e6 = Σ p_e6 DIV n_bigrams.  Monotone in the true MLE
+    average, int64 end-to-end: unlike a log-space perplexity (IEEE
+    ln() sums are partition-order-dependent), this is hash-checkable
+    across engines — the q68 oracle restates it and matches
+    bit-for-bit.  High score = predictable, fluent word transitions;
+    boilerplate/gibberish scores low.  A trained LM would swap the
+    count-derived p for a broadcast-joined probability table without
+    changing the plan shape.
+
+    Plan: the q54 single-regex-pass ordered-bigram extract (doc id
+    retained), occurrences pre-aggregated per (doc, pair) BEFORE the
+    vocabulary joins — so the Zipf-skewed pair/unigram joins move one
+    row per distinct pair per doc, not one per occurrence; marginals
+    fetched by two vocabulary-keyed joins (AQE skew splitting, the
+    q43/q54 analysis); final per-doc rollup is map-side combined.
+    Docs with fewer than two tokens have no bigrams and are absent
+    from the output (the oracle agrees).  Returns
+    (id_col, n_bigrams, lm_score_e6).
+    """
+    norm = F.regexp_replace(
+        F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " "
+    )
+    occ = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(norm, F.lit(r"(?:^| )(?=([^ ]+ [^ ]+))"), 1)
+        ).alias("pair"),
+    )
+    per_doc = occ.groupBy(id_col, "pair").agg(F.count("*").cast("long").alias("m"))
+    cp = occ.groupBy("pair").agg(F.count("*").cast("long").alias("c_pair"))
+    toks = df.select(
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term")
+    ).where(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "")
+    cu = toks.groupBy("term").agg(F.count("*").cast("long").alias("c_left"))
+    scored = (
+        per_doc.join(cp, "pair")
+        .withColumn("lt", F.split("pair", " ").getItem(0))
+        .join(cu.withColumnRenamed("term", "lt"), "lt")
+        .select(
+            id_col,
+            "m",
+            F.expr("c_pair * 1000000 DIV c_left").alias("p_e6"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("m").cast("long").alias("n_bigrams"),
+        F.expr("sum(m * p_e6) DIV sum(m)").alias("lm_score_e6"),
+    )
+
+
 def collocations_topk(
     df: DataFrame,
     id_col: str,

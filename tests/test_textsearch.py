@@ -261,3 +261,53 @@ def test_collocations_reference(spark):
     )[:5]
     assert got == want
     assert got[0][0] == "new york" and got[0][1] == 3
+
+
+def test_ngram_lm_scores_reference(spark):
+    """Counter-based reference: per-occurrence floor-scaled bigram MLE
+    P(w2|w1), per-doc floor mean; sub-2-token docs absent; a doc of
+    always-repeated transitions scores the 1e6 ceiling."""
+    from collections import Counter
+
+    from fscrawler_spark.operators.textsearch import ngram_lm_scores
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ran and the dog sat"),
+        (3, "zz zz zz zz"),
+        (4, "lonely"),
+        (5, None),
+        (6, "  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_score_e6"])
+        for r in ngram_lm_scores(df, "doc_id", "text").collect()
+    }
+    toks = {i: t.split() for i, t in rows if t and t.strip()}
+    cu = Counter(w for ts in toks.values() for w in ts)
+    cp = Counter(" ".join(p) for ts in toks.values() for p in zip(ts, ts[1:]))
+    want = {}
+    for i, ts in toks.items():
+        ps = [cp[" ".join(p)] * 1_000_000 // cu[p[0]] for p in zip(ts, ts[1:])]
+        if ps:
+            want[i] = (len(ps), sum(ps) // len(ps))
+    assert got == want
+    assert 4 not in got and 5 not in got and 6 not in got
+    # c("zz zz") = 3 but c("zz") = 4 (the final token is a prefix with
+    # no continuation), so P(zz|zz) = 3/4 — the unsmoothed MLE.
+    assert got[3] == (3, 750_000)
+    assert got[3][1] > got[1][1]  # repetition outscores varied text
+
+
+def test_ngram_lm_scores_plan_is_jvm_only(spark):
+    from fscrawler_spark.operators.textsearch import ngram_lm_scores
+
+    df = spark.createDataFrame([(1, "a b c a b")], "doc_id long, text string")
+    plan = (
+        ngram_lm_scores(df, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "BatchEvalPython" not in plan
