@@ -20,6 +20,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from fscrawler_spark.functions.layout import zorder2_sql as _zorder2_sql
+from fscrawler_spark.functions.sketch import (
+    hll_estimate_sql as _hll_estimate_sql,
+    hll_rho_sql as _hll_rho_sql,
+)
 
 _T = ["region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings"]
@@ -1615,6 +1619,23 @@ def q68_bigram_lm_score(spark, sf_dir):
     return ngram_lm_scores(d, "doc_id", "text").orderBy("doc_id")
 
 
+def q69_hll_distinct(spark, sf_dir):
+    """Relational HyperLogLog (functions/sketch.py): grouped
+    approximate count-distinct whose sketch AND estimate are
+    engine-exact — integer bucket/rank state, one shared-text IEEE
+    estimator — joined against the exact distinct for accuracy
+    reading.  Spark's own approx_count_distinct is an opaque JVM
+    sketch that can never be oracle-checked; this one is."""
+    from fscrawler_spark.functions.sketch import hll_distinct
+
+    e = _load(spark, sf_dir, "events")
+    est = hll_distinct(e, ["event_type"], "user_id")
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").orderBy("event_type")
+
+
 def q23_cube_rollup(spark, sf_dir):
     """Grouping sets — cube over two dims with exact decimal sums
     (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
@@ -1889,6 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_load_skew_gini": q66_load_skew_gini,
         "q67_kmeans_sq8": q67_kmeans_sq8,
         "q68_bigram_lm_score": q68_bigram_lm_score,
+        "q69_hll_distinct": q69_hll_distinct,
     }
 
 
@@ -3241,6 +3263,39 @@ def oracle_sql() -> dict[str, str]:
                    sum(m)::BIGINT AS n_bigrams,
                    (sum(m * p_e6) // sum(m))::BIGINT AS lm_score_e6
             FROM sc GROUP BY doc_id ORDER BY doc_id
+        """,
+        # q69: same md5 bucket/substream split via the '0x' cast (the
+        # q50 device), then the IDENTICAL generated rho CASE text and
+        # estimator text the Spark side runs through F.expr — integer
+        # sketch state, one shared IEEE division, bit-exact.
+        "q69_hll_distinct": f"""
+            WITH h AS (
+              SELECT event_type,
+                     CAST(concat('0x', substr(md5(user_id::VARCHAR), 1, 2))
+                          AS BIGINT) AS bucket,
+                     CAST(concat('0x', substr(md5(user_id::VARCHAR), 3, 8))
+                          AS BIGINT) AS v32
+              FROM events),
+            r AS (SELECT event_type, bucket,
+                         {_hll_rho_sql('v32')}::BIGINT AS rho
+                  FROM h),
+            sk AS (SELECT event_type, bucket, max(rho) AS rmax
+                   FROM r GROUP BY 1, 2),
+            ag AS (SELECT event_type,
+                          count(*)::BIGINT AS n_hit,
+                          sum(1::BIGINT << (33 - rmax))::BIGINT AS s_hit
+                   FROM sk GROUP BY 1),
+            fin AS (SELECT event_type, n_hit,
+                           ((256 - n_hit) * 8589934592 + s_hit)::BIGINT
+                             AS s_scaled
+                    FROM ag),
+            ex AS (SELECT event_type,
+                          count(DISTINCT user_id)::BIGINT AS exact_distinct
+                   FROM events GROUP BY 1)
+            SELECT fin.event_type, n_hit, s_scaled,
+                   {_hll_estimate_sql('s_scaled')} AS est_distinct,
+                   exact_distinct
+            FROM fin JOIN ex USING (event_type) ORDER BY event_type
         """,
         # q38: q15's pair derivation, then connected components as a
         # recursive-CTE transitive closure (UNION dedups, so it

@@ -1,0 +1,131 @@
+"""Relational HyperLogLog — a mergeable cardinality sketch as plain
+DataFrame algebra, engine-exact.
+
+Why it exists here: counting distinct URLs/users/hosts at 10^10-row
+scale is exactly where exact count-distinct dies (the distinct
+shuffle moves every key), and Spark's own approx_count_distinct is an
+opaque JVM sketch no second engine can reproduce — un-oracle-able.
+This module implements HLL (Flajolet et al. 2007) with every step an
+integer DataFrame op, so the sketch AND the estimate are bit-identical
+across runs, partitionings, and engines (the q42/q53 recipe extended
+to a probabilistic data structure — the *estimate* is approximate,
+its *computation* is exact).
+
+Shape (m = 256 buckets, 32-bit substream):
+- h       = md5(key)                 (hex; engine-shared)
+- bucket  = int(h[0:2], 16)          (8 bits -> 0..255)
+- v32     = int(h[2:10], 16)         (the next 32 bits)
+- rho     = 33 - bitlen(v32)         (leading-zero rank; v32=0 -> 33)
+- sketch  = per (group, bucket) MAX(rho)   <- the mergeable state
+- s_scaled = sum over ALL m buckets of 2^(33 - rmax), absent buckets
+  contributing 2^33 (rmax = 0), kept exactly in int64:
+  s_scaled = (m - n_hit) * 2^33 + sum_hit(1::BIGINT << (33 - rmax))
+- estimate = alpha_256 * m^2 * 2^33 / s_scaled — the raw HLL
+  estimator as ONE shared SQL text (literals + a single IEEE
+  division), identical on Spark and DuckDB; m^2 * 2^33 = 2^49 is
+  exactly representable.
+
+The bitlen is a generated 32-branch CASE over powers of two — pure
+int64 comparisons, one SQL text shared verbatim by F.expr and the
+oracle (the functions/layout.py device), so there is no twin to
+drift.  The raw estimator is used as-is; the standard small-range
+linear-counting correction needs ln() (libm-dependent, not
+engine-exact) and is documented out — callers that need it apply it
+to the returned (n_hit, s_scaled) components.
+
+Merge = union the (group, bucket, rmax) sketches and re-MAX — the
+HLL property that makes it a sketch rather than a sample; pytest
+proves sketch(A) ⊎ sketch(B) == sketch(A ∪ B) exactly.
+
+At scale: the sketch state is m rows per group (vs one row per
+DISTINCT key for exact counting); the only wide exchange is the
+(group, bucket) aggregate, which partial-aggregates map-side to
+≤ m rows per group per partition.
+
+Reference parity: FsCrawler's CrawlingQueue reports distinct counts
+from an in-memory set (crawler/crawlingQueue.py queue stats); this is
+that counter at the frontier scale where no set fits anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+M_BUCKETS = 256
+# The e0 exponents are load-bearing: bare decimal literals parse as
+# DECIMAL on both Spark and DuckDB, and their decimal arithmetic
+# rounds differently — exponent form forces IEEE DOUBLE on both.
+_ALPHA_NUM = "0.7213e0"
+_ALPHA_DEN = "(1.0e0 + 1.079e0 / 256.0e0)"
+# m^2 * 2^33 = 2^49 — exactly representable as a double literal.
+_M2_POW33 = "562949953421312.0e0"
+
+
+def bitlen32_sql(expr: str) -> str:
+    """SQL text for the bit length of a non-negative 32-bit value in
+    ``expr``: 0 for 0, else floor(log2(v)) + 1.  Pure int64
+    comparisons (a generated 32-branch CASE), shared verbatim by both
+    engines."""
+    branches = " ".join(
+        f"WHEN {expr} >= {1 << (k - 1)} THEN {k}" for k in range(32, 0, -1)
+    )
+    return f"(CASE {branches} ELSE 0 END)"
+
+
+def hll_rho_sql(expr: str) -> str:
+    """SQL text for the HLL rank rho = leading zeros of the 32-bit
+    substream + 1 == 33 - bitlen(v)."""
+    return f"(33 - {bitlen32_sql(expr)})"
+
+
+def hll_estimate_sql(s_expr: str) -> str:
+    """SQL text for the raw HLL estimate from the exact int64
+    ``s_expr`` (= sum of 2^(33-rmax) over all 256 buckets): one IEEE
+    division on shared literals — bit-identical on any engine."""
+    return f"(({_ALPHA_NUM} / {_ALPHA_DEN}) * {_M2_POW33} / CAST({s_expr} AS DOUBLE))"
+
+
+def hll_sketch(df: DataFrame, group_cols: list[str], key_col: str) -> DataFrame:
+    """Build the mergeable sketch: (group_cols..., bucket, rmax) with
+    one row per non-empty bucket.  bucket/v32 come from md5(key) —
+    Spark parses the hex with conv(); an oracle uses the '0x' cast
+    (the q50 device) and the SAME rho text."""
+    h = F.md5(F.col(key_col).cast("string"))
+    rows = df.select(
+        *group_cols,
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("long").alias("bucket"),
+        F.conv(F.substring(h, 3, 8), 16, 10).cast("long").alias("v32"),
+    ).withColumn("rho", F.expr(hll_rho_sql("v32")).cast("long"))
+    return rows.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("rmax"))
+
+
+def hll_merge(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge two sketches over the same groups: union + re-MAX."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rmax").alias("rmax"))
+    )
+
+
+def hll_finalize(sketch: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Collapse a sketch to (group_cols..., n_hit, s_scaled,
+    est_distinct).  n_hit/s_scaled are exact int64; est_distinct is
+    the shared-text raw estimator."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_hit"),
+        F.sum(F.expr("CAST(1 AS BIGINT) << (33 - rmax)")).alias("s_hit"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_hit",
+        F.expr(f"({M_BUCKETS} - n_hit) * 8589934592 + s_hit")
+        .cast("long")
+        .alias("s_scaled"),
+    ).withColumn("est_distinct", F.expr(hll_estimate_sql("s_scaled")))
+
+
+def hll_distinct(df: DataFrame, group_cols: list[str], key_col: str) -> DataFrame:
+    """One-shot grouped approximate count-distinct: sketch + finalize."""
+    return hll_finalize(hll_sketch(df, group_cols, key_col), group_cols)

@@ -1,0 +1,105 @@
+"""Relational HyperLogLog (functions/sketch.py): pure-python reference
+parity, the merge property, estimator accuracy, and the JVM-only plan."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from fscrawler_spark.functions.sketch import (
+    M_BUCKETS,
+    hll_distinct,
+    hll_finalize,
+    hll_merge,
+    hll_sketch,
+)
+
+
+def _ref_hll(keys):
+    """Pure-python HLL over md5, same bucket/substream split."""
+    rmax = {}
+    for k in keys:
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        b = int(h[0:2], 16)
+        v = int(h[2:10], 16)
+        rho = 33 - v.bit_length()
+        rmax[b] = max(rmax.get(b, 0), rho)
+    s = (M_BUCKETS - len(rmax)) * (1 << 33) + sum(
+        1 << (33 - r) for r in rmax.values()
+    )
+    est = (0.7213 / (1.0 + 1.079 / 256.0)) * 562949953421312.0 / float(s)
+    return len(rmax), s, est
+
+
+def _df(spark, keys, grp="g"):
+    return spark.createDataFrame([(grp, k) for k in keys], "g string, k long")
+
+
+def test_hll_matches_pure_python(spark):
+    keys = list(range(1, 501))
+    row = hll_distinct(_df(spark, keys), ["g"], "k").collect()[0]
+    n_hit, s, est = _ref_hll(keys)
+    assert (row["n_hit"], row["s_scaled"]) == (n_hit, s)
+    assert row["est_distinct"] == est
+
+
+def test_hll_merge_equals_sketch_of_union(spark):
+    a, b = list(range(1, 300)), list(range(150, 700))
+    sa = hll_sketch(_df(spark, a), ["g"], "k")
+    sb = hll_sketch(_df(spark, b), ["g"], "k")
+    merged = hll_finalize(hll_merge(sa, sb, ["g"]), ["g"]).collect()[0]
+    union = hll_distinct(_df(spark, sorted(set(a) | set(b))), ["g"], "k").collect()[0]
+    assert (merged["n_hit"], merged["s_scaled"], merged["est_distinct"]) == (
+        union["n_hit"],
+        union["s_scaled"],
+        union["est_distinct"],
+    )
+
+
+def test_hll_estimate_accuracy(spark):
+    # m=256 -> relative standard error ~1.04/sqrt(256) = 6.5%; allow 4 sigma.
+    # Below the 2.5*m raw-estimator regime the documented caller-side
+    # linear-counting correction applies, computed from the returned
+    # n_hit component (the module docstring's contract: ln() is
+    # libm-dependent, so the correction lives outside the exact part).
+    for n in (200, 1000, 5000):
+        row = hll_distinct(_df(spark, range(n)), ["g"], "k").collect()[0]
+        est = row["est_distinct"]
+        if est <= 2.5 * M_BUCKETS and row["n_hit"] < M_BUCKETS:
+            est = M_BUCKETS * math.log(M_BUCKETS / (M_BUCKETS - row["n_hit"]))
+        assert abs(est - n) / n < 0.26, (n, est)
+
+
+def test_hll_partitioning_invariance(spark):
+    keys = list(range(1, 2000, 3))
+    one = hll_distinct(_df(spark, keys).repartition(1), ["g"], "k").collect()[0]
+    many = hll_distinct(_df(spark, keys).repartition(16), ["g"], "k").collect()[0]
+    assert (one["s_scaled"], one["est_distinct"]) == (
+        many["s_scaled"],
+        many["est_distinct"],
+    )
+
+
+def test_hll_grouped(spark):
+    rows = [("a", k) for k in range(100)] + [("b", k) for k in range(40)]
+    df = spark.createDataFrame(rows, "g string, k long")
+    got = {r["g"]: r for r in hll_distinct(df, ["g"], "k").collect()}
+    for grp, keys in (("a", range(100)), ("b", range(40))):
+        n_hit, s, est = _ref_hll(keys)
+        assert (got[grp]["n_hit"], got[grp]["s_scaled"], got[grp]["est_distinct"]) == (
+            n_hit,
+            s,
+            est,
+        )
+
+
+def test_hll_plan_is_jvm_only(spark):
+    plan = (
+        hll_distinct(_df(spark, range(50)), ["g"], "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "BatchEvalPython" not in plan
