@@ -1636,6 +1636,25 @@ def q69_hll_distinct(spark, sf_dir):
     return est.join(exact, "event_type").orderBy("event_type")
 
 
+def q70_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min frequency sketch (functions/sketch.py): estimate the
+    event counts of the top-20 users from the d=4 x w=1024 counter
+    sketch and compare with the exact counts in the same row.  Pure
+    integer arithmetic — unlike HLL's IEEE estimator, even the
+    ESTIMATES are oracle-exact; the one-sided error bound
+    (cms_n >= exact_n) is visible in the output."""
+    from fscrawler_spark.functions.sketch import cms_build, cms_estimate
+
+    e = _load(spark, sf_dir, "events")
+    sketch = cms_build(e, "user_id")
+    exact = e.groupBy("user_id").agg(F.count("*").cast("long").alias("exact_n"))
+    top = exact.orderBy(F.col("exact_n").desc(), F.col("user_id").asc()).limit(20)
+    est = cms_estimate(sketch, top.select("user_id"), "user_id")
+    return top.join(est, "user_id").orderBy(
+        F.col("exact_n").desc(), F.col("user_id").asc()
+    )
+
+
 def q23_cube_rollup(spark, sf_dir):
     """Grouping sets — cube over two dims with exact decimal sums
     (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
@@ -1911,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_kmeans_sq8": q67_kmeans_sq8,
         "q68_bigram_lm_score": q68_bigram_lm_score,
         "q69_hll_distinct": q69_hll_distinct,
+        "q70_cms_heavy_hitters": q70_cms_heavy_hitters,
     }
 
 
@@ -3296,6 +3316,34 @@ def oracle_sql() -> dict[str, str]:
                    {_hll_estimate_sql('s_scaled')} AS est_distinct,
                    exact_distinct
             FROM fin JOIN ex USING (event_type) ORDER BY event_type
+        """,
+        # q70: the d=4 row hashes restated via the '0x' cast; updates,
+        # counters, and the min-over-rows point query are all integer,
+        # so even the sketch ESTIMATES hash-match.
+        "q70_cms_heavy_hitters": r"""
+            WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+            ex AS (SELECT user_id, count(*)::BIGINT AS exact_n
+                   FROM events GROUP BY 1),
+            top AS (SELECT user_id, exact_n FROM ex
+                    ORDER BY exact_n DESC, user_id ASC LIMIT 20),
+            occ AS (
+              SELECT j,
+                     CAST(concat('0x',
+                            substr(md5(j::VARCHAR || ':' || user_id::VARCHAR),
+                                   1, 8)) AS BIGINT) % 1024 AS idx
+              FROM events, js),
+            sk AS (SELECT j, idx, count(*)::BIGINT AS c
+                   FROM occ GROUP BY 1, 2),
+            pr AS (
+              SELECT t.user_id, t.exact_n, j,
+                     CAST(concat('0x',
+                            substr(md5(j::VARCHAR || ':' || t.user_id::VARCHAR),
+                                   1, 8)) AS BIGINT) % 1024 AS idx
+              FROM top t, js)
+            SELECT pr.user_id, pr.exact_n,
+                   min(coalesce(sk.c, 0))::BIGINT AS cms_n
+            FROM pr LEFT JOIN sk USING (j, idx)
+            GROUP BY 1, 2 ORDER BY exact_n DESC, user_id ASC
         """,
         # q38: q15's pair derivation, then connected components as a
         # recursive-CTE transitive closure (UNION dedups, so it

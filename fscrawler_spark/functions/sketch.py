@@ -129,3 +129,74 @@ def hll_finalize(sketch: DataFrame, group_cols: list[str]) -> DataFrame:
 def hll_distinct(df: DataFrame, group_cols: list[str], key_col: str) -> DataFrame:
     """One-shot grouped approximate count-distinct: sketch + finalize."""
     return hll_finalize(hll_sketch(df, group_cols, key_col), group_cols)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — frequency estimation.
+#
+# The heavy-hitters companion to HLL: bounded-size frequency counts for
+# an unbounded key domain (which hosts dominate the frontier, which
+# n-grams dominate the corpus) without a per-key counter table.  Unlike
+# HLL's estimator there is no floating point anywhere: updates are
+# counter increments, the point query is min() over d counters — every
+# value is int64, so estimates are oracle-exact outright, and the
+# one-sided error guarantee (est >= true; est <= true + eps*N w.h.p.)
+# is pytest-assertable.
+#
+# depth d=4 rows, width w=1024 counters: md5(j || ':' || key) gives d
+# independent row hashes from the one md5 the engines share; the
+# sketch is at most d*w rows however many distinct keys exist.  Merge
+# = union + per-(row, idx) SUM (counters are additive), the same
+# mergeability argument as hll_merge.
+# ---------------------------------------------------------------------------
+
+CMS_D = 4
+CMS_W = 1024
+
+
+def _cms_idx(key_col: str, j: int):
+    h = F.md5(F.concat(F.lit(f"{j}:"), F.col(key_col).cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % CMS_W).alias("idx")
+
+
+def cms_build(df: DataFrame, key_col: str) -> DataFrame:
+    """Build the sketch from key occurrences: (row_j, idx, c) — at most
+    d*w rows.  One explode to d rows per occurrence, then a map-side-
+    combined count keyed on (row_j, idx): the exchange moves at most
+    d*w rows per upstream partition regardless of input size."""
+    rows = [
+        df.select(F.lit(j).cast("int").alias("row_j"), _cms_idx(key_col, j))
+        for j in range(CMS_D)
+    ]
+    u = rows[0]
+    for r in rows[1:]:
+        u = u.unionByName(r)
+    return u.groupBy("row_j", "idx").agg(F.count("*").cast("long").alias("c"))
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two sketches: counters are additive."""
+    return (
+        a.unionByName(b).groupBy("row_j", "idx").agg(F.sum("c").cast("long").alias("c"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
+    """Point-query a set of keys: est = min over the d rows of the
+    counter at (j, idx_j(key)).  The d-row probe side is |keys|*d rows;
+    the sketch side is <= d*w rows — broadcast it."""
+    probes = [
+        keys.select(key_col, F.lit(j).cast("int").alias("row_j"), _cms_idx(key_col, j))
+        for j in range(CMS_D)
+    ]
+    u = probes[0]
+    for p in probes[1:]:
+        u = u.unionByName(p)
+    return (
+        u.join(F.broadcast(sketch), ["row_j", "idx"], "left")
+        .groupBy(key_col)
+        # An absent counter cell IS zero — a never-seen key whose cell
+        # no occurrence touched must estimate 0, so the join is LEFT
+        # and nulls coalesce before the min.
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cms_n"))
+    )

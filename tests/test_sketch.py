@@ -103,3 +103,80 @@ def test_hll_plan_is_jvm_only(spark):
         .toString()
     )
     assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+# --- Count-Min sketch ------------------------------------------------------
+
+from fscrawler_spark.functions.sketch import (  # noqa: E402
+    CMS_D,
+    CMS_W,
+    cms_build,
+    cms_estimate,
+    cms_merge,
+)
+
+
+def _ref_cms(keys):
+    """Pure-python CMS with the same d hashes."""
+    counters = {}
+    for k in keys:
+        for j in range(CMS_D):
+            h = hashlib.md5(f"{j}:{k}".encode()).hexdigest()
+            idx = int(h[0:8], 16) % CMS_W
+            counters[(j, idx)] = counters.get((j, idx), 0) + 1
+    return counters
+
+
+def _ref_cms_est(counters, k):
+    return min(
+        counters.get(
+            (j, int(hashlib.md5(f"{j}:{k}".encode()).hexdigest()[0:8], 16) % CMS_W),
+            0,
+        )
+        for j in range(CMS_D)
+    )
+
+
+def test_cms_matches_pure_python(spark):
+    keys = [i % 37 for i in range(500)] + [7] * 50  # skewed multiset
+    df = _df(spark, keys)
+    sketch = cms_build(df, "k")
+    got = {(r["row_j"], r["idx"]): r["c"] for r in sketch.collect()}
+    assert got == _ref_cms(keys)
+    qk = spark.createDataFrame([(k,) for k in range(40)], "k long")
+    est = {r["k"]: r["cms_n"] for r in cms_estimate(sketch, qk, "k").collect()}
+    ref = _ref_cms(keys)
+    for k in range(40):
+        assert est[k] == _ref_cms_est(ref, k)
+
+
+def test_cms_never_underestimates(spark):
+    from collections import Counter
+
+    keys = [i % 101 for i in range(3000)]
+    true = Counter(keys)
+    sketch = cms_build(_df(spark, keys), "k")
+    qk = spark.createDataFrame([(k,) for k in true], "k long")
+    for r in cms_estimate(sketch, qk, "k").collect():
+        assert r["cms_n"] >= true[r["k"]]
+
+
+def test_cms_merge_equals_build_of_concat(spark):
+    a, b = [i % 11 for i in range(200)], [i % 17 for i in range(300)]
+    merged = cms_merge(cms_build(_df(spark, a), "k"), cms_build(_df(spark, b), "k"))
+    whole = cms_build(_df(spark, a + b), "k")
+    got = {(r["row_j"], r["idx"]): r["c"] for r in merged.collect()}
+    want = {(r["row_j"], r["idx"]): r["c"] for r in whole.collect()}
+    assert got == want
+
+
+def test_cms_plan_is_jvm_only(spark):
+    df = _df(spark, range(50))
+    sketch = cms_build(df, "k")
+    plan = (
+        cms_estimate(sketch, df.select("k").distinct(), "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "BatchEvalPython" not in plan
