@@ -221,3 +221,77 @@ def run_to_parquet(
     )
     q.awaitTermination(timeout_sec)
     return q
+
+
+def _latest_sketch_version(spark, state_dir: str, below: int):
+    """Newest committed sketch version with batch id < ``below``
+    (replays of batch b must re-merge from b's own predecessor)."""
+    import os
+
+    if not os.path.isdir(state_dir):
+        return None
+    vs = [
+        int(d[1:])
+        for d in os.listdir(state_dir)
+        if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < below
+    ]
+    if not vs:
+        return None
+    return os.path.join(state_dir, f"v{max(vs):09d}")
+
+
+def maintain_sketch_stream(
+    stream_df: DataFrame,
+    build_fn,
+    merge_fn,
+    state_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 180,
+):
+    """Incrementally maintain a mergeable sketch (functions/sketch.py
+    HLL or CMS) over a stream via foreachBatch: build the micro-batch's
+    bounded sketch, merge it with the previous state, write a NEW
+    versioned state directory named by the batch id.
+
+    Mergeability is the whole point — the merged state equals the
+    batch sketch of everything seen (pytest-proved), so a 10^10-row
+    stream never re-aggregates history: each trigger touches only its
+    own rows plus the bounded state.  Versioned-by-batch-id writes
+    make replays idempotent: a retried batch b re-merges from b's own
+    predecessor and overwrites v{b}, never double-counting.
+
+    build_fn(batch_df) -> sketch frame; merge_fn(prev, cur) -> sketch
+    frame (e.g. partial(cms_build, key_col='k') with cms_merge, or
+    hll_sketch with hll_merge).
+    """
+    import os
+
+    spark = stream_df.sparkSession
+
+    def _update(batch_df, batch_id):
+        sk = build_fn(batch_df)
+        prev = _latest_sketch_version(spark, state_dir, below=batch_id)
+        if prev is not None:
+            sk = merge_fn(spark.read.parquet(prev), sk)
+        (
+            sk.coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(state_dir, f"v{batch_id:09d}"))
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return q
+
+
+def read_sketch_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The newest committed sketch state."""
+    path = _latest_sketch_version(spark, state_dir, below=1 << 62)
+    if path is None:
+        raise FileNotFoundError(f"no sketch state under {state_dir}")
+    return spark.read.parquet(path)

@@ -164,3 +164,75 @@ def test_checkpointed_parquet_sink_exactly_once(spark, pages_dir, tiny, tmp_path
     final = spark.read.parquet(out)
     assert final.count() == 200
     assert final.select("url").distinct().count() == 200  # no dups
+
+
+def test_streaming_sketch_maintenance_matches_batch(spark, tmp_path):
+    """Incremental HLL and CMS maintenance over a multi-batch stream
+    equals the one-shot batch sketch of all rows — the mergeability
+    contract, end-to-end through foreachBatch versioned state."""
+    from functools import partial
+
+    from fscrawler_spark.functions.sketch import (
+        cms_build,
+        cms_merge,
+        hll_finalize,
+        hll_merge,
+        hll_sketch,
+    )
+    from fscrawler_spark.streaming.pipeline import (
+        maintain_sketch_stream,
+        read_sketch_state,
+    )
+
+    src = str(tmp_path / "rows")
+    all_rows = [("g", (i * 7) % 400) for i in range(1200)]
+    # Four separate files -> four micro-batches at maxFilesPerTrigger=1.
+    for part in range(4):
+        spark.createDataFrame(
+            all_rows[part * 300 : (part + 1) * 300], "g string, k long"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    batch_df = spark.createDataFrame(all_rows, "g string, k long")
+
+    stream = (
+        spark.readStream.schema("g string, k long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    maintain_sketch_stream(
+        stream,
+        partial(hll_sketch, group_cols=["g"], key_col="k"),
+        partial(hll_merge, group_cols=["g"]),
+        str(tmp_path / "hll_state"),
+        str(tmp_path / "hll_ckpt"),
+    )
+    got = hll_finalize(
+        read_sketch_state(spark, str(tmp_path / "hll_state")), ["g"]
+    ).collect()[0]
+    want = hll_finalize(hll_sketch(batch_df, ["g"], "k"), ["g"]).collect()[0]
+    assert (got["n_hit"], got["s_scaled"], got["est_distinct"]) == (
+        want["n_hit"],
+        want["s_scaled"],
+        want["est_distinct"],
+    )
+
+    stream2 = (
+        spark.readStream.schema("g string, k long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    maintain_sketch_stream(
+        stream2,
+        partial(cms_build, key_col="k"),
+        cms_merge,
+        str(tmp_path / "cms_state"),
+        str(tmp_path / "cms_ckpt"),
+    )
+    got_cms = {
+        (r["row_j"], r["idx"]): r["c"]
+        for r in read_sketch_state(spark, str(tmp_path / "cms_state")).collect()
+    }
+    want_cms = {
+        (r["row_j"], r["idx"]): r["c"] for r in cms_build(batch_df, "k").collect()
+    }
+    assert got_cms == want_cms
