@@ -24,6 +24,10 @@ from fscrawler_spark.functions.sketch import (
     hll_estimate_sql as _hll_estimate_sql,
     hll_rho_sql as _hll_rho_sql,
 )
+from fscrawler_spark.metrics import (
+    hist_bin_sql as _hist_bin_sql,
+    hist_mid_sql as _hist_mid_sql,
+)
 
 _T = ["region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings"]
@@ -1655,6 +1659,21 @@ def q70_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+def q71_hist_quantiles(spark, sf_dir):
+    """Histogram quantiles (metrics.histogram_quantiles): the
+    global-profile scale path q49's exact percentile defers to —
+    fixed-width bins + integer cumulative thresholds (cum*den >=
+    n*num), the input collapsing to <= n_bins rows per group before
+    any window runs.  Bin texts and midpoints are shared verbatim
+    with the oracle."""
+    from fscrawler_spark.metrics import histogram_quantiles
+
+    e = _load(spark, sf_dir, "events")
+    return histogram_quantiles(
+        e, "event_type", "value", lo=0.0, hi=1000.0, n_bins=200
+    ).orderBy("event_type")
+
+
 def q23_cube_rollup(spark, sf_dir):
     """Grouping sets — cube over two dims with exact decimal sums
     (SURVEY §2.4 note: free in Catalyst, exposed as an operator)."""
@@ -1931,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_bigram_lm_score": q68_bigram_lm_score,
         "q69_hll_distinct": q69_hll_distinct,
         "q70_cms_heavy_hitters": q70_cms_heavy_hitters,
+        "q71_hist_quantiles": q71_hist_quantiles,
     }
 
 
@@ -3344,6 +3364,37 @@ def oracle_sql() -> dict[str, str]:
                    min(coalesce(sk.c, 0))::BIGINT AS cms_n
             FROM pr LEFT JOIN sk USING (j, idx)
             GROUP BY 1, 2 ORDER BY exact_n DESC, user_id ASC
+        """,
+        # q71: the same shared bin/midpoint texts (module functions
+        # spliced verbatim); cumulative thresholds are the integer
+        # comparisons cum*den >= n*num, so bins are engine-exact and
+        # the midpoints are one shared IEEE expression.
+        "q71_hist_quantiles": f"""
+            WITH b AS (
+              SELECT event_type,
+                     {_hist_bin_sql('value', 0.0, 1000.0, 200)} AS bin
+              FROM events WHERE value IS NOT NULL),
+            bc AS (SELECT event_type, bin, count(*)::BIGINT AS c
+                   FROM b GROUP BY 1, 2),
+            cw AS (SELECT event_type, bin,
+                          sum(c) OVER (PARTITION BY event_type
+                                       ORDER BY bin)::BIGINT AS cum,
+                          sum(c) OVER (PARTITION BY event_type)::BIGINT AS n
+                   FROM bc),
+            ag AS (SELECT event_type,
+                          max(n)::BIGINT AS n,
+                          min(CASE WHEN cum * 2 >= n * 1 THEN bin END)::BIGINT
+                            AS p50_bin,
+                          min(CASE WHEN cum * 10 >= n * 9 THEN bin END)::BIGINT
+                            AS p90_bin,
+                          min(CASE WHEN cum * 100 >= n * 99 THEN bin END)::BIGINT
+                            AS p99_bin
+                   FROM cw GROUP BY 1)
+            SELECT event_type, n,
+                   p50_bin, {_hist_mid_sql('p50_bin', 0.0, 1000.0, 200)} AS p50_mid,
+                   p90_bin, {_hist_mid_sql('p90_bin', 0.0, 1000.0, 200)} AS p90_mid,
+                   p99_bin, {_hist_mid_sql('p99_bin', 0.0, 1000.0, 200)} AS p99_mid
+            FROM ag ORDER BY event_type
         """,
         # q38: q15's pair derivation, then connected components as a
         # recursive-CTE transitive closure (UNION dedups, so it

@@ -186,3 +186,87 @@ def distribution_profile(
             F.percentile(value_col, q).alias(f"p{int(q * 100):02d}")
         )
     return df.groupBy(group_col).agg(*aggs)
+
+
+def hist_bin_sql(expr: str, lo: float, hi: float, n_bins: int) -> str:
+    """SQL text for the fixed-width histogram bin of ``expr`` over
+    [lo, hi): floor((x - lo) / width) clamped to [0, n_bins-1].  All
+    literals carry e0 exponents (bare decimals parse as DECIMAL on
+    both Spark and DuckDB — the functions/sketch.py lesson), floor is
+    unambiguous on IEEE doubles, so the SAME text bins identically on
+    both engines (the functions/layout.py shared-text device)."""
+    l, h = f"{float(lo)!r}e0", f"{float(hi)!r}e0"
+    w = f"(({h} - {l}) / {int(n_bins)}.0e0)"
+    raw = f"CAST(floor(({expr} - {l}) / {w}) AS BIGINT)"
+    return f"LEAST({int(n_bins) - 1}, GREATEST(0, {raw}))"
+
+
+def hist_mid_sql(bin_expr: str, lo: float, hi: float, n_bins: int) -> str:
+    """SQL text for a bin's midpoint value — the representative the
+    histogram quantile reports; same shared-text discipline."""
+    l, h = f"{float(lo)!r}e0", f"{float(hi)!r}e0"
+    w = f"(({h} - {l}) / {int(n_bins)}.0e0)"
+    return f"({l} + (CAST({bin_expr} AS DOUBLE) + 0.5e0) * {w})"
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    qs=((1, 2), (9, 10), (99, 100)),
+) -> DataFrame:
+    """Histogram (fixed-bin) quantiles — the GLOBAL-profile scale path
+    that distribution_profile's docstring defers to percentile_approx
+    for, except oracle-checkable: Spark's approx sketch is
+    engine-opaque, while a fixed-width histogram is pure relational
+    algebra whose every step is engine-exact.
+
+    The q-quantile is resolved to type-1 (lower) semantics on the
+    binned domain: the smallest bin whose cumulative count reaches
+    ceil(q*n), with q = num/den rational so the threshold test is the
+    INTEGER comparison cum*den >= n*num — no ceil(), no floats.  The
+    reported midpoint is within half a bin width of any true
+    q-quantile by construction (pytest-bounded against the exact
+    percentile).
+
+    Scale: the input collapses to at most n_bins rows per group at the
+    first map-side-combined aggregate; the cumsum window orders those
+    n_bins rows, never the raw values (the q63 collapsed-domain
+    discipline) — vs the exact percentile's full per-group sort.  NULL
+    values are excluded (the ANSI aggregate convention); out-of-range
+    values clamp to the edge bins.
+    """
+    from pyspark.sql import Window
+
+    b = df.where(F.col(value_col).isNotNull()).select(
+        group_col, F.expr(hist_bin_sql(value_col, lo, hi, n_bins)).alias("bin")
+    )
+    binc = b.groupBy(group_col, "bin").agg(F.count("*").alias("c"))
+    w_cum = Window.partitionBy(group_col).orderBy("bin")
+    w_all = Window.partitionBy(group_col)
+    cum = binc.select(
+        group_col,
+        "bin",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    aggs = [F.max("n").cast("long").alias("n")]
+    for num, den in qs:
+        p = 100 * num // den
+        cond = F.when(
+            F.col("cum") * F.lit(den) >= F.col("n") * F.lit(num), F.col("bin")
+        )
+        aggs.append(F.min(cond).cast("long").alias(f"p{p:02d}_bin"))
+    res = cum.groupBy(group_col).agg(*aggs)
+    cols = [group_col, "n"]
+    for num, den in qs:
+        p = 100 * num // den
+        cols.append(f"p{p:02d}_bin")
+        res = res.withColumn(
+            f"p{p:02d}_mid", F.expr(hist_mid_sql(f"p{p:02d}_bin", lo, hi, n_bins))
+        )
+        cols.append(f"p{p:02d}_mid")
+    return res.select(*cols)

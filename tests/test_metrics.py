@@ -144,3 +144,59 @@ def test_gini_identity_reference(spark):
     assert out["uni"] == 0
     want = pairwise([17, 1, 1, 1])
     assert abs(out["skew"] / 1_000_000 - want) < 1e-4
+
+
+def test_histogram_quantiles_reference(spark):
+    """Pure-python type-1 binned quantile parity + the half-bin-width
+    accuracy bound against the true (unbinned) quantile."""
+    import hashlib
+    import math
+
+    from fscrawler_spark.metrics import histogram_quantiles
+
+    lo, hi, n_bins = 0.0, 100.0, 50
+    vals = [
+        (int(hashlib.md5(f"v{i}".encode()).hexdigest()[:8], 16) % 10_000) / 100.0
+        for i in range(800)
+    ]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, value double")
+    row = histogram_quantiles(df, "g", "value", lo, hi, n_bins).collect()[0]
+
+    width = (hi - lo) / n_bins
+    bins = sorted(min(n_bins - 1, max(0, int(math.floor((v - lo) / width)))) for v in vals)
+    n = len(bins)
+    for num, den, name in ((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99")):
+        want_bin = bins[math.ceil(n * num / den) - 1]  # type-1 on the binned domain
+        assert row[f"{name}_bin"] == want_bin
+        true_q = sorted(vals)[math.ceil(n * num / den) - 1]
+        assert abs(row[f"{name}_mid"] - true_q) <= width / 2 + 1e-9
+
+
+def test_histogram_quantiles_clamps_and_nulls(spark):
+    from fscrawler_spark.metrics import histogram_quantiles
+
+    rows = [("g", -5.0), ("g", 0.0), ("g", 99.99), ("g", 250.0), ("g", None)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    row = histogram_quantiles(df, "g", "value", 0.0, 100.0, 10).collect()[0]
+    assert row["n"] == 4  # NULL excluded
+    assert row["p99_bin"] == 9  # 250.0 clamped into the top bin
+
+
+def test_histogram_quantiles_plan_is_jvm_only(spark):
+    from fscrawler_spark.metrics import histogram_quantiles
+
+    df = spark.createDataFrame([("g", float(i)) for i in range(50)], "g string, value double")
+    plan = (
+        histogram_quantiles(df, "g", "value", 0.0, 50.0, 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    # Exactly two hash exchanges, BOTH post-aggregation-tiny: the
+    # (group, bin) count shuffles map-side-combined partials (at most
+    # n_bins rows per upstream partition), then the window re-keys
+    # those <= n_bins-per-group rows on the group alone.  Shuffling the
+    # raw input once on the group instead would move every row AND
+    # funnel each group through one task — two tiny beats one huge.
+    assert plan.count("Exchange hashpartitioning") == 2
