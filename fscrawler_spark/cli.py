@@ -229,8 +229,45 @@ def cmd_text(args: argparse.Namespace) -> None:
         out = corpus_prep(
             df, args.id_col, args.text_col, args.fraction, salt=args.salt
         )
+    elif args.op == "lmscore":
+        from fscrawler_spark.operators.textsearch import ngram_lm_scores
+
+        out = ngram_lm_scores(df, args.id_col, args.text_col)
     else:
         sys.exit(f"unknown text op: {args.op}")
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"op": args.op, "rows": out.count(), "out": args.out}))
+    else:
+        out.show(20, truncate=False)
+        print(json.dumps({"op": args.op, "rows": out.count()}))
+
+
+def cmd_profile(args: argparse.Namespace) -> None:
+    """Distribution/cardinality profiling over any parquet — the CLI
+    face of the sketch + histogram family: grouped HyperLogLog
+    distinct estimates (engine-exact sketch, functions/sketch.py),
+    a Count-Min frequency sketch (the bounded counter table itself —
+    the mergeable state a heavy-hitters consumer probes), or
+    fixed-bin histogram quantiles (metrics.histogram_quantiles)."""
+    spark = get_spark("fscrawler_profile", cores=args.cores)
+    df = spark.read.parquet(args.input)
+    if args.op == "hll":
+        from fscrawler_spark.functions.sketch import hll_distinct
+
+        out = hll_distinct(df, [args.group_col], args.key_col)
+    elif args.op == "cms":
+        from fscrawler_spark.functions.sketch import cms_build
+
+        out = cms_build(df, args.key_col)
+    elif args.op == "quantiles":
+        from fscrawler_spark.metrics import histogram_quantiles
+
+        out = histogram_quantiles(
+            df, args.group_col, args.value_col, args.lo, args.hi, args.bins
+        )
+    else:
+        sys.exit(f"unknown profile op: {args.op}")
     if args.out:
         out.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"op": args.op, "rows": out.count(), "out": args.out}))
@@ -328,7 +365,8 @@ def main(argv: list[str] | None = None) -> None:
     )
     t.add_argument("--input", required=True)
     t.add_argument("--op", default="prep",
-                   choices=["winnow", "classify", "collocations", "prep"])
+                   choices=["winnow", "classify", "collocations", "prep",
+                            "lmscore"])
     t.add_argument("--id-col", default="doc_id")
     t.add_argument("--text-col", default="text")
     t.add_argument("--topk", type=int, default=50)
@@ -336,6 +374,22 @@ def main(argv: list[str] | None = None) -> None:
     t.add_argument("--salt", default="corpusv1")
     t.add_argument("--out")
     t.set_defaults(fn=cmd_text)
+
+    pf = sub.add_parser(
+        "profile",
+        help="sketch/histogram profiling (hll/cms/quantiles) over any parquet",
+    )
+    pf.add_argument("--input", required=True)
+    pf.add_argument("--op", default="quantiles",
+                    choices=["hll", "cms", "quantiles"])
+    pf.add_argument("--group-col", default="event_type")
+    pf.add_argument("--key-col", default="user_id")
+    pf.add_argument("--value-col", default="value")
+    pf.add_argument("--lo", type=float, default=0.0)
+    pf.add_argument("--hi", type=float, default=1000.0)
+    pf.add_argument("--bins", type=int, default=200)
+    pf.add_argument("--out")
+    pf.set_defaults(fn=cmd_profile)
 
     m = sub.add_parser(
         "media",

@@ -154,3 +154,44 @@ def test_cli_text_ops(tmp_path):
             f"SELECT count(*) FROM read_parquet('{out}/*.parquet')"
         ).fetchone()[0]
         assert n == payload["rows"]
+
+
+def test_cli_profile_ops(tmp_path):
+    """`profile` subcommand drives hll/cms/quantiles end-to-end from a
+    fresh process, and `text --op lmscore` rides the same surface."""
+    import json as _json
+    import subprocess
+    import sys
+
+    import duckdb
+
+    for op, extra, min_rows in [
+        ("hll", [], 1),
+        ("cms", [], 30),  # sf0.001 has 15 distinct users -> <= 60 cells
+        ("quantiles", ["--lo", "0.0", "--hi", "1000.0", "--bins", "100"], 1),
+    ]:
+        out = tmp_path / f"profile_{op}"
+        r = subprocess.run(
+            [sys.executable, "-m", "fscrawler_spark.cli", "--cores", "4",
+             "profile", "--input", "/root/testdata/sf0.001/events.parquet",
+             "--op", op, "--out", str(out), *extra],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        payload = _json.loads(r.stdout.strip().splitlines()[-1])
+        assert payload["rows"] >= min_rows, (op, payload)
+        n = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{out}/*.parquet')"
+        ).fetchone()[0]
+        assert n == payload["rows"]
+
+    out = tmp_path / "text_lmscore"
+    r = subprocess.run(
+        [sys.executable, "-m", "fscrawler_spark.cli", "--cores", "4",
+         "text", "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--op", "lmscore", "--out", str(out)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert payload["rows"] >= 40, payload
