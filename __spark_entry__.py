@@ -1659,6 +1659,33 @@ def q70_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+def q72_bloom_membership(spark, sf_dir):
+    """Relational Bloom filter (functions/sketch.py): build the
+    65536-bit filter over purchasing users, probe EVERY user, and
+    cross-tabulate verdict vs truth — the no-false-negative cell
+    (maybe_present=false, actual=true) is absent by construction, and
+    because the exact bit pattern is engine-shared the false-positive
+    count itself hash-matches the oracle."""
+    from fscrawler_spark.functions.sketch import bloom_build, bloom_contains
+
+    e = _load(spark, sf_dir, "events")
+    buyers = (
+        e.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    bloom = bloom_build(buyers, "user_id")
+    probed = bloom_contains(bloom, e.select("user_id").distinct(), "user_id")
+    res = probed.join(
+        buyers.withColumn("actual", F.lit(True)), "user_id", "left"
+    ).select(
+        "maybe_present", F.coalesce("actual", F.lit(False)).alias("actual")
+    )
+    return (
+        res.groupBy("maybe_present", "actual")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("maybe_present", "actual")
+    )
+
+
 def q71_hist_quantiles(spark, sf_dir):
     """Histogram quantiles (metrics.histogram_quantiles): the
     global-profile scale path q49's exact percentile defers to —
@@ -1951,6 +1978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_hll_distinct": q69_hll_distinct,
         "q70_cms_heavy_hitters": q70_cms_heavy_hitters,
         "q71_hist_quantiles": q71_hist_quantiles,
+        "q72_bloom_membership": q72_bloom_membership,
     }
 
 
@@ -3395,6 +3423,48 @@ def oracle_sql() -> dict[str, str]:
                    p90_bin, {_hist_mid_sql('p90_bin', 0.0, 1000.0, 200)} AS p90_mid,
                    p99_bin, {_hist_mid_sql('p99_bin', 0.0, 1000.0, 200)} AS p99_mid
             FROM ag ORDER BY event_type
+        """,
+        # q72: the same md5 positions via the '0x' cast; 32-bit word
+        # packing keeps every shift sign-safe (DuckDB range-checks
+        # 1::BIGINT << 63), so the exact bit pattern — and the false
+        # positives it implies — matches bit-for-bit.
+        "q72_bloom_membership": r"""
+            WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+            buyers AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'purchase'),
+            bp AS (
+              SELECT user_id,
+                     CAST(concat('0x',
+                            substr(md5('b' || j::VARCHAR || ':'
+                                       || user_id::VARCHAR), 1, 8))
+                          AS BIGINT) % 65536 AS pos
+              FROM buyers, js),
+            bl AS (SELECT pos // 32 AS word,
+                          bit_or(1::BIGINT << CAST(pos % 32 AS INT))::BIGINT
+                            AS bits
+                   FROM bp GROUP BY 1),
+            allu AS (SELECT DISTINCT user_id FROM events),
+            pp AS (
+              SELECT user_id,
+                     CAST(concat('0x',
+                            substr(md5('b' || j::VARCHAR || ':'
+                                       || user_id::VARCHAR), 1, 8))
+                          AS BIGINT) % 65536 AS pos
+              FROM allu, js),
+            pb AS (SELECT user_id, pos // 32 AS word,
+                          1::BIGINT << CAST(pos % 32 AS INT) AS b
+                   FROM pp),
+            hit AS (SELECT pb.user_id,
+                           CASE WHEN (coalesce(bl.bits, 0) & pb.b) = pb.b
+                                THEN 1 ELSE 0 END AS hit
+                    FROM pb LEFT JOIN bl USING (word)),
+            mp AS (SELECT user_id, min(hit) = 1 AS maybe_present
+                   FROM hit GROUP BY 1),
+            res AS (SELECT mp.maybe_present,
+                           (b.user_id IS NOT NULL) AS actual
+                    FROM mp LEFT JOIN buyers b USING (user_id))
+            SELECT maybe_present, actual, count(*)::BIGINT AS n
+            FROM res GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # q38: q15's pair derivation, then connected components as a
         # recursive-CTE transitive closure (UNION dedups, so it

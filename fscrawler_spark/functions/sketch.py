@@ -200,3 +200,95 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
         # and nulls coalesce before the min.
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cms_n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — set membership, completing the sketch family trio
+# (HLL = how many distinct, CMS = how often, Bloom = is it there).
+#
+# The crawl engine's seen-set prefilter (operators/dedup.py) builds
+# Spark's own BloomFilter through the JVM aggregate — fast, but its
+# bit layout is engine-private.  This relational form trades a
+# constant factor for verifiability: the filter IS a (word, bits)
+# DataFrame built with bit_or, every position derived from the one
+# md5 both engines share, so the exact bit pattern — and therefore
+# every membership verdict INCLUDING the false positives — is
+# reproducible cross-engine and oracle-checkable.
+#
+# k=4 hashes; m = 65536 bits packed 32 per int64 word (2048 rows max).
+# 32-bit packing is deliberate: DuckDB range-checks left shifts into
+# the BIGINT sign bit (1::BIGINT << 63 errors), so sign-safe words
+# keep one arithmetic for both engines.  Merge = per-word bit_or
+# (set union), the same mergeability as the other two sketches.
+# ---------------------------------------------------------------------------
+
+BLOOM_K = 4
+BLOOM_BITS = 65536
+_BLOOM_WORD_BITS = 32
+
+
+def _bloom_pos(key_col: str, j: int):
+    h = F.md5(F.concat(F.lit(f"b{j}:"), F.col(key_col).cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % BLOOM_BITS).alias(
+        "pos"
+    )
+
+
+def bloom_build(df: DataFrame, key_col: str) -> DataFrame:
+    """Build the filter: (word, bits) with bits the OR of 1 << (pos %
+    32) over every key's k positions — at most m/32 rows however many
+    keys went in."""
+    rows = [df.select(_bloom_pos(key_col, j)) for j in range(BLOOM_K)]
+    u = rows[0]
+    for r in rows[1:]:
+        u = u.unionByName(r)
+    return (
+        u.select(
+            F.expr(f"pos DIV {_BLOOM_WORD_BITS}").alias("word"),
+            F.expr(
+                f"CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_WORD_BITS} AS INT)"
+            ).alias("b"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two filters: per-word OR (set union)."""
+    return a.unionByName(b).groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_contains(bloom: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
+    """Membership probe: a key is (possibly) present iff ALL k of its
+    bits are set; any clear — or absent word row — is a definite NO
+    (no false negatives, pytest-proved).  The probe side is |keys|*k
+    rows; the filter is <= m/32 rows — broadcast it."""
+    probes = [
+        keys.select(key_col, _bloom_pos(key_col, j)) for j in range(BLOOM_K)
+    ]
+    u = probes[0]
+    for p in probes[1:]:
+        u = u.unionByName(p)
+    u = u.select(
+        key_col,
+        F.expr(f"pos DIV {_BLOOM_WORD_BITS}").alias("word"),
+        F.expr(
+            f"CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_WORD_BITS} AS INT)"
+        ).alias("b"),
+    )
+    hit = (
+        u.join(F.broadcast(bloom), "word", "left")
+        .select(
+            key_col,
+            (
+                (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("b")))
+                == F.col("b")
+            )
+            .cast("int")
+            .alias("hit"),
+        )
+    )
+    return hit.groupBy(key_col).agg(
+        (F.min("hit") == 1).alias("maybe_present")
+    )

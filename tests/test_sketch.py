@@ -180,3 +180,78 @@ def test_cms_plan_is_jvm_only(spark):
         .toString()
     )
     assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+# --- Bloom filter ----------------------------------------------------------
+
+from fscrawler_spark.functions.sketch import (  # noqa: E402
+    BLOOM_BITS,
+    BLOOM_K,
+    bloom_build,
+    bloom_contains,
+    bloom_merge,
+)
+
+
+def _ref_bloom(keys):
+    words = {}
+    for k in keys:
+        for j in range(BLOOM_K):
+            h = hashlib.md5(f"b{j}:{k}".encode()).hexdigest()
+            pos = int(h[0:8], 16) % BLOOM_BITS
+            words[pos // 32] = words.get(pos // 32, 0) | (1 << (pos % 32))
+    return words
+
+
+def _ref_contains(words, k):
+    for j in range(BLOOM_K):
+        h = hashlib.md5(f"b{j}:{k}".encode()).hexdigest()
+        pos = int(h[0:8], 16) % BLOOM_BITS
+        if not words.get(pos // 32, 0) & (1 << (pos % 32)):
+            return False
+    return True
+
+
+def test_bloom_bit_pattern_matches_pure_python(spark):
+    keys = list(range(0, 900, 3))
+    got = {r["word"]: r["bits"] for r in bloom_build(_df(spark, keys), "k").collect()}
+    assert got == _ref_bloom(keys)
+
+
+def test_bloom_no_false_negatives_and_fp_parity(spark):
+    present = list(range(500))
+    bloom = bloom_build(_df(spark, present), "k")
+    probe = spark.createDataFrame([(k,) for k in range(2500)], "k long")
+    got = {r["k"]: r["maybe_present"] for r in bloom_contains(bloom, probe, "k").collect()}
+    for k in present:
+        assert got[k] is True  # no false negatives, ever
+    # Verdicts — including every false positive — match the reference
+    # bit-for-bit, because the bit pattern is deterministic.
+    ref = _ref_bloom(present)
+    for k in range(2500):
+        assert got[k] == _ref_contains(ref, k)
+    fp = sum(1 for k in range(500, 2500) if got[k])
+    # n=500, m=65536, k=4 -> theoretical fp ~ (1 - e^(-4*500/65536))^4 ~ 8e-7
+    assert fp / 2000 < 0.01, fp
+
+
+def test_bloom_merge_equals_build_of_union(spark):
+    a, b = list(range(300)), list(range(200, 600))
+    merged = bloom_merge(
+        bloom_build(_df(spark, a), "k"), bloom_build(_df(spark, b), "k")
+    )
+    whole = bloom_build(_df(spark, sorted(set(a) | set(b))), "k")
+    got = {r["word"]: r["bits"] for r in merged.collect()}
+    want = {r["word"]: r["bits"] for r in whole.collect()}
+    assert got == want
+
+
+def test_bloom_plan_is_jvm_only(spark):
+    df = _df(spark, range(50))
+    plan = (
+        bloom_contains(bloom_build(df, "k"), df.select("k").distinct(), "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "BatchEvalPython" not in plan
