@@ -1659,6 +1659,41 @@ def q70_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+def q73_anchor_rollup(spark, sf_dir):
+    """Anchor-text aggregation per link target
+    (operators/links.anchor_text_rollup) over the q42 synthetic link
+    graph, each link carrying a token of its SOURCE page as anchor —
+    in-degree, distinct-anchor count, and the deterministic top
+    anchor per target, all engine-exact."""
+    from fscrawler_spark.operators.links import anchor_text_rollup
+
+    d = _load(spark, sf_dir, "documents")
+    n = d.count()
+    w = Window.orderBy("doc_id")
+    nid = d.select(
+        (F.row_number().over(w) - 1).cast("long").alias("nid"),
+        F.split(
+            F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"
+        ).alias("toks"),
+    )
+    e = (
+        nid.select(
+            "nid",
+            "toks",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+        )
+        .select(
+            F.col("nid").alias("src"),
+            ((F.col("nid") * 31 + F.col("j") * 97) % n).alias("dst"),
+            F.coalesce(
+                F.get("toks", F.col("j") - 1), F.lit("none")
+            ).alias("anchor"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    return anchor_text_rollup(e, "dst", "anchor").orderBy("dst")
+
+
 def q72_bloom_membership(spark, sf_dir):
     """Relational Bloom filter (functions/sketch.py): build the
     65536-bit filter over purchasing users, probe EVERY user, and
@@ -1979,6 +2014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_cms_heavy_hitters": q70_cms_heavy_hitters,
         "q71_hist_quantiles": q71_hist_quantiles,
         "q72_bloom_membership": q72_bloom_membership,
+        "q73_anchor_rollup": q73_anchor_rollup,
     }
 
 
@@ -3465,6 +3501,34 @@ def oracle_sql() -> dict[str, str]:
                     FROM mp LEFT JOIN buyers b USING (user_id))
             SELECT maybe_present, actual, count(*)::BIGINT AS n
             FROM res GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # q73: the q42 edge derivation with a source-token anchor
+        # (DuckDB toks[j] is 1-based == Spark get(toks, j-1)); the top
+        # anchor's (count desc, anchor asc) order is total, so the
+        # winner is engine-exact.
+        "q73_anchor_rollup": r"""
+            WITH nid AS (
+              SELECT (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS nid,
+                     regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                                           '\s+') AS toks
+              FROM documents),
+            nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+            e AS (SELECT nid AS src,
+                         ((nid*31 + j*97) % nn.n)::BIGINT AS dst,
+                         coalesce(toks[j], 'none') AS anchor
+                  FROM nid, nn, (SELECT unnest([1, 2, 3]) AS j) js
+                  WHERE nid <> (nid*31 + j*97) % nn.n),
+            pa AS (SELECT dst, anchor, count(*)::BIGINT AS c
+                   FROM e GROUP BY 1, 2),
+            rk AS (SELECT dst, anchor, c,
+                          row_number() OVER (PARTITION BY dst
+                                             ORDER BY c DESC, anchor ASC) AS r,
+                          sum(c) OVER (PARTITION BY dst)::BIGINT AS in_degree,
+                          count(*) OVER (PARTITION BY dst)::BIGINT AS n_anchors
+                   FROM pa)
+            SELECT dst, in_degree, n_anchors,
+                   anchor AS top_anchor, c AS top_anchor_n
+            FROM rk WHERE r = 1 ORDER BY dst
         """,
         # q38: q15's pair derivation, then connected components as a
         # recursive-CTE transitive closure (UNION dedups, so it

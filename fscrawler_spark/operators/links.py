@@ -66,3 +66,50 @@ def expand_from_hrefs(fetched: DataFrame) -> DataFrame:
         F.col("_m.priority").alias("priority"),
         F.col("_m.seed_id").alias("seed_id"),
     )
+
+
+def anchor_text_rollup(
+    edges: DataFrame, dst_col: str = "dst", anchor_col: str = "anchor"
+) -> DataFrame:
+    """Anchor-text aggregation per link target — the link-text index a
+    crawl feeds to ranking/indexing (anchor terms describe the TARGET
+    better than its own page text; the classic web-search signal).
+    The reference scrapes hrefs but never aggregates them
+    (ContentProcessor pipeline stops at link expansion); a web-scale
+    tier always does.
+
+    Per target: in-degree, distinct anchor count, and the top anchor
+    by (count desc, anchor asc) — a total order, so the result is
+    deterministic and engine-exact.
+
+    Shape: one map-side-combined count on (dst, anchor) — the raw
+    edge volume collapses to the distinct-anchor domain before any
+    window — then one window pass keyed on dst computes the rank,
+    in-degree and anchor count together (three functions, one
+    partitioning).  The second exchange moves only the collapsed
+    rows.  Hot targets (the skew axis: every page links the homepage)
+    are bounded by their distinct-anchor vocabulary, not their
+    in-degree, exactly because the count collapses first.
+    """
+    from pyspark.sql import Window
+
+    pa = edges.groupBy(dst_col, anchor_col).agg(F.count("*").cast("long").alias("c"))
+    w_rk = Window.partitionBy(dst_col).orderBy(
+        F.col("c").desc(), F.col(anchor_col).asc()
+    )
+    w_all = Window.partitionBy(dst_col)
+    rk = pa.select(
+        dst_col,
+        anchor_col,
+        "c",
+        F.row_number().over(w_rk).alias("_r"),
+        F.sum("c").over(w_all).cast("long").alias("in_degree"),
+        F.count("*").over(w_all).cast("long").alias("n_anchors"),
+    )
+    return rk.where(F.col("_r") == 1).select(
+        dst_col,
+        "in_degree",
+        "n_anchors",
+        F.col(anchor_col).alias("top_anchor"),
+        F.col("c").alias("top_anchor_n"),
+    )

@@ -322,3 +322,42 @@ def test_sharded_cuckoo_saturation_degrades_safely(spark):
     assert cf.might_contain(rng.integers(-(2**62), 2**62, 1000)).all(), (
         "saturated shard must answer True for everything"
     )
+
+
+def test_anchor_text_rollup_reference(spark):
+    """Counter reference on a hand graph: per-target in-degree,
+    distinct anchors, and the (count desc, anchor asc) winner."""
+    from collections import Counter
+
+    from fscrawler_spark.operators.links import anchor_text_rollup
+
+    edges = [
+        (1, 10, "home"), (2, 10, "home"), (3, 10, "start"),
+        (4, 10, "about"), (1, 20, "blog"), (2, 20, "news"),
+        (3, 20, "news"), (4, 30, "x"),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, anchor string")
+    got = {
+        r["dst"]: (r["in_degree"], r["n_anchors"], r["top_anchor"], r["top_anchor_n"])
+        for r in anchor_text_rollup(df, "dst", "anchor").collect()
+    }
+    want = {}
+    by_dst = {}
+    for _, d, a in edges:
+        by_dst.setdefault(d, []).append(a)
+    for d, anchors in by_dst.items():
+        c = Counter(anchors)
+        top, n = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        want[d] = (len(anchors), len(c), top, n)
+    assert got == want
+    assert got[20] == (3, 2, "news", 2)  # tie inside 20 broken by count
+
+
+def test_anchor_text_rollup_tie_breaks_lexicographic(spark):
+    from fscrawler_spark.operators.links import anchor_text_rollup
+
+    df = spark.createDataFrame(
+        [(1, 5, "beta"), (2, 5, "alpha")], "src long, dst long, anchor string"
+    )
+    row = anchor_text_rollup(df, "dst", "anchor").collect()[0]
+    assert (row["top_anchor"], row["top_anchor_n"]) == ("alpha", 1)
