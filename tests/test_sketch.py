@@ -255,3 +255,46 @@ def test_bloom_plan_is_jvm_only(spark):
         .toString()
     )
     assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+# --- Property-based parity (hypothesis) ------------------------------------
+# Small example counts: each example runs Spark jobs; the fixed-seed
+# tests above carry the bulk, hypothesis hunts the edges (negative
+# keys, duplicates-only multisets, single-element inputs).
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_keys = st.lists(
+    st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=60
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(keys=_keys)
+def test_hll_property_parity(spark, keys):
+    row = hll_distinct(_df(spark, keys), ["g"], "k").collect()[0]
+    n_hit, s, est = _ref_hll(set(keys))
+    assert (row["n_hit"], row["s_scaled"], row["est_distinct"]) == (n_hit, s, est)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(keys=_keys)
+def test_cms_property_parity(spark, keys):
+    got = {
+        (r["row_j"], r["idx"]): r["c"]
+        for r in cms_build(_df(spark, keys), "k").collect()
+    }
+    assert got == _ref_cms(keys)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(keys=_keys)
+def test_bloom_property_parity(spark, keys):
+    got = {
+        r["word"]: r["bits"] for r in bloom_build(_df(spark, keys), "k").collect()
+    }
+    assert got == _ref_bloom(set(keys))
