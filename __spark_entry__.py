@@ -1659,6 +1659,20 @@ def q70_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+def q74_semdedup(spark, sf_dir):
+    """SemDeDup (operators/similarity.semdedup_cluster_stats): one
+    integer-exact cluster assignment over SQ8 codes, then min-id-keep
+    cosine pruning WITHIN each cluster — the subquadratic semantic
+    dedup published pipelines run; per-cluster (n_vecs, n_dropped,
+    n_kept), cosines at the q26 round-6 device."""
+    from fscrawler_spark.operators.similarity import semdedup_cluster_stats
+
+    e = _load(spark, sf_dir, "embeddings")
+    return semdedup_cluster_stats(
+        e, "vec_id", "embedding", k=8, threshold=0.45
+    ).orderBy("cluster")
+
+
 def q73_anchor_rollup(spark, sf_dir):
     """Anchor-text aggregation per link target
     (operators/links.anchor_text_rollup) over the q42 synthetic link
@@ -2015,6 +2029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_hist_quantiles": q71_hist_quantiles,
         "q72_bloom_membership": q72_bloom_membership,
         "q73_anchor_rollup": q73_anchor_rollup,
+        "q74_semdedup": q74_semdedup,
     }
 
 
@@ -3529,6 +3544,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT dst, in_degree, n_anchors,
                    anchor AS top_anchor, c AS top_anchor_n
             FROM rk WHERE r = 1 ORDER BY dst
+        """,
+        # q74: the q67 CTE chain through the FIRST assignment (iters=1
+        # == assign against the seed centroids), then the q26 cosine
+        # restatement per cluster; min-id keep via the distinct-id_b
+        # drop set.
+        "q74_semdedup": r"""
+            WITH eq AS (
+              SELECT vec_id,
+                     unnest(generate_series(0, len(embedding) - 1)) AS pos,
+                     unnest([x::DOUBLE for x in embedding]) AS xd
+              FROM embeddings),
+            mq AS (
+              SELECT vec_id, pos, xd,
+                     min(xd) OVER (PARTITION BY vec_id) AS mn,
+                     max(xd) OVER (PARTITION BY vec_id) AS mx
+              FROM eq),
+            c AS (
+              SELECT vec_id AS id, pos,
+                     CASE WHEN mx = mn THEN 0
+                          ELSE CAST(round(255 * (xd - mn) / (mx - mn))
+                                    AS BIGINT) END AS code
+              FROM mq),
+            sqv AS (SELECT id, sum(code * code)::BIGINT AS sq_v
+                    FROM c GROUP BY id),
+            seeds AS (
+              SELECT id,
+                     (row_number() OVER (ORDER BY md5(id::VARCHAR), id)
+                      - 1)::BIGINT AS cluster
+              FROM (SELECT DISTINCT id FROM c)
+              QUALIFY row_number() OVER (ORDER BY md5(id::VARCHAR), id) <= 8),
+            cent0 AS (SELECT s.cluster, c.pos, c.code AS ccode
+                      FROM c JOIN seeds s USING (id)),
+            sqc0 AS (SELECT cluster, sum(ccode * ccode)::BIGINT AS sq_c
+                     FROM cent0 GROUP BY cluster),
+            dot1 AS (SELECT c.id, k.cluster,
+                            sum(c.code * k.ccode)::BIGINT AS dot
+                     FROM c JOIN cent0 k USING (pos) GROUP BY 1, 2),
+            dist1 AS (SELECT d.id, d.cluster,
+                             (v.sq_v + q.sq_c - 2 * d.dot)::BIGINT AS d2
+                      FROM dot1 d JOIN sqc0 q USING (cluster)
+                                  JOIN sqv v USING (id)),
+            asg1 AS (SELECT id, cluster FROM dist1
+                     QUALIFY row_number() OVER (PARTITION BY id
+                                                ORDER BY d2, cluster) = 1),
+            v AS (SELECT e.vec_id, e.embedding, a.cluster
+                  FROM embeddings e JOIN asg1 a ON a.id = e.vec_id),
+            p AS (SELECT b.vec_id AS id_b,
+                    round(
+                      list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                                for i in generate_series(1, len(a.embedding))])
+                      / (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+                                for i in generate_series(1, len(a.embedding))]))
+                       * sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                                for i in generate_series(1, len(b.embedding))]))),
+                      6) AS cos6
+                  FROM v a JOIN v b
+                    ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+            drp AS (SELECT DISTINCT id_b FROM p WHERE cos6 >= 0.45),
+            per AS (SELECT cluster,
+                           count(*)::BIGINT AS n_vecs,
+                           sum(CASE WHEN drp.id_b IS NOT NULL THEN 1
+                                    ELSE 0 END)::BIGINT AS n_dropped
+                    FROM v LEFT JOIN drp ON v.vec_id = drp.id_b
+                    GROUP BY 1)
+            SELECT cluster, n_vecs, n_dropped,
+                   (n_vecs - n_dropped)::BIGINT AS n_kept
+            FROM per ORDER BY cluster
         """,
         # q38: q15's pair derivation, then connected components as a
         # recursive-CTE transitive closure (UNION dedups, so it

@@ -81,24 +81,10 @@ def kmeans_seed_centroids(codes: DataFrame, id_col: str, k: int) -> DataFrame:
     )
 
 
-def kmeans_codes(
-    codes: DataFrame,
-    id_col: str,
-    k: int = 8,
-    iters: int = 2,
-) -> DataFrame:
-    """Run `iters` Lloyd iterations over integer codes (id, pos, code).
-
-    Each iteration: assign every vector to the nearest current centroid
-    (squared L2, ties to the smallest cluster id), then recompute each
-    centroid as the per-position floor-mean of its members (empty
-    clusters keep their previous centroid).  Returns the FINAL
-    per-cluster profile — one row per cluster:
-
-      cluster, n_vecs, sum_ids (exact member-set fingerprint),
-      centroid_l1 (Σ final ccode), inertia (Σ member distances at the
-      last assignment) — all int64, engine-exact.
-    """
+def _run_lloyd(codes: DataFrame, id_col: str, k: int, iters: int):
+    """The shared Lloyd loop: returns (assign, cent) after `iters`
+    rounds — assign is (id, cluster, d2) from the LAST assignment
+    step, cent the centroids after the last update."""
     c = codes.select(
         F.col(id_col).alias("id"),
         F.col("pos").cast("int").alias("pos"),
@@ -156,6 +142,42 @@ def kmeans_codes(
             )
             .localCheckpoint(eager=True)
         )
+
+    return assign, cent
+
+
+def kmeans_assignments(
+    codes: DataFrame, id_col: str, k: int = 8, iters: int = 1
+) -> DataFrame:
+    """The per-vector view of the same loop: (id_col, cluster, d2)
+    from the final assignment step — with iters=1 this is the one-shot
+    assignment against the md5-order seed centroids, the cluster pass
+    SemDeDup-style pipelines run before intra-cluster dedup."""
+    assign, _ = _run_lloyd(codes, id_col, k, iters)
+    return assign.select(
+        F.col("id").alias(id_col), "cluster", "d2"
+    )
+
+
+def kmeans_codes(
+    codes: DataFrame,
+    id_col: str,
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Run `iters` Lloyd iterations over integer codes (id, pos, code).
+
+    Each iteration: assign every vector to the nearest current centroid
+    (squared L2, ties to the smallest cluster id), then recompute each
+    centroid as the per-position floor-mean of its members (empty
+    clusters keep their previous centroid).  Returns the FINAL
+    per-cluster profile — one row per cluster:
+
+      cluster, n_vecs, sum_ids (exact member-set fingerprint),
+      centroid_l1 (Σ final ccode), inertia (Σ member distances at the
+      last assignment) — all int64, engine-exact.
+    """
+    assign, cent = _run_lloyd(codes, id_col, k, iters)
 
     profile = assign.groupBy("cluster").agg(
         F.count("*").alias("n_vecs"),

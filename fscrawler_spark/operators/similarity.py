@@ -1103,3 +1103,68 @@ def scalar_quantize_codes(df: DataFrame, id_col: str, vec_col: str) -> DataFrame
         ).cast("int")
     )
     return w.select(id_col, "pos", code.alias("code"))
+
+
+def semdedup_cluster_stats(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) — semantic dedup as cluster-then-
+    prune: assign every embedding to a centroid (ONE integer-exact
+    Lloyd assignment over SQ8 codes, operators/clustering.py), then
+    drop, within each cluster, every non-minimal id of a pair whose
+    cosine reaches the threshold.  The clustering is exactly what
+    makes it subquadratic: the O(n²) cosine join runs per cluster
+    (n/k)² instead of n² — the same candidate-shrinking role the LSH
+    buckets play in embedding_dedup_pairs, but semantic rather than
+    random, so near-dups that straddle a bucket boundary still meet
+    (and ones that straddle a CLUSTER boundary are the method's
+    documented miss class — SemDeDup accepts it for the 4x candidate
+    reduction at k=8).
+
+    Cosines compare at 6-decimal rounding (the q26 device: Spark's
+    sequential fold and an oracle's list_sum can differ in the last
+    ulp; round-6 is engine-exact and far below any meaningful
+    similarity resolution).  Returns one row per non-empty cluster:
+    (cluster, n_vecs, n_dropped, n_kept) — the keep policy is min-id,
+    the q38/q13 canonicalization convention.
+    """
+    from fscrawler_spark.operators.clustering import kmeans_assignments
+
+    codes = scalar_quantize_codes(emb, id_col, vec_col)
+    asg = kmeans_assignments(codes, id_col, k=k, iters=1)
+    v = emb.select(id_col, vec_col).join(asg.select(id_col, "cluster"), id_col)
+    a, b = v.alias("a"), v.alias("b")
+    cos6 = F.round(
+        cosine_sim(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    dropped = (
+        pairs.where(cos6 >= F.lit(threshold))
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    per = (
+        v.join(dropped, id_col, "left")
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum(F.coalesce(F.col("_drop"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
+    return per.select(
+        "cluster",
+        "n_vecs",
+        "n_dropped",
+        (F.col("n_vecs") - F.col("n_dropped")).cast("long").alias("n_kept"),
+    )

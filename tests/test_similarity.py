@@ -387,3 +387,70 @@ def test_winnow_density_property(spark):
     expect = 2 / (4 + 1) * n_windows
     for i, c in counts.items():
         assert 0.6 * expect < c < 1.6 * expect, (i, c, expect)
+
+
+def test_semdedup_matches_pure_python(spark):
+    """Pure-python SemDeDup reference: same SQ8 assignment (via the
+    clustering reference arithmetic), same intra-cluster round-6
+    cosine pruning, min-id keep."""
+    import hashlib
+    import math
+
+    from fscrawler_spark.operators.similarity import semdedup_cluster_stats
+
+    # Deterministic vectors with planted near-dup pairs (i, i+100).
+    def vec(i):
+        h = hashlib.md5(f"sd{i % 100}".encode()).digest()
+        base = [b / 255.0 for b in h[:8]]
+        if i >= 100:  # near-dup of its partner: tiny perturbation
+            base = [x + 0.001 * ((i % 7) + 1) for x in base]
+        return base
+
+    ids = list(range(140))
+    df = spark.createDataFrame(
+        [(i, vec(i)) for i in ids], "vid long, emb array<float>"
+    )
+    got = {
+        r["cluster"]: (r["n_vecs"], r["n_dropped"], r["n_kept"])
+        for r in semdedup_cluster_stats(df, "vid", "emb", k=4, threshold=0.999).collect()
+    }
+
+    # Reference: quantize (float32-widened like the engine), assign to
+    # md5-order seed centroids, prune within cluster.
+    import numpy as np
+
+    def codes(v):
+        a = np.asarray(np.asarray(v, dtype=np.float32), dtype=np.float64)
+        mn, mx = a.min(), a.max()
+        if mx == mn:
+            return np.zeros(len(a), dtype=np.int64)
+        return np.round(255 * (a - mn) / (mx - mn)).astype(np.int64)
+
+    cs = {i: codes(vec(i)) for i in ids}
+    seed_ids = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:4]
+    cents = {c: cs[i] for c, i in enumerate(seed_ids)}
+    asg = {
+        i: min((int(((cs[i] - cents[c]) ** 2).sum()), c) for c in cents)[1]
+        for i in ids
+    }
+
+    def cos6(a, b):
+        a32 = np.asarray(np.asarray(a, dtype=np.float32), dtype=np.float64)
+        b32 = np.asarray(np.asarray(b, dtype=np.float32), dtype=np.float64)
+        return round(
+            float(a32 @ b32) / (math.sqrt(float(a32 @ a32)) * math.sqrt(float(b32 @ b32))),
+            6,
+        )
+
+    dropped = set()
+    for x in ids:
+        for y in ids:
+            if x < y and asg[x] == asg[y] and cos6(vec(x), vec(y)) >= 0.999:
+                dropped.add(y)
+    want = {}
+    for c in set(asg.values()):
+        members = [i for i in ids if asg[i] == c]
+        nd = sum(1 for i in members if i in dropped)
+        want[c] = (len(members), nd, len(members) - nd)
+    assert got == want
+    assert sum(nd for _, nd, _ in got.values()) > 0  # pruning actually fired
