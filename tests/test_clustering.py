@@ -107,3 +107,28 @@ def test_kmeans_plan_is_jvm_only(spark, random_vecs):
         _codes_df(spark, random_vecs), "id", k=3, iters=1
     )._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+# --- Property-based parity (hypothesis) ------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_vecsets = st.lists(
+    st.lists(st.integers(min_value=0, max_value=255), min_size=3, max_size=3),
+    min_size=4,
+    max_size=14,
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vs=_vecsets)
+def test_kmeans_property_parity(spark, vs):
+    vecs = {i: v for i, v in enumerate(vs)}
+    k = min(3, len(vecs))
+    got = {
+        r["cluster"]: (r["n_vecs"], r["sum_ids"], r["centroid_l1"], r["inertia"])
+        for r in kmeans_codes(_codes_df(spark, vecs), "id", k=k, iters=2).collect()
+    }
+    assert got == _ref_kmeans(vecs, k=k, iters=2)

@@ -236,3 +236,65 @@ def test_streaming_sketch_maintenance_matches_batch(spark, tmp_path):
         (r["row_j"], r["idx"]): r["c"] for r in cms_build(batch_df, "k").collect()
     }
     assert got_cms == want_cms
+
+
+def test_streaming_sketch_restart_exactly_once(spark, tmp_path):
+    """Stop/arrive/restart on the SAME checkpoint: the resumed stream
+    consumes only the new files, and the merged state still equals the
+    batch sketch of everything — no double-counting across restarts."""
+    from functools import partial
+
+    from fscrawler_spark.functions.sketch import cms_build, cms_merge
+    from fscrawler_spark.streaming.pipeline import (
+        maintain_sketch_stream,
+        read_sketch_state,
+    )
+
+    src = str(tmp_path / "rows")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    first = [("g", (i * 3) % 200) for i in range(600)]
+    later = [("g", (i * 11) % 350) for i in range(400)]
+
+    spark.createDataFrame(first, "g string, k long").coalesce(2).write.mode(
+        "append"
+    ).parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema("g string, k long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        maintain_sketch_stream(
+            stream, partial(cms_build, key_col="k"), cms_merge, state, ckpt
+        )
+
+    run()  # drain the first arrivals, then "stop"
+    mid = {
+        (r["row_j"], r["idx"]): r["c"]
+        for r in read_sketch_state(spark, state).collect()
+    }
+    want_mid = {
+        (r["row_j"], r["idx"]): r["c"]
+        for r in cms_build(
+            spark.createDataFrame(first, "g string, k long"), "k"
+        ).collect()
+    }
+    assert mid == want_mid
+
+    spark.createDataFrame(later, "g string, k long").coalesce(2).write.mode(
+        "append"
+    ).parquet(src)
+    run()  # restart on the same checkpoint
+    got = {
+        (r["row_j"], r["idx"]): r["c"]
+        for r in read_sketch_state(spark, state).collect()
+    }
+    want = {
+        (r["row_j"], r["idx"]): r["c"]
+        for r in cms_build(
+            spark.createDataFrame(first + later, "g string, k long"), "k"
+        ).collect()
+    }
+    assert got == want

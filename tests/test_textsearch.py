@@ -311,3 +311,40 @@ def test_ngram_lm_scores_plan_is_jvm_only(spark):
         .toString()
     )
     assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_ngram_lm_scores_property_parity(spark):
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from fscrawler_spark.operators.textsearch import ngram_lm_scores
+
+    _docs = st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), max_size=8),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(docs=_docs)
+    def inner(docs):
+        rows = [(i, " ".join(ts)) for i, ts in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["lm_score_e6"])
+            for r in ngram_lm_scores(df, "doc_id", "text").collect()
+        }
+        toks = {i: ts for i, ts in enumerate(docs) if ts}
+        cu = Counter(w for ts in toks.values() for w in ts)
+        cp = Counter(" ".join(p) for ts in toks.values() for p in zip(ts, ts[1:]))
+        want = {}
+        for i, ts in toks.items():
+            ps = [cp[" ".join(p)] * 1_000_000 // cu[p[0]] for p in zip(ts, ts[1:])]
+            if ps:
+                want[i] = (len(ps), sum(ps) // len(ps))
+        assert got == want
+
+    inner()
