@@ -1954,6 +1954,63 @@ def entry(spark: SparkSession) -> DataFrame:
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+def q75_pack_sequences(spark, sf_dir):
+    """Training-sequence packing (operators/prep.pack_sequences):
+    concatenate-then-chunk assignment of documents to cap-token
+    sequences via one per-bucket window cumsum — the closed-form,
+    engine-exact version of the dataloader packing step; per-sequence
+    doc count, token sum, and id span."""
+    from fscrawler_spark.operators.prep import pack_sequences
+
+    d = _load(spark, sf_dir, "documents")
+    return pack_sequences(d, "doc_id", "text", cap=256, n_buckets=16).orderBy(
+        "bucket", "seq_id"
+    )
+
+
+def q76_containment_pairs(spark, sf_dir):
+    """Directional shingle containment join
+    (operators/similarity.containment_pairs): |S(a)∩S(b)| / |S(a)|
+    over df-capped (max_df=100) word-3-shingles, score integer-exact
+    at 1e4 scale — the quote-inclusion dedup case Jaccard misses
+    (Broder 1997 containment)."""
+    from fscrawler_spark.operators.similarity import containment_pairs
+
+    d = _load(spark, sf_dir, "documents")
+    return containment_pairs(
+        d, "doc_id", "text", threshold_e4=8000, max_df=100
+    ).orderBy("id_a", "id_b")
+
+
+def q77_redirect_chains(spark, sf_dir):
+    """Redirect-chain resolution by pointer doubling
+    (operators/graph.resolve_redirect_chains): a synthetic acyclic
+    redirect graph over documents (md5-gated, always pointing at a
+    smaller id) collapsed to (src, final_dst, hops) in O(log L)
+    join rounds; the oracle walks the same chains with a recursive
+    CTE."""
+    from fscrawler_spark.operators.graph import resolve_redirect_chains
+
+    d = _load(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    nid = d.select((F.row_number().over(w) - 1).cast("long").alias("nid"))
+    h = F.conv(
+        F.substring(F.md5(F.col("nid").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    edges = (
+        nid.select("nid", h.alias("h"))
+        .where((F.col("nid") > 0) & (F.col("h") % 10 < 6))
+        .select(
+            F.col("nid").alias("src"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.col("nid") - 1 - F.col("h") % 3,
+            ).alias("dst"),
+        )
+    )
+    return resolve_redirect_chains(edges, "src", "dst").orderBy("src")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2030,6 +2087,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_bloom_membership": q72_bloom_membership,
         "q73_anchor_rollup": q73_anchor_rollup,
         "q74_semdedup": q74_semdedup,
+        "q75_pack_sequences": q75_pack_sequences,
+        "q76_containment_pairs": q76_containment_pairs,
+        "q77_redirect_chains": q77_redirect_chains,
     }
 
 
@@ -3611,6 +3671,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster, n_vecs, n_dropped,
                    (n_vecs - n_dropped)::BIGINT AS n_kept
             FROM per ORDER BY cluster
+        """,
+        # q75: the packing closed form — per-bucket prefix sum minus own
+        # tokens, integer-divided by the cap; token counts are the
+        # engine-shared whitespace tokenizer (empty/null -> 0).
+        "q75_pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id, (doc_id % 16)::BIGINT AS bucket,
+                     (CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                      END)::BIGINT AS n_tok
+              FROM documents),
+            o AS (
+              SELECT *,
+                     (sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id)
+                      - n_tok)::BIGINT AS start_off
+              FROM t)
+            SELECT bucket, (start_off // 256)::BIGINT AS seq_id,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_tok)::BIGINT AS tok_sum,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM o GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # q76: the q14 shingle derivation, df-capped at 100, then the
+        # directional containment rollup; score integer-exact at 1e4.
+        "q76_containment_pairs": r"""
+            WITH s AS (
+              SELECT doc_id AS id,
+                     unnest(list_distinct(
+                       [array_to_string(toks[i:i+2], ' ')
+                        for i in generate_series(1, len(toks)-2)])) AS g
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                    FROM documents WHERE trim(text) <> '')
+              WHERE len(toks) >= 3),
+            kept AS (SELECT g FROM s GROUP BY g HAVING count(*) <= 100),
+            sk AS (SELECT s.id, s.g FROM s JOIN kept USING (g)),
+            sz AS (SELECT id, count(*)::BIGINT AS sz FROM sk GROUP BY id),
+            inter AS (SELECT a.id AS id_a, b.id AS id_b,
+                             count(*)::BIGINT AS inter_n
+                      FROM sk a JOIN sk b USING (g)
+                      WHERE a.id <> b.id GROUP BY 1, 2)
+            SELECT id_a, id_b, inter_n, z.sz AS size_a,
+                   (inter_n * 10000 // z.sz)::BIGINT AS contain_e4
+            FROM inter JOIN sz z ON z.id = inter.id_a
+            WHERE inter_n * 10000 // z.sz >= 8000
+            ORDER BY id_a, id_b
+        """,
+        # q77: the same md5-gated always-downhill edge derivation, then
+        # a recursive walk to the terminal; max-hops row per src == the
+        # pointer-doubled fixed point.
+        "q77_redirect_chains": r"""
+            WITH RECURSIVE nid AS (
+              SELECT (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS nid
+              FROM documents),
+            hh AS (
+              SELECT nid,
+                     CAST(concat('0x', substr(md5(nid::VARCHAR), 1, 8))
+                          AS BIGINT) AS h
+              FROM nid),
+            e AS (
+              SELECT nid AS src,
+                     greatest(0, nid - 1 - (h % 3))::BIGINT AS dst
+              FROM hh WHERE nid > 0 AND h % 10 < 6),
+            walk(src, cur, hops) AS (
+              SELECT src, dst, 1::BIGINT FROM e
+              UNION ALL
+              SELECT w.src, e2.dst, w.hops + 1
+              FROM walk w JOIN e e2 ON w.cur = e2.src)
+            SELECT src, cur AS final_dst, hops FROM walk
+            QUALIFY row_number() OVER (PARTITION BY src
+                                       ORDER BY hops DESC) = 1
+            ORDER BY src
         """,
         # q38: q15's pair derivation, then connected components as a
         # recursive-CTE transitive closure (UNION dedups, so it

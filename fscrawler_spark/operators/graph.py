@@ -185,6 +185,81 @@ def pagerank_scores(
     return ranks
 
 
+def resolve_redirect_chains(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Resolve HTTP-redirect chains to their terminal URL by pointer
+    doubling: (src, final_dst, hops) for every redirecting source.
+
+    The crawl-frontier step between fetch and dedup: a web crawl sees
+    3xx chains (http → https → www → canonical) and must collapse every
+    chain to its terminal target BEFORE URL-seen checks, or the same
+    page is fetched once per alias.  The reference's filesystem walk
+    has the single-hop analogue (symlinks, resolved inline by the OS at
+    `os.path.realpath`); at web scale the chain is data, so resolution
+    is a graph computation.
+
+    ``edges`` must be a functional mapping — at most one out-edge per
+    ``src`` (a URL redirects to exactly one place); duplicate sources
+    are collapsed deterministically to min(dst) first.  Chains must be
+    acyclic (real redirect loops are fetch errors, dropped upstream);
+    a cycle cannot converge and raises RuntimeError at ``max_rounds``.
+
+    Algorithm: pointer jumping (the classic PRAM list-ranking step —
+    f := f∘f each round), so a chain of length L resolves in ceil(log2
+    L) rounds, NOT L rounds: each round is ONE equi-join of the mapping
+    against itself on the chain key plus a coalesce — no collect, no
+    driver state, and `hops` accumulates exactly (rank doubling carries
+    the jumped-over count).  At 10^10 frontier URLs with redirect
+    chains bounded by ~30 hops, that is 5 shuffle rounds over only the
+    REDIRECTING rows (non-redirects never enter), each partitioned on
+    the id key; localCheckpoint per round keeps the Catalyst plan flat
+    (same reasoning as connected_components above).  Convergence is the
+    exact join-match count reaching zero — every pointer is terminal.
+    """
+    cur = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("c"))
+        .groupBy("s")
+        .agg(F.min("c").alias("c"))
+        .select("s", "c", F.lit(1).cast("long").alias("hops"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        rhs = cur.select(
+            F.col("s").alias("rs"),
+            F.col("c").alias("rc"),
+            F.col("hops").alias("rhops"),
+        )
+        step = (
+            cur.join(rhs, cur["c"] == rhs["rs"], "left")
+            .select(
+                "s",
+                F.coalesce(F.col("rc"), F.col("c")).alias("c"),
+                (F.col("hops") + F.coalesce(F.col("rhops"), F.lit(0))).alias("hops"),
+                F.col("rs").isNotNull().alias("adv"),
+            )
+            .localCheckpoint(eager=True)  # ONE execution of the round's join
+        )
+        advanced = not step.where(F.col("adv")).isEmpty()
+        cur = step.drop("adv")
+        if not advanced:
+            break
+    else:
+        raise RuntimeError(
+            f"resolve_redirect_chains: no fixed point in {max_rounds} rounds "
+            "(cycle in the redirect graph, or chains longer than "
+            f"2^{max_rounds})"
+        )
+    return cur.select(
+        F.col("s").alias(src),
+        F.col("c").alias("final_dst"),
+        F.col("hops"),
+    )
+
+
 def dedup_clusters(
     df: DataFrame,
     id_col: str,

@@ -47,3 +47,55 @@ def corpus_prep(
     return hash_sample(canon, id_col, sample_fraction, salt=salt).drop(
         "_fp", "_canon"
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    cap: int = 256,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Pack documents into fixed-token-budget training sequences:
+    (bucket, seq_id, n_docs, tok_sum, first_doc, last_doc) per packed
+    sequence.
+
+    The step between a cleaned corpus and a pretraining dataloader:
+    documents are concatenated in a deterministic order and chunked
+    into ``cap``-token sequences; a document belongs to the chunk
+    containing its START offset (the concatenate-then-chunk packing
+    that published LM pipelines use — GPT/T5-style "example packing").
+    That closed form — ``seq_id = (running_prefix_sum - own_tokens)
+    DIV cap`` — makes the assignment a single window expression
+    instead of an iterative first-fit bin packer, so it is exactly
+    reproducible on any engine and any partitioning (q75's oracle).
+
+    Scale shape: the only ordering is WITHIN a bucket
+    (``id % n_buckets``), so the window sort is a per-hash-partition
+    sort, never a global one; buckets are embarrassingly parallel.  At
+    10^10 documents raise ``n_buckets`` to ~2^14 so each bucket's
+    window holds ~10^6 rows — the assignment stays one shuffle
+    (hash-partition by bucket) plus one in-partition sort, and the
+    final per-sequence rollup partial-aggregates map-side because rows
+    of a (bucket, seq_id) group are CONTIGUOUS in the sorted partition.
+    Token counts are the engine-shared whitespace tokenizer
+    (functions/textstats.tokens — null/empty-safe), fully codegen'd;
+    no Python in the plan.
+    """
+    from fscrawler_spark.functions.textstats import token_count
+
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    base = df.select(
+        F.col(id_col),
+        (F.col(id_col) % n_buckets).cast("long").alias("bucket"),
+        token_count(F.col(text_col)).cast("long").alias("n_tok"),
+    )
+    offs = base.withColumn(
+        "start_off", F.sum("n_tok").over(w) - F.col("n_tok")
+    ).withColumn("seq_id", F.expr(f"start_off DIV {int(cap)}"))
+    return offs.groupBy("bucket", "seq_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("tok_sum"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )

@@ -1168,3 +1168,63 @@ def semdedup_cluster_stats(
         "n_dropped",
         (F.col("n_vecs") - F.col("n_dropped")).cast("long").alias("n_kept"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_e4: int = 8000,
+    k_shingle: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Directional n-gram CONTAINMENT join: (id_a, id_b, inter_n,
+    size_a, contain_e4) for every ordered pair with
+    ``|S(a) ∩ S(b)| / |S(a)| >= threshold_e4 / 10^4``.
+
+    The asymmetric cousin of the Jaccard family above: Jaccard misses
+    the quote-inclusion case (a short doc wholly contained in a long
+    one scores low because the UNION is large), which is exactly the
+    near-dup class a training corpus must catch — syndicated articles
+    inside aggregator pages, quoted posts inside threads (Broder's
+    original resemblance/containment pair, SEQUENCES 1997).  The score
+    is kept integer-exact as ``inter_n * 10^4 DIV size_a`` so the pair
+    set is bit-reproducible on any engine (q76's oracle).
+
+    ``max_df`` drops shingles appearing in more than that many
+    documents BEFORE pairing — both from the intersection counts and
+    from the denominators, so the score stays a true containment over
+    the capped shingle space.  That cap is the scale story: a
+    boilerplate shingle shared by 10^8 pages would otherwise fan the
+    self-join out quadratically on one key; document-frequency capping
+    is the standard published mitigation (the df-cut in PPJoin-family
+    systems), and it turns the join's per-key fan-out into the
+    frequency distribution's tail.  Plan: one map-side-combined count
+    per shingle, one self-join keyed on the (capped) shingle, one
+    (id_a, id_b) rollup that partial-aggregates map-side, and two slim
+    broadcasts-or-shuffles by id for the size join — no Python row
+    path anywhere.
+    """
+    sh = _ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), k_shingle)).alias("g")
+    )
+    if max_df is not None:
+        keep = sh.groupBy("g").agg(F.count("*").alias("c")).where(
+            F.col("c") <= max_df
+        )
+        sh = sh.join(keep.select("g"), "g", "left_semi")
+    sizes = sh.groupBy("id").agg(F.count("*").cast("long").alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "g")
+    b = sh.select(F.col("id").alias("id_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("inter_n"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a")), "id_a")
+        .withColumn("contain_e4", F.expr("inter_n * 10000 DIV size_a"))
+        .where(F.col("contain_e4") >= threshold_e4)
+        .select("id_a", "id_b", "inter_n", "size_a", "contain_e4")
+    )

@@ -170,3 +170,67 @@ def test_pagerank_plan_is_jvm_side(spark):
     df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
     plan = pagerank_scores(df, iters=1)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- resolve_redirect_chains (pointer doubling) -------------------------
+
+
+def _resolve_py(edges):
+    """Scalar reference: follow each src's chain to its terminal."""
+    nxt = {}
+    for s, d in edges:
+        nxt[s] = min(d, nxt.get(s, d))
+    out = {}
+    for s in nxt:
+        cur, hops = s, 0
+        while cur in nxt:
+            cur = nxt[cur]
+            hops += 1
+            assert hops <= len(nxt) + 1, "cycle in test input"
+        out[s] = (cur, hops)
+    return out
+
+
+def _resolve_spark(spark, edges, **kw):
+    from fscrawler_spark.operators.graph import resolve_redirect_chains
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["src"]: (r["final_dst"], r["hops"])
+        for r in resolve_redirect_chains(df, "src", "dst", **kw).collect()
+    }
+
+
+def test_redirects_long_chain_exact_hops(spark):
+    # one chain 0<-1<-2<-...<-20 (src i -> i-1), plus a detached edge
+    edges = [(i, i - 1) for i in range(1, 21)] + [(100, 50)]
+    got = _resolve_spark(spark, edges)
+    assert got == _resolve_py(edges)
+    assert got[20] == (0, 20)
+    assert got[100] == (50, 1)
+
+
+def test_redirects_random_dags_match_scalar(spark):
+    rng = random.Random(77)
+    for trial in range(3):
+        n = rng.choice([40, 150])
+        edges = []
+        for s in range(1, n):
+            if rng.random() < 0.6:
+                edges.append((s, rng.randrange(s)))  # downhill => acyclic
+        got = _resolve_spark(spark, edges)
+        assert got == _resolve_py(edges), f"trial {trial}"
+
+
+def test_redirects_duplicate_src_collapses_to_min_dst(spark):
+    edges = [(5, 3), (5, 1), (3, 0)]
+    got = _resolve_spark(spark, edges)
+    # 5 -> min(3,1) = 1 (terminal), not through 3
+    assert got[5] == (1, 1)
+    assert got[3] == (0, 1)
+
+
+def test_redirects_cycle_raises(spark):
+    edges = [(1, 2), (2, 3), (3, 1)]
+    with pytest.raises(RuntimeError, match="no fixed point"):
+        _resolve_spark(spark, edges, max_rounds=6)

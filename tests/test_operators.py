@@ -361,3 +361,40 @@ def test_anchor_text_rollup_tie_breaks_lexicographic(spark):
     )
     row = anchor_text_rollup(df, "dst", "anchor").collect()[0]
     assert (row["top_anchor"], row["top_anchor_n"]) == ("alpha", 1)
+
+
+def test_pack_sequences_matches_scalar_packer(spark):
+    """Closed-form window packing == the scalar concatenate-then-chunk
+    reference, including empty docs and bucket isolation."""
+    from fscrawler_spark.operators.prep import pack_sequences
+
+    docs = [
+        (i, "w " * (i * 7 % 13) if i % 5 else "")  # some empty docs
+        for i in range(40)
+    ]
+    cap, n_buckets = 10, 4
+    df = spark.createDataFrame(
+        [(i, t.strip()) for i, t in docs], "doc_id long, text string"
+    )
+    got = {
+        (r["bucket"], r["seq_id"]): (
+            r["n_docs"], r["tok_sum"], r["first_doc"], r["last_doc"]
+        )
+        for r in pack_sequences(
+            df, "doc_id", "text", cap=cap, n_buckets=n_buckets
+        ).collect()
+    }
+    # scalar reference
+    want = {}
+    by_bucket = {}
+    for i, t in docs:
+        by_bucket.setdefault(i % n_buckets, []).append((i, len(t.split())))
+    for b, rows in by_bucket.items():
+        off = 0
+        for i, n in sorted(rows):
+            seq = off // cap
+            k = (b, seq)
+            nd, ts, fd, ld = want.get(k, (0, 0, i, i))
+            want[k] = (nd + 1, ts + n, min(fd, i), max(ld, i))
+            off += n
+    assert got == want

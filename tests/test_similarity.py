@@ -454,3 +454,57 @@ def test_semdedup_matches_pure_python(spark):
         want[c] = (len(members), nd, len(members) - nd)
     assert got == want
     assert sum(nd for _, nd, _ in got.values()) > 0  # pruning actually fired
+
+
+def _shingles_py(text, k=3):
+    toks = " ".join((text or "").lower().split()).split(" ")
+    if len(toks) < k or toks == [""]:
+        return set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def test_containment_pairs_match_brute_force(spark):
+    from fscrawler_spark.operators.similarity import containment_pairs
+
+    docs = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta"),               # contained in 0
+        (2, "alpha beta gamma delta epsilon zeta"),  # identical to 0
+        (3, "totally different words here indeed"),
+        (4, "xx alpha beta gamma delta epsilon zeta yy"),  # contains 0
+        (5, ""),
+        (6, "two words"),
+    ]
+    thr = 5000
+    sets = {i: _shingles_py(t) for i, t in docs}
+    want = {}
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a == b or not sa:
+                continue
+            inter = len(sa & sb)
+            score = inter * 10000 // len(sa)
+            if score >= thr:
+                want[(a, b)] = (inter, len(sa), score)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter_n"], r["size_a"], r["contain_e4"])
+        for r in containment_pairs(df, "doc_id", "text", threshold_e4=thr).collect()
+    }
+    assert got == want
+    # the asymmetric case Jaccard misses: 1 ⊂ 0 scores 10000 one way only
+    assert got[(1, 0)][2] == 10000
+    assert (0, 1) not in got or got[(0, 1)][2] < 10000
+
+
+def test_containment_max_df_caps_hot_shingles(spark):
+    from fscrawler_spark.operators.similarity import containment_pairs
+
+    # one boilerplate shingle shared by ALL docs; with max_df=2 it must
+    # not create any pair on its own
+    docs = [(i, f"common boiler plate unique{i} tail{i} end{i}") for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = containment_pairs(
+        df, "doc_id", "text", threshold_e4=1, max_df=2
+    ).collect()
+    assert got == []
