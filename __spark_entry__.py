@@ -2011,6 +2011,24 @@ def q77_redirect_chains(spark, sf_dir):
     return resolve_redirect_chains(edges, "src", "dst").orderBy("src")
 
 
+def q78_budget_waterfill(spark, sf_dir):
+    """Max-min fair global-budget split across hosts
+    (operators/politeness.waterfill_budget): the integer water level
+    L with sum(min(demand, L)) <= budget, level search on DISTINCT
+    demand values only; budget = |documents| DIV 3 over synthetic
+    hosts source-(doc_id%10)."""
+    from fscrawler_spark.operators.politeness import waterfill_budget
+
+    d = _load(spark, sf_dir, "documents")
+    budget = d.count() // 3
+    hosts = d.groupBy(
+        F.concat(
+            F.col("source"), F.lit("-"), (F.col("doc_id") % 10).cast("string")
+        ).alias("host")
+    ).agg(F.count("*").cast("long").alias("demand"))
+    return waterfill_budget(hosts, ["host"], "demand", budget).orderBy("host")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2090,6 +2108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_pack_sequences": q75_pack_sequences,
         "q76_containment_pairs": q76_containment_pairs,
         "q77_redirect_chains": q77_redirect_chains,
+        "q78_budget_waterfill": q78_budget_waterfill,
     }
 
 
@@ -3671,6 +3690,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster, n_vecs, n_dropped,
                    (n_vecs - n_dropped)::BIGINT AS n_kept
             FROM per ORDER BY cluster
+        """,
+        # q78: the same level search on the distinct-demand table —
+        # the satisfied region is a prefix in d (f(d) is nondecreasing),
+        # so per-column MAX over the satisfied rows is the arg-max row.
+        "q78_budget_waterfill": r"""
+            WITH hosts AS (
+              SELECT source || '-' || (doc_id % 10)::VARCHAR AS host,
+                     count(*)::BIGINT AS demand
+              FROM documents GROUP BY 1),
+            b AS (SELECT (count(*) // 3)::BIGINT AS budget FROM documents),
+            pv AS (SELECT demand AS d, count(*)::BIGINT AS cnt
+                   FROM hosts GROUP BY 1),
+            cum AS (SELECT d,
+                           sum(d * cnt) OVER (ORDER BY d)::BIGINT AS cm,
+                           sum(cnt) OVER (ORDER BY d)::BIGINT AS cc,
+                           sum(cnt) OVER ()::BIGINT AS n
+                    FROM pv),
+            lv AS (SELECT
+                     coalesce(max(CASE WHEN cm + d*(n-cc) <= b.budget
+                                       THEN d END), -1)::BIGINT AS dstar,
+                     coalesce(max(CASE WHEN cm + d*(n-cc) <= b.budget
+                                       THEN cm END), 0)::BIGINT AS smass,
+                     coalesce(max(CASE WHEN cm + d*(n-cc) <= b.budget
+                                       THEN cc END), 0)::BIGINT AS scnt,
+                     max(n)::BIGINT AS n,
+                     max(b.budget)::BIGINT AS budget
+                   FROM cum, b)
+            SELECT h.host, h.demand,
+                   (CASE WHEN h.demand <= l.dstar THEN h.demand
+                         ELSE least(h.demand,
+                                    (l.budget - l.smass) // greatest(l.n - l.scnt, 1))
+                    END)::BIGINT AS alloc
+            FROM hosts h, lv l ORDER BY h.host
         """,
         # q75: the packing closed form — per-bucket prefix sum minus own
         # tokens, integer-divided by the cap; token counts are the

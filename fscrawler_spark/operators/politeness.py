@@ -142,3 +142,98 @@ def wave_rank(scheduled: DataFrame, small: bool = False) -> DataFrame:
     from fscrawler_spark.operators.topk import global_row_number
 
     return global_row_number(scheduled, ["priority", "host", "url"], "rank_in_wave")
+
+
+def waterfill_budget(
+    demands: DataFrame,
+    key_cols: list[str],
+    demand_col: str,
+    budget: int,
+) -> DataFrame:
+    """Max-min fair (water-filling) split of one global fetch budget
+    across hosts: input (key_cols..., demand) -> output with an added
+    integer ``alloc`` column, ``sum(alloc) <= budget``.
+
+    The step ABOVE ``politeness_take``: that operator caps each host at
+    a given per-host budget; this one COMPUTES those budgets from a
+    single global number (a wave's total fetch capacity) so small hosts
+    are fully satisfied and the surplus is split evenly among the big
+    ones — the progressive-filling allocation (max-min fairness,
+    Bertsekas & Gallager, "Data Networks" §6.5.2), which a production
+    crawler uses so one mega-host cannot starve the long tail.
+
+    Exact integer semantics (engine-reproducible, q78's oracle):
+    every host with demand <= L gets its demand; every other host gets
+    L, where L is the unique integer water level with
+    ``sum(min(demand, L)) <= budget < sum(min(demand, L + 1))``
+    (all-satisfied if total demand <= budget).  The sub-level
+    remainder — strictly fewer tokens than there are unsatisfied
+    hosts — is deliberately left unallocated (next wave's carryover)
+    so no global per-host ranking is ever needed.
+
+    Scale shape: the level search runs on the DISTINCT demand values
+    (at 10^8 hosts that is at most ~10^5 distinct counts — host-size
+    distributions are heavy-tailed), so the only single-partition
+    window in the plan sorts that tiny value table; hosts themselves
+    are touched by exactly two shuffle-free-after-AQE passes: one
+    map-side-combined groupBy(demand) count and one broadcast join of
+    the (one-row) level against the host table.  int64 headroom:
+    demand * n_hosts <= 9.2e18 holds through 10^10 x 10^8.
+    """
+    d = F.col(demand_col).cast("long")
+    per_val = (
+        demands.groupBy(d.alias("_d"))
+        .agg(F.count("*").cast("long").alias("_cnt"))
+    )
+    wcum = Window.orderBy("_d").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("_d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per_val.select(
+        "_d",
+        F.sum(F.col("_d") * F.col("_cnt")).over(wcum).alias("_cum_mass"),
+        F.sum("_cnt").over(wcum).alias("_cum_cnt"),
+        F.sum("_cnt").over(wall).alias("_n"),
+    )
+    # largest distinct demand whose full satisfaction fits the budget:
+    # mass(<= d) + d * (hosts above d) <= budget
+    level = cum.select(
+        F.max(
+            F.when(
+                F.col("_cum_mass")
+                + F.col("_d") * (F.col("_n") - F.col("_cum_cnt"))
+                <= F.lit(int(budget)),
+                F.col("_d"),
+            )
+        ).alias("_dstar_raw"),
+        F.max(
+            F.when(
+                F.col("_cum_mass")
+                + F.col("_d") * (F.col("_n") - F.col("_cum_cnt"))
+                <= F.lit(int(budget)),
+                F.struct("_d", "_cum_mass", "_cum_cnt"),
+            )
+        ).alias("_s"),
+        F.max("_n").alias("_n0"),
+    ).select(
+        F.coalesce("_dstar_raw", F.lit(-1)).cast("long").alias("_dstar"),
+        F.when(
+            F.col("_n0") > F.coalesce(F.col("_s._cum_cnt"), F.lit(0)),
+            F.expr(
+                f"(CAST({int(budget)} AS BIGINT)"
+                " - coalesce(_s._cum_mass, CAST(0 AS BIGINT)))"
+                " DIV (_n0 - coalesce(_s._cum_cnt, CAST(0 AS BIGINT)))"
+            ),
+        )
+        .cast("long")
+        .alias("_level"),
+    )
+    out = demands.crossJoin(F.broadcast(level))
+    return out.select(
+        *key_cols,
+        d.alias(demand_col),
+        F.when(d <= F.col("_dstar"), d)
+        .otherwise(F.least(d, F.col("_level")))
+        .cast("long")
+        .alias("alloc"),
+    )

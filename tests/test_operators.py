@@ -398,3 +398,40 @@ def test_pack_sequences_matches_scalar_packer(spark):
             want[k] = (nd + 1, ts + n, min(fd, i), max(ld, i))
             off += n
     assert got == want
+
+
+def _waterfill_py(demands, budget):
+    """Canonical integer water level: largest L with sum(min(d,L)) <= B."""
+    if sum(demands.values()) <= budget:
+        return dict(demands)
+    lo = 0
+    while sum(min(d, lo + 1) for d in demands.values()) <= budget:
+        lo += 1
+    return {k: min(d, lo) for k, d in demands.items()}
+
+
+def test_waterfill_matches_canonical_level(spark):
+    from fscrawler_spark.operators.politeness import waterfill_budget
+    import random
+
+    rng = random.Random(9)
+    cases = [
+        ({"a": 1, "b": 5, "c": 5}, 9),
+        ({"a": 1, "b": 5, "c": 5}, 10),   # sub-level remainder left over
+        ({"a": 2, "b": 3, "c": 10}, 9),
+        ({"a": 4}, 100),                  # all satisfied
+        ({"a": 7, "b": 9}, 3),            # nobody satisfied
+    ]
+    for _ in range(4):
+        n = rng.randint(2, 30)
+        dm = {f"h{i}": rng.randint(1, 40) for i in range(n)}
+        cases.append((dm, rng.randint(1, sum(dm.values()) + 10)))
+    for dm, b in cases:
+        df = spark.createDataFrame(list(dm.items()), "host string, demand long")
+        got = {
+            r["host"]: r["alloc"]
+            for r in waterfill_budget(df, ["host"], "demand", b).collect()
+        }
+        want = _waterfill_py(dm, b)
+        assert got == want, (dm, b, got, want)
+        assert sum(got.values()) <= b or sum(dm.values()) <= b
