@@ -2029,6 +2029,29 @@ def q78_budget_waterfill(spark, sf_dir):
     return waterfill_budget(hosts, ["host"], "demand", budget).orderBy("host")
 
 
+def q79_mixture_weights(spark, sf_dir):
+    """Domain-mixture reweighting (operators/prep.mixture_weights):
+    integer sampling weights per language that move the corpus token
+    distribution onto a fixed target (en 40%, others 15%); weight and
+    resampled mass engine-exact on the 1e6 grid."""
+    from fscrawler_spark.operators.prep import mixture_weights
+
+    d = _load(spark, sf_dir, "documents")
+    targets = {"de": 1500, "en": 4000, "es": 1500, "fr": 1500, "zh": 1500}
+    return mixture_weights(d, "lang", "text", targets).orderBy("lang")
+
+
+def q80_yield_funnel(spark, sf_dir):
+    """Corpus-curation yield funnel (operators/prep.yield_funnel):
+    per-stage doc and token accounting for raw -> min-10-token filter
+    -> normalized-fingerprint exact dedup — the no-silent-caps report
+    of a curation run."""
+    from fscrawler_spark.operators.prep import yield_funnel
+
+    d = _load(spark, sf_dir, "documents")
+    return yield_funnel(d, "doc_id", "text", min_tokens=10).orderBy("stage")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2109,6 +2132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_containment_pairs": q76_containment_pairs,
         "q77_redirect_chains": q77_redirect_chains,
         "q78_budget_waterfill": q78_budget_waterfill,
+        "q79_mixture_weights": q79_mixture_weights,
+        "q80_yield_funnel": q80_yield_funnel,
     }
 
 
@@ -3690,6 +3715,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster, n_vecs, n_dropped,
                    (n_vecs - n_dropped)::BIGINT AS n_kept
             FROM per ORDER BY cluster
+        """,
+        # q79: same group rollup + VALUES target table; integer weight
+        # on the 1e6 grid, resampled mass re-derived from the weight.
+        "q79_mixture_weights": r"""
+            WITH toks AS (
+              SELECT lang AS grp, count(*)::BIGINT AS n_docs,
+                     sum(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                              ELSE len(regexp_split_to_array(trim(text),
+                                                             '\s+'))
+                         END)::BIGINT AS tok_sum
+              FROM documents GROUP BY 1),
+            tgt AS (SELECT * FROM (VALUES ('de', 1500), ('en', 4000),
+                                          ('es', 1500), ('fr', 1500),
+                                          ('zh', 1500))
+                    t(grp, target_share_e4)),
+            j AS (SELECT toks.grp, toks.n_docs, toks.tok_sum,
+                         tgt.target_share_e4::BIGINT AS target_share_e4,
+                         sum(toks.tok_sum) OVER ()::BIGINT AS total
+                  FROM toks JOIN tgt USING (grp))
+            SELECT grp AS lang, n_docs, tok_sum, target_share_e4,
+                   (target_share_e4 * total * 100 // tok_sum)::BIGINT
+                     AS weight_e6,
+                   (tok_sum * (target_share_e4 * total * 100 // tok_sum)
+                    // 1000000)::BIGINT AS resampled_tok
+            FROM j ORDER BY lang
+        """,
+        # q80: one base CTE feeds the three stage rollups; fingerprint
+        # is the q57 normalized-text md5; canonical keep = min doc_id.
+        "q80_yield_funnel": r"""
+            WITH b AS (
+              SELECT doc_id AS id,
+                     (CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                           ELSE len(regexp_split_to_array(trim(text),
+                                                          '\s+'))
+                      END)::BIGINT AS tok,
+                     md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                             '\s+', ' ', 'g'))) AS fp
+              FROM documents),
+            s0 AS (SELECT '0_raw' AS stage, count(*)::BIGINT AS n_docs,
+                          sum(tok)::BIGINT AS tok_sum FROM b),
+            l AS (SELECT * FROM b WHERE tok >= 10),
+            s1 AS (SELECT '1_minlen' AS stage, count(*)::BIGINT,
+                          sum(tok)::BIGINT FROM l),
+            c AS (SELECT * FROM l
+                  QUALIFY row_number() OVER (PARTITION BY fp
+                                             ORDER BY id) = 1),
+            s2 AS (SELECT '2_exact_dedup' AS stage, count(*)::BIGINT,
+                          sum(tok)::BIGINT FROM c)
+            SELECT * FROM s0 UNION ALL SELECT * FROM s1
+            UNION ALL SELECT * FROM s2 ORDER BY stage
         """,
         # q78: the same level search on the distinct-demand table —
         # the satisfied region is a prefix in d (f(d) is nondecreasing),

@@ -99,3 +99,100 @@ def pack_sequences(
         F.min(id_col).alias("first_doc"),
         F.max(id_col).alias("last_doc"),
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    targets_e4: dict[str, int],
+) -> DataFrame:
+    """Static domain-mixture reweighting: per group (lang/source/
+    domain), the integer sampling weight that moves the corpus's token
+    distribution onto a TARGET distribution — the mixture step every
+    published pretraining pipeline runs between curation and the
+    dataloader (the Pile's per-set epochs, DoReMi's static reference
+    weights).
+
+    ``targets_e4`` maps each group to its target share in 1e-4 units
+    (shares should sum to 10^4).  Output per group: n_docs, tok_sum,
+    target_share_e4, ``weight_e6`` = share_e4 * total_tokens * 100
+    DIV tok_sum (1e6 == keep as-is; >1e6 upsample/epochs; <1e6
+    downsample), and ``resampled_tok`` = tok_sum * weight_e6 DIV 1e6,
+    whose sum re-derives the target mass — all int64, engine-exact
+    (q79's oracle).  int64 headroom: total_tokens < 9.2e12 at the 1e6
+    weight grid; pre-scale tok_sum to kilotokens above that.
+
+    Scale shape: one map-side-combined groupBy over the corpus; the
+    total and the target join run on the GROUP table (tens to
+    thousands of rows at any corpus size — the single-partition window
+    is over that, never over documents).
+    """
+    from fscrawler_spark.functions.textstats import token_count
+
+    spark = df.sparkSession
+    toks = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).cast("long").alias("tok_sum"),
+    )
+    tgt = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(targets_e4.items())],
+        "grp string, target_share_e4 long",
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    j = toks.join(F.broadcast(tgt), "grp").withColumn(
+        "_total", F.sum("tok_sum").over(wall)
+    )
+    return j.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "tok_sum",
+        "target_share_e4",
+        F.expr("target_share_e4 * _total * 100 DIV tok_sum").alias("weight_e6"),
+        F.expr(
+            "tok_sum * (target_share_e4 * _total * 100 DIV tok_sum) DIV 1000000"
+        ).alias("resampled_tok"),
+    )
+
+
+def yield_funnel(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 10,
+) -> DataFrame:
+    """Stage-by-stage corpus yield accounting: (stage, n_docs,
+    tok_sum) for raw -> min-length filter -> exact dedup (normalized-
+    text fingerprint, min-id canonical).  The "no silent caps" report
+    a 100 TB curation run ships with its output — every stage's doc
+    and token loss is visible, so a pipeline that silently dropped
+    half its corpus cannot read as \"covered everything\".
+
+    One scan feeds all three stages (the filter and fingerprint are
+    plain columns; Catalyst collapses the funnel into one pass plus
+    one fingerprint shuffle for the canonical-min window); the three
+    rollups are map-side-combined counts.
+    """
+    from fscrawler_spark.functions.textstats import fingerprint, token_count
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        token_count(F.col(text_col)).cast("long").alias("_tok"),
+        fingerprint(F.col(text_col)).alias("_fp"),
+    )
+    def _stage(frame: DataFrame, name: str) -> DataFrame:
+        return frame.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_tok").cast("long").alias("tok_sum"),
+        ).select(F.lit(name).alias("stage"), "n_docs", "tok_sum")
+
+    s0 = _stage(base, "0_raw")
+    lenok = base.where(F.col("_tok") >= min_tokens)
+    s1 = _stage(lenok, "1_minlen")
+    canon = lenok.withColumn(
+        "_keep", F.min("_id").over(Window.partitionBy("_fp"))
+    ).where(F.col("_id") == F.col("_keep"))
+    s2 = _stage(canon, "2_exact_dedup")
+    return s0.unionByName(s1).unionByName(s2)

@@ -435,3 +435,43 @@ def test_waterfill_matches_canonical_level(spark):
         want = _waterfill_py(dm, b)
         assert got == want, (dm, b, got, want)
         assert sum(got.values()) <= b or sum(dm.values()) <= b
+
+
+def test_mixture_weights_hits_target_mass(spark):
+    from fscrawler_spark.operators.prep import mixture_weights
+
+    docs = [
+        (0, "a b c d", "en"), (1, "a b", "en"), (2, "x y z", "de"),
+        (3, "p q r s t u", "de"), (4, "m", "fr"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    targets = {"en": 5000, "de": 3000, "fr": 2000}
+    rows = {r["lang"]: r for r in mixture_weights(df, "lang", "text", targets).collect()}
+    total = 4 + 2 + 3 + 6 + 1  # 16 tokens
+    for lang, tok in [("en", 6), ("de", 9), ("fr", 1)]:
+        w = targets[lang] * total * 100 // tok
+        assert rows[lang]["weight_e6"] == w
+        assert rows[lang]["tok_sum"] == tok
+        assert rows[lang]["resampled_tok"] == tok * w // 10**6
+        # resampled mass lands on the target share (floor error < 1 token)
+        assert abs(rows[lang]["resampled_tok"] - targets[lang] * total // 10**4) <= 1
+
+
+def test_yield_funnel_stages_are_nested_and_exact(spark):
+    from fscrawler_spark.operators.prep import yield_funnel
+
+    long = "tok " * 12
+    docs = [
+        (0, long.strip()),            # survives all stages
+        (1, long.strip()),            # exact dup of 0 -> dropped at stage 2
+        (2, "  " + long.upper().strip() + "  "),  # case/space jitter dup -> dropped
+        (3, "too short"),             # dropped at stage 1
+        (4, ""),                      # dropped at stage 1
+        (5, ("uniq " * 15).strip()),  # survives
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["stage"]: (r["n_docs"], r["tok_sum"])
+           for r in yield_funnel(df, "doc_id", "text", min_tokens=10).collect()}
+    assert got["0_raw"] == (6, 12 * 3 + 2 + 0 + 15)
+    assert got["1_minlen"] == (4, 12 * 3 + 15)
+    assert got["2_exact_dedup"] == (2, 12 + 15)
