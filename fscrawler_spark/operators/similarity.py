@@ -1213,6 +1213,12 @@ def containment_pairs(
             F.col("c") <= max_df
         )
         sh = sh.join(keep.select("g"), "g", "left_semi")
+    # Materialize the (capped) posting list ONCE: four consumers below
+    # (sizes, both self-join sides) would otherwise each re-scan the
+    # corpus and re-run the shingle regex — measured 8 parquet scans in
+    # the executed plan without this, 1 with it.  At 100 TB that is the
+    # difference between one corpus pass and four.
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count("*").cast("long").alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "g")
     b = sh.select(F.col("id").alias("id_b"), "g")
