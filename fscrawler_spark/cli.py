@@ -182,6 +182,18 @@ def cmd_dedup(args: argparse.Namespace) -> None:
             .select("id_a", "id_b")
             .distinct()
         )
+    elif args.method == "containment":
+        from fscrawler_spark.operators.similarity import containment_pairs
+
+        # containment is directional (id_a ⊆ id_b); the drop convention
+        # below removes id_b, so emit the CONTAINED doc as id_b
+        pairs = containment_pairs(
+            df, args.id_col, args.text_col,
+            threshold_e4=int(round(args.threshold * 10000)),
+            max_df=args.max_df,
+        ).select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
     elif args.method == "exact":
         fp = df.select(
             F.col(args.id_col), fingerprint(F.col(args.text_col)).alias("_fp")
@@ -233,6 +245,30 @@ def cmd_text(args: argparse.Namespace) -> None:
         from fscrawler_spark.operators.textsearch import ngram_lm_scores
 
         out = ngram_lm_scores(df, args.id_col, args.text_col)
+    elif args.op == "pack":
+        from fscrawler_spark.operators.prep import pack_sequences
+
+        out = pack_sequences(
+            df, args.id_col, args.text_col, cap=args.cap,
+            n_buckets=args.buckets,
+        )
+    elif args.op == "mixture":
+        from fscrawler_spark.operators.prep import mixture_weights
+
+        targets = {}
+        for kv in (args.targets or "").split(","):
+            if kv.strip():
+                k, _, v = kv.partition("=")
+                targets[k.strip()] = int(v)
+        if not targets:
+            sys.exit("--targets required for --op mixture (e.g. en=4000,de=6000)")
+        out = mixture_weights(df, args.group_col, args.text_col, targets)
+    elif args.op == "funnel":
+        from fscrawler_spark.operators.prep import yield_funnel
+
+        out = yield_funnel(
+            df, args.id_col, args.text_col, min_tokens=args.min_tokens
+        )
     else:
         sys.exit(f"unknown text op: {args.op}")
     if args.out:
@@ -268,6 +304,35 @@ def cmd_profile(args: argparse.Namespace) -> None:
         )
     else:
         sys.exit(f"unknown profile op: {args.op}")
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"op": args.op, "rows": out.count(), "out": args.out}))
+    else:
+        out.show(20, truncate=False)
+        print(json.dumps({"op": args.op, "rows": out.count()}))
+
+
+def cmd_frontier(args: argparse.Namespace) -> None:
+    """Frontier-scheduling ops over any parquet — the CLI face of the
+    politeness/graph family: max-min fair water-filling of one global
+    wave budget across hosts (operators/politeness.waterfill_budget),
+    or redirect-chain collapse by pointer doubling
+    (operators/graph.resolve_redirect_chains)."""
+    spark = get_spark("fscrawler_frontier", cores=args.cores)
+    df = spark.read.parquet(args.input)
+    if args.op == "waterfill":
+        from fscrawler_spark.operators.politeness import waterfill_budget
+
+        demands = df.groupBy(args.group_col).agg(
+            F.count("*").cast("long").alias("demand")
+        )
+        out = waterfill_budget(demands, [args.group_col], "demand", args.budget)
+    elif args.op == "redirects":
+        from fscrawler_spark.operators.graph import resolve_redirect_chains
+
+        out = resolve_redirect_chains(df, args.src_col, args.dst_col)
+    else:
+        sys.exit(f"unknown frontier op: {args.op}")
     if args.out:
         out.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"op": args.op, "rows": out.count(), "out": args.out}))
@@ -349,13 +414,15 @@ def main(argv: list[str] | None = None) -> None:
     d = sub.add_parser("dedup", help="near-dup scan (minhash/simhash/embedding/exact/prefix/winnow)")
     d.add_argument("--method", default="minhash",
                    choices=["minhash", "simhash", "embedding", "exact",
-                            "prefix", "winnow"])
+                            "prefix", "winnow", "containment"])
     d.add_argument("--vec-col", default="embedding",
                    help="vector column for --method embedding")
     d.add_argument("--input", required=True)
     d.add_argument("--id-col", default="doc_id")
     d.add_argument("--text-col", default="text")
     d.add_argument("--threshold", type=float, default=0.8)
+    d.add_argument("--max-df", type=int, default=None,
+                   help="containment: drop shingles in more than N docs")
     d.add_argument("--out")
     d.set_defaults(fn=cmd_dedup)
 
@@ -366,12 +433,22 @@ def main(argv: list[str] | None = None) -> None:
     t.add_argument("--input", required=True)
     t.add_argument("--op", default="prep",
                    choices=["winnow", "classify", "collocations", "prep",
-                            "lmscore"])
+                            "lmscore", "pack", "mixture", "funnel"])
     t.add_argument("--id-col", default="doc_id")
     t.add_argument("--text-col", default="text")
     t.add_argument("--topk", type=int, default=50)
     t.add_argument("--fraction", type=float, default=0.5)
     t.add_argument("--salt", default="corpusv1")
+    t.add_argument("--cap", type=int, default=256,
+                   help="pack: tokens per training sequence")
+    t.add_argument("--buckets", type=int, default=16,
+                   help="pack: parallel packing buckets (id %% buckets)")
+    t.add_argument("--group-col", default="lang",
+                   help="mixture: grouping column")
+    t.add_argument("--targets", default=None,
+                   help="mixture: target shares in 1e-4, e.g. en=4000,de=6000")
+    t.add_argument("--min-tokens", type=int, default=10,
+                   help="funnel: min-length stage threshold")
     t.add_argument("--out")
     t.set_defaults(fn=cmd_text)
 
@@ -390,6 +467,20 @@ def main(argv: list[str] | None = None) -> None:
     pf.add_argument("--bins", type=int, default=200)
     pf.add_argument("--out")
     pf.set_defaults(fn=cmd_profile)
+
+    fr = sub.add_parser(
+        "frontier",
+        help="frontier scheduling ops (waterfill/redirects) over any parquet",
+    )
+    fr.add_argument("--input", required=True)
+    fr.add_argument("--op", default="waterfill",
+                    choices=["waterfill", "redirects"])
+    fr.add_argument("--group-col", default="host")
+    fr.add_argument("--budget", type=int, default=1000)
+    fr.add_argument("--src-col", default="src")
+    fr.add_argument("--dst-col", default="dst")
+    fr.add_argument("--out")
+    fr.set_defaults(fn=cmd_frontier)
 
     m = sub.add_parser(
         "media",

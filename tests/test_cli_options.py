@@ -195,3 +195,57 @@ def test_cli_profile_ops(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     payload = _json.loads(r.stdout.strip().splitlines()[-1])
     assert payload["rows"] >= 40, payload
+
+
+def test_cli_session8_ops(tmp_path):
+    """`text --op pack/mixture/funnel`, `dedup --method containment`,
+    and the new `frontier` subcommand, each end-to-end from a fresh
+    process (the spark-submit surface)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    import duckdb
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+
+    def run(argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "fscrawler_spark.cli", "--cores", "4", *argv],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return _json.loads(r.stdout.strip().splitlines()[-1])
+
+    out = tmp_path / "pack"
+    p = run(["text", "--input", docs, "--op", "pack", "--cap", "64",
+             "--out", str(out)])
+    assert p["rows"] >= 16  # at least one sequence per bucket
+    # every packed sequence holds >= 1 doc and the doc total re-adds
+    tot = duckdb.sql(
+        f"SELECT sum(n_docs), min(n_docs) FROM read_parquet('{out}/*.parquet')"
+    ).fetchone()
+    assert tot[0] == 500 and tot[1] >= 1
+
+    p = run(["text", "--input", docs, "--op", "mixture",
+             "--targets", "en=4000,de=1500,es=1500,fr=1500,zh=1500",
+             "--out", str(tmp_path / "mix")])
+    assert p["rows"] == 5
+
+    p = run(["text", "--input", docs, "--op", "funnel",
+             "--out", str(tmp_path / "funnel")])
+    assert p["rows"] == 3
+
+    p = run(["dedup", "--input", docs, "--method", "containment",
+             "--threshold", "0.8", "--max-df", "100",
+             "--out", str(tmp_path / "contain")])
+    assert p["pairs"] >= 0 and p["dropped"] <= p["pairs"]
+
+    p = run(["frontier", "--input", docs, "--op", "waterfill",
+             "--group-col", "source", "--budget", "100",
+             "--out", str(tmp_path / "wf")])
+    assert p["rows"] == 20
+    alloc = duckdb.sql(
+        f"SELECT sum(alloc) FROM read_parquet('{tmp_path / 'wf'}/*.parquet')"
+    ).fetchone()[0]
+    assert alloc <= 100
