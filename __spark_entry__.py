@@ -2052,6 +2052,47 @@ def q80_yield_funnel(spark, sf_dir):
     return yield_funnel(d, "doc_id", "text", min_tokens=10).orderBy("stage")
 
 
+def q81_canonical_urls(spark, sf_dir):
+    """URL canonicalization collapse (functions/urls.canonicalize_url):
+    two tracking-param/fragment alias spellings per page collapse to
+    one canonical frontier row (param strip + byte-sort, fragment
+    drop, scheme+host lower) — count of variants per canonical URL;
+    docs divisible by 4 carry a real extra param so their variants
+    canonicalize APART (the rule must not over-merge)."""
+    from fscrawler_spark.functions.urls import canonicalize_url
+
+    u = _doc_urls(spark, sf_dir)
+    v = u.select(
+        "doc_id", "url",
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("j"),
+    )
+    raw = v.select(
+        F.when(
+            F.col("j") == 1,
+            F.concat(F.col("url"), F.lit("?utm_source=feed&b=2&a=1")),
+        )
+        .otherwise(
+            F.concat(
+                F.col("url"),
+                F.lit("?a=1&gclid=x"),
+                F.col("doc_id").cast("string"),
+                F.lit("&b=2"),
+                F.when(F.col("doc_id") % 4 == 0, F.lit("&c=3")).otherwise(
+                    F.lit("")
+                ),
+                F.lit("#sec"),
+            )
+        )
+        .alias("raw_url")
+    )
+    return (
+        raw.select(canonicalize_url(F.col("raw_url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count("*").cast("long").alias("n_variants"))
+        .orderBy("canonical_url")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2134,6 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_budget_waterfill": q78_budget_waterfill,
         "q79_mixture_weights": q79_mixture_weights,
         "q80_yield_funnel": q80_yield_funnel,
+        "q81_canonical_urls": q81_canonical_urls,
     }
 
 
@@ -3716,6 +3758,52 @@ def oracle_sql() -> dict[str, str]:
                    (n_vecs - n_dropped)::BIGINT AS n_kept
             FROM per ORDER BY cluster
         """,
+        # q81: the full canonicalization restated in DuckDB list
+        # functions over the same two-variant alias synthesis; list_sort
+        # and array_sort share binary collation on ASCII params.
+        "q81_canonical_urls": r"""
+            WITH u AS ({_DOC_URL_SQL}),
+            v AS (SELECT doc_id, url, unnest([1, 2]) AS j FROM u),
+            raw AS (SELECT CASE WHEN j = 1
+                                THEN url || '?utm_source=feed&b=2&a=1'
+                                ELSE url || '?a=1&gclid=x'
+                                     || doc_id::VARCHAR || '&b=2'
+                                     || (CASE WHEN doc_id % 4 = 0
+                                              THEN '&c=3' ELSE '' END)
+                                     || '#sec' END AS raw_url
+                   FROM v),
+            st1 AS (SELECT regexp_replace(raw_url, '#.*$', '') AS nofrag
+                    FROM raw),
+            st2 AS (SELECT nofrag,
+                           substr(nofrag,
+                                  len(regexp_extract(nofrag,
+                                      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)',
+                                      1)) + 1) AS rest
+                    FROM st1),
+            st3 AS (SELECT nofrag, rest,
+                           CASE WHEN instr(rest, '?') > 0
+                                THEN regexp_replace(rest, '^[^?]*\?', '')
+                                ELSE '' END AS query
+                    FROM st2),
+            st4 AS (SELECT nofrag, rest,
+                           CASE WHEN query = '' THEN []::VARCHAR[]
+                                ELSE string_split(query, '&') END AS params
+                    FROM st3),
+            st5 AS (SELECT nofrag, rest,
+                           array_to_string(list_sort(list_filter(params,
+                             p -> NOT regexp_matches(lower(p),
+                               '^(utm_[^=]*|gclid|fbclid|msclkid|phpsessid|jsessionid|sessionid)(=|$)'))),
+                             '&') AS q2
+                    FROM st4),
+            c AS (SELECT lower(regexp_extract(nofrag,
+                           '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+                         || regexp_replace(rest, '\?.*$', '')
+                         || CASE WHEN q2 = '' THEN ''
+                                 ELSE '?' || q2 END AS canonical_url
+                  FROM st5)
+            SELECT canonical_url, count(*)::BIGINT AS n_variants
+            FROM c GROUP BY 1 ORDER BY 1
+        """.format(_DOC_URL_SQL=_DOC_URL_SQL),
         # q79: same group rollup + VALUES target table; integer weight
         # on the 1e6 grid, resampled mass re-derived from the weight.
         "q79_mixture_weights": r"""

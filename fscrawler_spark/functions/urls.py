@@ -223,3 +223,54 @@ def surt_key(url: Column) -> Column:
         F.lit(")"),
         url_path(url),
     )
+
+
+_TRACKING_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|phpsessid|jsessionid|sessionid)(=|$)"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical URL form for alias collapse — the normalization tier
+    ABOVE url_normalize: fragment stripped, scheme+host lower-cased,
+    tracking / session query params removed (utm_*, gclid, fbclid,
+    msclkid, *sessionid), and the surviving params BYTE-SORTED so
+    param order never splits a page into two frontier rows.
+
+    The production-crawler step between link extraction and URL-seen
+    probing: without it, ?utm_source variants of one page each consume
+    a fetch slot and a seen-set entry (at 10^10 URLs, tracking-param
+    aliases are a double-digit percentage of the raw link stream).
+    Everything is one codegen'd projection — regex splits, a
+    higher-order ``filter`` on the param array, ``array_sort`` (binary
+    collation, engine-shared), ``array_join`` — no Python per row
+    (q81's oracle restates it in DuckDB list functions)."""
+    nofrag = F.regexp_replace(url, r"#.*$", "")
+    head = F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    rest = F.substring(nofrag, F.length(head) + 1, F.length(nofrag))
+    path = F.regexp_replace(rest, r"\?.*$", "")
+    query = F.when(
+        F.locate("?", rest) > 0, F.regexp_replace(rest, r"^[^?]*\?", "")
+    ).otherwise(F.lit(""))
+    params = F.when(query == "", F.array().cast("array<string>")).otherwise(
+        F.split(query, "&")
+    )
+    kept = F.filter(params, lambda p: ~F.lower(p).rlike(_TRACKING_RE))
+    q2 = F.array_join(F.array_sort(kept), "&")
+    return F.concat(
+        F.lower(head),
+        path,
+        F.when(q2 == "", F.lit("")).otherwise(F.concat(F.lit("?"), q2)),
+    )
+
+
+def canonicalize_url_py(url: str) -> str:
+    """Scalar twin of canonicalize_url (simulator / property tests)."""
+    nofrag = re.sub(r"#.*$", "", url)
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", nofrag)
+    head = m.group(1) if m else ""
+    rest = nofrag[len(head):]
+    path = re.sub(r"\?.*$", "", rest)
+    query = re.sub(r"^[^?]*\?", "", rest) if "?" in rest else ""
+    params = query.split("&") if query else []
+    kept = [p for p in params if not re.match(_TRACKING_RE, p.lower())]
+    q2 = "&".join(sorted(kept))
+    return head.lower() + path + (("?" + q2) if q2 else "")

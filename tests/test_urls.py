@@ -122,3 +122,37 @@ def test_zorder_matches_python_morton(spark):
     for x, y in pts:
         assert got[(x, y)] == py_spread(x) | (py_spread(y) << 1), (x, y)
     assert got[(3, 3)] == 15  # the canonical 2x2 block check
+
+
+def test_canonicalize_url_matches_scalar_twin(spark):
+    from pyspark.sql import functions as F
+    from fscrawler_spark.functions.urls import (
+        canonicalize_url,
+        canonicalize_url_py,
+    )
+
+    urls = [
+        "http://a.example/p?utm_source=feed&b=2&a=1",
+        "HTTP://A.Example/p?a=1&b=2&gclid=xyz#frag",
+        "http://a.example/p?b=2&a=1",
+        "http://a.example/p",
+        "http://a.example/p?UTM_CAMPAIGN=x",
+        "http://a.example/p?x=%C3%A9&a",
+        "http://a.example/p?sessionid=42&PHPSESSID=9&jsessionid=1&ok=1",
+        "http://h.example/?fbclid=abc",
+        "http://h.example/deep/path?z=1&y=2&x=3",
+        "relative/path?utm_x=1&k=v",
+        "http://h.example/p?a=1&a=0",        # dup keys keep both, sorted
+        "http://h.example/p#only-frag",
+        "http://h.example/p?",               # empty query
+        "http://h.example/p?notutm_a=1",     # must NOT strip (prefix anchored)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r["c"] for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+    want = [canonicalize_url_py(u) for u in urls]
+    assert got == want
+    # the three alias spellings of the same page collapse
+    assert got[0] == got[1] == got[2] == "http://a.example/p?a=1&b=2"
+    assert got[4] == "http://a.example/p"
+    assert got[6] == "http://a.example/p?ok=1"
+    assert got[13] == "http://h.example/p?notutm_a=1"

@@ -68,3 +68,37 @@ def test_url_resolve_parity(spark, pairs):
         assert row["out"] == U.url_resolve_py(row["base"], row["href"]), (
             row["base"], row["href"],
         )
+
+
+_param = st.builds(
+    lambda k, v: k + ("=" + v if v is not None else ""),
+    st.sampled_from(["a", "b", "utm_source", "utm_x", "gclid", "notutm",
+                     "sessionid", "x%20y", "K"]),
+    st.one_of(st.none(), st.text(alphabet="abc123%&#".replace("&", "").replace("#", ""),
+                                 max_size=5)),
+)
+
+_qurl = st.builds(
+    lambda base, params, frag: base
+    + ("?" + "&".join(params) if params else "")
+    + frag,
+    _url,
+    st.lists(_param, max_size=5),
+    st.sampled_from(["", "#f", "#a?b"]),
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(_qurl, min_size=1, max_size=24))
+def test_canonicalize_url_parity(spark, urls):
+    """Catalyst canonicalize_url == scalar twin on arbitrary
+    query/fragment-bearing URL-ish strings, and it is idempotent."""
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        "url", U.canonicalize_url(F.col("url")).alias("c")
+    ).collect()
+    for r in rows:
+        want = U.canonicalize_url_py(r["url"])
+        assert r["c"] == want, (r["url"], r["c"], want)
+        assert U.canonicalize_url_py(r["c"]) == r["c"]  # idempotent
