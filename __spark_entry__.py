@@ -2093,6 +2093,72 @@ def q81_canonical_urls(spark, sf_dir):
     )
 
 
+def q82_registered_domains(spark, sf_dir):
+    """Public-suffix longest-match registrable-domain rollup
+    (operators/links.registered_domains): per-SITE page and host
+    counts over synthetic hosts exercising subdomain collapse, the
+    multi-label suffix (co.example beats example), and the
+    bare-suffix null case."""
+    from fscrawler_spark.operators.links import registered_domains
+
+    d = _load(spark, sf_dir, "documents")
+    host = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("www."), F.col("source"), F.lit(".example")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.col("source"), F.lit(".co.example")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("a.b."), F.col("source"), F.lit(".example")),
+        )
+        .otherwise(F.lit("co.example"))
+    )
+    h = d.select(host.alias("host"))
+    out = registered_domains(h, "host", ["example", "co.example"])
+    return out.groupBy("registered_domain").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+    ).orderBy("registered_domain")
+
+
+def q83_indegree_bins(spark, sf_dir):
+    """Log-binned in-degree distribution of the q42 link graph — the
+    power-law profile a crawl operator reads before picking skew
+    mitigations; the log2 bin is engine-exact via the binary-string
+    length (length(bin(deg)) - 1), never float log2."""
+    d = _load(spark, sf_dir, "documents")
+    n = d.count()
+    w = Window.orderBy("doc_id")
+    nid = d.select((F.row_number().over(w) - 1).cast("long").alias("nid"))
+    e = (
+        nid.select(
+            "nid", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j")
+        )
+        .select(
+            F.col("nid").alias("src"),
+            ((F.col("nid") * 31 + F.col("j") * 97) % n).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    deg = e.groupBy("dst").agg(F.count("*").cast("long").alias("deg"))
+    return (
+        deg.select(
+            (F.length(F.bin(F.col("deg"))) - 1).cast("long").alias("log2_bin"),
+            "deg",
+        )
+        .groupBy("log2_bin")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("deg").cast("long").alias("edge_sum"),
+        )
+        .orderBy("log2_bin")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2176,6 +2242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_mixture_weights": q79_mixture_weights,
         "q80_yield_funnel": q80_yield_funnel,
         "q81_canonical_urls": q81_canonical_urls,
+        "q82_registered_domains": q82_registered_domains,
+        "q83_indegree_bins": q83_indegree_bins,
     }
 
 
@@ -3757,6 +3825,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster, n_vecs, n_dropped,
                    (n_vecs - n_dropped)::BIGINT AS n_kept
             FROM per ORDER BY cluster
+        """,
+        # q82: the PSL longest-match restated with DuckDB list slices
+        # (1-based inclusive: last k labels = labels[len-k+1 : len]).
+        "q82_registered_domains": r"""
+            WITH h AS (
+              SELECT CASE WHEN doc_id % 4 = 0
+                          THEN 'www.' || source || '.example'
+                          WHEN doc_id % 4 = 1
+                          THEN source || '.co.example'
+                          WHEN doc_id % 4 = 2
+                          THEN 'a.b.' || source || '.example'
+                          ELSE 'co.example' END AS host
+              FROM documents),
+            sfx(sfx, nl) AS (VALUES ('co.example', 2), ('example', 1)),
+            hl AS (SELECT DISTINCT lower(host) AS hh FROM h),
+            lab AS (SELECT hh, string_split(hh, '.') AS labels FROM hl),
+            cand AS (SELECT hh, labels,
+                            array_to_string(
+                              labels[len(labels)-k+1 : len(labels)], '.')
+                              AS cand
+                     FROM lab, (SELECT unnest(generate_series(1, 8)) AS k) ks
+                     WHERE k <= len(labels)),
+            m AS (SELECT hh, labels, nl
+                  FROM cand JOIN sfx ON cand.cand = sfx.sfx),
+            best AS (SELECT hh,
+                            CASE WHEN len(labels) > nl
+                                 THEN array_to_string(
+                                   labels[len(labels)-nl : len(labels)], '.')
+                            END AS rd
+                     FROM m
+                     QUALIFY row_number() OVER (PARTITION BY hh
+                                                ORDER BY nl DESC) = 1),
+            j AS (SELECT h.host, best.rd
+                  FROM h LEFT JOIN best ON lower(h.host) = best.hh)
+            SELECT rd AS registered_domain, count(*)::BIGINT AS n_pages,
+                   count(DISTINCT host)::BIGINT AS n_hosts
+            FROM j GROUP BY 1 ORDER BY 1
+        """,
+        # q83: the q42 edge CTE; log2 bin via binary-string length on
+        # both engines (bin() is exact where float log2 is not).
+        "q83_indegree_bins": r"""
+            WITH nid AS (
+              SELECT (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS nid
+              FROM documents),
+            nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+            e AS (SELECT nid AS src, ((nid*31 + j*97) % nn.n)::BIGINT AS dst
+                  FROM nid, nn, (SELECT unnest([1, 2, 3]) AS j) js
+                  WHERE nid <> (nid*31 + j*97) % nn.n),
+            deg AS (SELECT dst, count(*)::BIGINT AS deg
+                    FROM e GROUP BY 1)
+            SELECT (length(bin(deg)) - 1)::BIGINT AS log2_bin,
+                   count(*)::BIGINT AS n_nodes,
+                   sum(deg)::BIGINT AS edge_sum
+            FROM deg GROUP BY 1 ORDER BY 1
         """,
         # q81: the full canonicalization restated in DuckDB list
         # functions over the same two-variant alias synthesis; list_sort

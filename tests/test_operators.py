@@ -475,3 +475,35 @@ def test_yield_funnel_stages_are_nested_and_exact(spark):
     assert got["0_raw"] == (6, 12 * 3 + 2 + 0 + 15)
     assert got["1_minlen"] == (4, 12 * 3 + 15)
     assert got["2_exact_dedup"] == (2, 12 + 15)
+
+
+def test_registered_domains_longest_match(spark):
+    from fscrawler_spark.operators.links import registered_domains
+
+    rows = [
+        ("www.foo.example",),        # -> foo.example
+        ("a.b.foo.example",),        # -> foo.example (deep subdomain)
+        ("foo.co.example",),         # -> foo.co.example (multi-label suffix wins)
+        ("x.foo.co.example",),       # -> foo.co.example
+        ("co.example",),             # bare suffix -> null
+        ("example",),                # bare suffix -> null
+        ("FOO.Example",),            # case-folded -> foo.example
+        ("unmatched.tld",),          # no suffix match -> null
+    ]
+    df = spark.createDataFrame(rows, "host string")
+    got = {
+        r["host"]: r["registered_domain"]
+        for r in registered_domains(
+            df, "host", ["example", "co.example"]
+        ).collect()
+    }
+    assert got == {
+        "www.foo.example": "foo.example",
+        "a.b.foo.example": "foo.example",
+        "foo.co.example": "foo.co.example",
+        "x.foo.co.example": "foo.co.example",
+        "co.example": None,
+        "example": None,
+        "FOO.Example": "foo.example",
+        "unmatched.tld": None,
+    }
