@@ -2159,6 +2159,64 @@ def q83_indegree_bins(spark, sf_dir):
     )
 
 
+def q84_sitemap_roundtrip(spark, sf_dir):
+    """Sitemap source round-trip (sources/sitemap.parse_sitemaps):
+    per-source <urlset> XML synthesized deterministically
+    (array_sort'd struct list == string_agg ORDER BY), parsed back to
+    (loc, lastmod) rows with the codegen'd regex grammar; per source:
+    url count, lastmod coverage, first loc, max lastmod."""
+    from fscrawler_spark.sources.sitemap import parse_sitemaps
+
+    u = _doc_urls(spark, sf_dir)
+    entry = F.concat(
+        F.lit("<url><loc> "), F.col("url"), F.lit(" </loc>"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("<lastmod>2026-0"),
+                ((F.col("doc_id") % 9) + 1).cast("string"),
+                F.lit("-15</lastmod>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    xml = (
+        u.select(
+            "source", F.struct(F.col("doc_id"), entry.alias("e")).alias("s")
+        )
+        .groupBy("source")
+        .agg(F.array_sort(F.collect_list("s")).alias("arr"))
+        .select(
+            "source",
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(F.transform("arr", lambda s: s["e"]), ""),
+                F.lit("</urlset>"),
+            ).alias("body"),
+        )
+    )
+    parsed = parse_sitemaps(xml, "body", keep_cols=["source"])
+    return parsed.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.count("lastmod").cast("long").alias("n_lastmod"),
+        F.min("loc").alias("first_loc"),
+        F.max("lastmod").alias("max_lastmod"),
+    ).orderBy("source")
+
+
+def q85_chunk_spans(spark, sf_dir):
+    """Sliding-window chunk spans (operators/prep.chunk_spans):
+    size-24 stride-16 overlapping windows per document, closed-form
+    chunk count, no shuffle — the retrieval-pipeline counterpart of
+    q75's cross-doc packing."""
+    from fscrawler_spark.operators.prep import chunk_spans
+
+    d = _load(spark, sf_dir, "documents")
+    return chunk_spans(d, "doc_id", "text", size=24, stride=16).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2244,6 +2302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_canonical_urls": q81_canonical_urls,
         "q82_registered_domains": q82_registered_domains,
         "q83_indegree_bins": q83_indegree_bins,
+        "q84_sitemap_roundtrip": q84_sitemap_roundtrip,
+        "q85_chunk_spans": q85_chunk_spans,
     }
 
 
@@ -3825,6 +3885,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster, n_vecs, n_dropped,
                    (n_vecs - n_dropped)::BIGINT AS n_kept
             FROM per ORDER BY cluster
+        """,
+        # q84: string_agg ORDER BY == Spark's array_sort'd struct list;
+        # the same (?s) non-greedy grammar re-parses the bodies.
+        "q84_sitemap_roundtrip": r"""
+            WITH u AS ({_DOC_URL_SQL}),
+            ent AS (SELECT source, doc_id,
+                           '<url><loc> ' || url || ' </loc>'
+                           || CASE WHEN doc_id % 2 = 0
+                                   THEN '<lastmod>2026-0'
+                                        || ((doc_id % 9) + 1)::VARCHAR
+                                        || '-15</lastmod>'
+                                   ELSE '' END
+                           || '</url>' AS e
+                    FROM u),
+            xml AS (SELECT source,
+                           '<urlset>' || string_agg(e, '' ORDER BY doc_id)
+                           || '</urlset>' AS body
+                    FROM ent GROUP BY 1),
+            blocks AS (SELECT source,
+                              unnest(regexp_extract_all(body,
+                                '(?s)<url>(.*?)</url>', 1)) AS b
+                       FROM xml),
+            p AS (SELECT source,
+                         nullif(regexp_extract(b,
+                           '(?s)<loc>\s*(.*?)\s*</loc>', 1), '') AS loc,
+                         nullif(regexp_extract(b,
+                           '(?s)<lastmod>\s*(.*?)\s*</lastmod>', 1), '')
+                           AS lastmod
+                  FROM blocks)
+            SELECT source, count(*)::BIGINT AS n_urls,
+                   count(lastmod)::BIGINT AS n_lastmod,
+                   min(loc) AS first_loc, max(lastmod) AS max_lastmod
+            FROM p WHERE loc IS NOT NULL GROUP BY 1 ORDER BY 1
+        """.format(_DOC_URL_SQL=_DOC_URL_SQL),
+        # q85: the chunk-count closed form + generate_series expansion.
+        "q85_chunk_spans": r"""
+            WITH t AS (SELECT doc_id,
+                              (CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                                    ELSE len(regexp_split_to_array(trim(text),
+                                                                   '\s+'))
+                               END)::BIGINT AS n
+                       FROM documents),
+            c AS (SELECT doc_id, n,
+                         CASE WHEN n <= 24 THEN 1
+                              ELSE 1 + (n - 24 + 16 - 1) // 16 END AS nc
+                  FROM t),
+            s AS (SELECT doc_id, n,
+                         unnest(generate_series(0, nc - 1)) AS chunk_id
+                  FROM c)
+            SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+                   (chunk_id * 16)::BIGINT AS start_tok,
+                   least(chunk_id * 16 + 24, n)::BIGINT AS end_tok,
+                   (least(chunk_id * 16 + 24, n)
+                    - chunk_id * 16)::BIGINT AS chunk_len
+            FROM s ORDER BY doc_id, chunk_id
         """,
         # q82: the PSL longest-match restated with DuckDB list slices
         # (1-based inclusive: last k labels = labels[len-k+1 : len]).

@@ -196,3 +196,49 @@ def yield_funnel(
     ).where(F.col("_id") == F.col("_keep"))
     s2 = _stage(canon, "2_exact_dedup")
     return s0.unionByName(s1).unionByName(s2)
+
+
+def chunk_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window chunk spans per document: (id, chunk_id,
+    start_tok, end_tok, chunk_len) — the INTRA-document counterpart of
+    pack_sequences (retrieval/embedding pipelines chunk long docs into
+    overlapping windows; stride < size gives the overlap).
+
+    Closed form, no iteration: ``n_chunks = 1 + ceil((n - size) /
+    stride)`` for n > size else 1, expanded with one
+    ``explode(sequence(...))`` — all integer DIV arithmetic, so the
+    span table is engine-exact (q85's oracle).  Empty docs keep one
+    empty span (the chunk table stays total over documents — a doc
+    that vanishes here would silently fall out of the embedding
+    pipeline downstream).
+
+    Scale: embarrassingly parallel — one projection + explode, no
+    shuffle at all; output rows ~ corpus_tokens / stride.
+    """
+    from fscrawler_spark.functions.textstats import token_count
+
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    n = token_count(F.col(text_col)).cast("long")
+    base = df.select(F.col(id_col), n.alias("_n"))
+    nc = F.when(F.col("_n") <= size, F.lit(1).cast("long")).otherwise(
+        F.lit(1).cast("long") + F.expr(f"(_n - {size} + {stride} - 1) DIV {stride}")
+    )
+    spans = base.select(
+        id_col, "_n", F.explode(F.sequence(F.lit(0).cast("long"), nc - 1)).alias("chunk_id")
+    )
+    start = F.col("chunk_id") * stride
+    end = F.least(start + size, F.col("_n"))
+    return spans.select(
+        id_col,
+        "chunk_id",
+        start.alias("start_tok"),
+        end.alias("end_tok"),
+        (end - start).alias("chunk_len"),
+    )

@@ -507,3 +507,33 @@ def test_registered_domains_longest_match(spark):
         "FOO.Example": "foo.example",
         "unmatched.tld": None,
     }
+
+
+def test_chunk_spans_reference_and_coverage(spark):
+    from fscrawler_spark.operators.prep import chunk_spans
+    import pytest as _pt
+
+    docs = [(0, "w " * 100), (1, "w " * 24), (2, "w " * 25),
+            (3, "w"), (4, ""), (5, "w " * 64)]
+    df = spark.createDataFrame(
+        [(i, t.strip()) for i, t in docs], "doc_id long, text string"
+    )
+    rows = chunk_spans(df, "doc_id", "text", size=24, stride=16).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in docs:
+        n = len(t.split())
+        spans = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+        # every token position < n is covered by some span
+        covered = set()
+        for r in spans:
+            assert r["end_tok"] <= n and r["chunk_len"] == r["end_tok"] - r["start_tok"]
+            covered |= set(range(r["start_tok"], r["end_tok"]))
+        assert covered == set(range(n))
+        # last chunk must reach n; chunk starts advance by exactly stride
+        assert spans[-1]["end_tok"] == n
+        assert [r["start_tok"] for r in spans] == [16 * k for k in range(len(spans))]
+    assert len(by_doc[4]) == 1 and by_doc[4][0]["chunk_len"] == 0  # empty doc kept
+    with _pt.raises(ValueError):
+        chunk_spans(df, "doc_id", "text", size=0)

@@ -116,3 +116,38 @@ def test_crawl_from_warc_equals_crawl_from_parquet(
     assert {r["url"] for r in res_w.seen(spark).collect()} == {
         r["url"] for r in res_p.seen(spark).collect()
     }
+
+
+def test_parse_sitemaps_and_index(spark):
+    """Sitemap source: urlset entries, whitespace tolerance, missing
+    lastmod -> null, loc-less entries dropped, index level."""
+    from fscrawler_spark.sources.sitemap import (
+        parse_sitemap_index,
+        parse_sitemaps,
+    )
+
+    body = (
+        "<?xml version='1.0'?><urlset>"
+        "<url><loc>http://a.example/1</loc>"
+        "<lastmod>2026-01-02</lastmod></url>"
+        "<url><loc>\n  http://a.example/2 \n</loc></url>"
+        "<url><lastmod>2026-03-04</lastmod></url>"  # no loc -> dropped
+        "</urlset>"
+    )
+    idx = (
+        "<sitemapindex><sitemap><loc>http://a.example/s1.xml</loc>"
+        "<lastmod>2026-05-06</lastmod></sitemap>"
+        "<sitemap><loc>http://a.example/s2.xml</loc></sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame([("h1", body)], "site string, body string")
+    got = parse_sitemaps(df, "body", keep_cols=["site"]).orderBy("loc").collect()
+    assert [(r["site"], r["loc"], r["lastmod"]) for r in got] == [
+        ("h1", "http://a.example/1", "2026-01-02"),
+        ("h1", "http://a.example/2", None),
+    ]
+    di = spark.createDataFrame([(idx,)], "body string")
+    gi = parse_sitemap_index(di, "body").orderBy("loc").collect()
+    assert [(r["loc"], r["lastmod"]) for r in gi] == [
+        ("http://a.example/s1.xml", "2026-05-06"),
+        ("http://a.example/s2.xml", None),
+    ]
