@@ -2102,19 +2102,17 @@ def q82_registered_domains(spark, sf_dir):
     from fscrawler_spark.operators.links import registered_domains
 
     d = _load(spark, sf_dir, "documents")
+    # variant gate: md5(doc_id), NOT doc_id % 4 — the fixture interleaves
+    # doc_ids across sources, so a plain modulus is constant per source
+    # and would never exercise multi-host collapse within one domain
+    v = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 4
+    )
     host = (
-        F.when(
-            F.col("doc_id") % 4 == 0,
-            F.concat(F.lit("www."), F.col("source"), F.lit(".example")),
-        )
-        .when(
-            F.col("doc_id") % 4 == 1,
-            F.concat(F.col("source"), F.lit(".co.example")),
-        )
-        .when(
-            F.col("doc_id") % 4 == 2,
-            F.concat(F.lit("a.b."), F.col("source"), F.lit(".example")),
-        )
+        F.when(v == 0, F.concat(F.lit("www."), F.col("source"), F.lit(".example")))
+        .when(v == 1, F.concat(F.col("source"), F.lit(".co.example")))
+        .when(v == 2, F.concat(F.lit("a.b."), F.col("source"), F.lit(".example")))
         .otherwise(F.lit("co.example"))
     )
     h = d.select(host.alias("host"))
@@ -3944,15 +3942,17 @@ def oracle_sql() -> dict[str, str]:
         # q82: the PSL longest-match restated with DuckDB list slices
         # (1-based inclusive: last k labels = labels[len-k+1 : len]).
         "q82_registered_domains": r"""
-            WITH h AS (
-              SELECT CASE WHEN doc_id % 4 = 0
-                          THEN 'www.' || source || '.example'
-                          WHEN doc_id % 4 = 1
-                          THEN source || '.co.example'
-                          WHEN doc_id % 4 = 2
-                          THEN 'a.b.' || source || '.example'
-                          ELSE 'co.example' END AS host
+            WITH hv AS (
+              SELECT source,
+                     CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 8))
+                          AS BIGINT) % 4 AS v
               FROM documents),
+            h AS (
+              SELECT CASE WHEN v = 0 THEN 'www.' || source || '.example'
+                          WHEN v = 1 THEN source || '.co.example'
+                          WHEN v = 2 THEN 'a.b.' || source || '.example'
+                          ELSE 'co.example' END AS host
+              FROM hv),
             sfx(sfx, nl) AS (VALUES ('co.example', 2), ('example', 1)),
             hl AS (SELECT DISTINCT lower(host) AS hh FROM h),
             lab AS (SELECT hh, string_split(hh, '.') AS labels FROM hl),
