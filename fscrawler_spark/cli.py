@@ -84,6 +84,9 @@ def cmd_crawl(args: argparse.Namespace) -> None:
         ),
         max_waves=_flag_over_config(cfg, "max_waves", args.waves, 50),
         wave_cap=cfg.get("wave_cap"),
+        global_wave_budget=_flag_over_config(
+            cfg, "global_wave_budget", args.global_budget, None
+        ),
         skip_filters=tuple(build_filters(cfg.get("skip_filters", []))),
         notify_filters=tuple(build_filters(cfg.get("notify_filters", []))),
         invert=cfg.get("invert", False),
@@ -398,6 +401,9 @@ def main(argv: list[str] | None = None) -> None:
     # default=None marks "not given" so _flag_over_config can let an
     # explicit flag win over the config (r03 advisory, all three flags)
     c.add_argument("--budget", type=int, default=None)
+    c.add_argument("--global-budget", type=int, default=None,
+                   help="per-wave global fetch capacity, water-filled "
+                        "across hosts (max-min fair)")
     c.add_argument("--waves", type=int, default=None)
     c.add_argument("--bloom", action=argparse.BooleanOptionalAction,
                    default=None)

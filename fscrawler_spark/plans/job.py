@@ -33,6 +33,15 @@ class CrawlJob:
     politeness_budget: int = 8
     max_waves: int = 50
     wave_cap: int | None = None
+    # Optional global per-wave fetch capacity, water-filled across
+    # hosts (max-min fair integer level, operators/politeness.py
+    # waterfill_budget) and applied as each host's budget for the
+    # wave; per-host demand is pre-capped at the politeness /
+    # crawl-delay budget so allocations are always spendable.  Differs
+    # from wave_cap (a post-rank truncation by global priority): the
+    # water level preserves small hosts' service when one mega-host
+    # dominates the frontier.  None = off.
+    global_wave_budget: int | None = None
     skip_filters: tuple[FilterSpec, ...] = field(default_factory=tuple)
     notify_filters: tuple[FilterSpec, ...] = field(default_factory=tuple)
     invert: bool = False

@@ -135,10 +135,25 @@ def simulate_crawl(
         by_host: dict[str, list[dict]] = {}
         for r in authorized:
             by_host.setdefault(r["host"], []).append(r)
+        # optional global-budget tier: max-min fair water level over
+        # demand capped at each host's own budget (wave_loop.py twin)
+        alloc: dict[str, int] | None = None
+        if job.global_wave_budget is not None:
+            dem = {
+                h: min(len(rows), budget(h)) for h, rows in by_host.items()
+            }
+            b = job.global_wave_budget
+            if sum(dem.values()) <= b:
+                alloc = dict(dem)
+            else:
+                lvl = 0
+                while sum(min(d, lvl + 1) for d in dem.values()) <= b:
+                    lvl += 1
+                alloc = {h: min(d, lvl) for h, d in dem.items()}
         scheduled, deferred = [], []
         for host, rows in by_host.items():
             rows.sort(key=lambda r: (r["priority"], r["url"]))
-            k = budget(host)
+            k = alloc[host] if alloc is not None else budget(host)
             scheduled.extend(rows[:k])
             deferred.extend(rows[k:])
         if job.wave_cap is not None:

@@ -547,10 +547,40 @@ def run_crawl(
         authorized = passed.where(~F.col("_rep_denied")).drop("_rep_denied")
 
         # --- politeness window -------------------------------------------
+        # Optional global-budget tier: water-fill ONE wave capacity
+        # across hosts (max-min fair, operators/politeness.py) and feed
+        # the allocations to the per-host window as its budget dim.
+        # Demand is capped at each host's politeness/crawl-delay budget
+        # first, so waterfill never allocates tokens a host cannot
+        # spend.  The demand rollup re-reads the PERSISTED `stat`
+        # frame (one cached-scan + map-side count per wave); the level
+        # search itself runs on distinct demand values only.
+        hb_wave = host_budgets
+        if job.global_wave_budget is not None:
+            from fscrawler_spark.operators.politeness import waterfill_budget
+
+            dem = authorized.groupBy("host").agg(
+                F.count("*").cast("long").alias("_n")
+            )
+            if host_budgets is not None:
+                dem = dem.join(
+                    F.broadcast(host_budgets.select("host", "tokens")),
+                    "host",
+                    "left",
+                )
+                cap = F.coalesce(
+                    F.col("tokens"), F.lit(job.politeness_budget)
+                ).cast("long")
+            else:
+                cap = F.lit(job.politeness_budget).cast("long")
+            dem = dem.select("host", F.least(F.col("_n"), cap).alias("demand"))
+            hb_wave = waterfill_budget(
+                dem, ["host"], "demand", job.global_wave_budget
+            ).select("host", F.col("alloc").cast("int").alias("tokens"))
         ranked = politeness_take(
             authorized,
             job.politeness_budget,
-            host_budgets,
+            hb_wave,
             salt_buckets,
             job.wave_cap,
         ).persist()

@@ -149,3 +149,36 @@ def test_parity_on_alternate_seed(spark, tmp_path_factory):
     }
     assert order == sim.order
     assert {r["url"] for r in res.seen(spark).collect()} == sim.seen
+
+
+def test_global_wave_budget_engine_matches_simulator(
+    spark, pages_df, robots_df, tiny, tmp_path_factory
+):
+    """Water-filled global budget: engine == simulator on ordering and
+    seen set, the per-wave total respects the budget, and small hosts
+    keep service a plain wave_cap would deny them."""
+    job = CrawlJob(politeness_budget=20, max_waves=3, global_wave_budget=9)
+    sim = simulate_crawl(tiny["pages"], tiny["seeds"], job, tiny["robots"])
+    res = run_crawl(
+        spark, pages_df, tiny["seeds"], job, robots=robots_df,
+        checkpoint_dir=str(tmp_path_factory.mktemp("gwb")),
+    )
+    assert _order(spark, res) == sim.order
+    assert {r["url"] for r in res.seen(spark).collect()} == sim.seen
+    per_wave = (
+        res.results(spark).where("stage='EXTRACTED'")
+        .groupBy("wave").agg(F.count("*").alias("n")).collect()
+    )
+    assert all(r["n"] <= 9 for r in per_wave)
+    # fairness: in a budget-bound wave, no host may take the whole
+    # budget while another host with demand got nothing
+    hw = (
+        res.results(spark).where("stage='EXTRACTED'")
+        .groupBy("wave", "host").agg(F.count("*").alias("n")).collect()
+    )
+    by_wave: dict[int, list[int]] = {}
+    for r in hw:
+        by_wave.setdefault(r["wave"], []).append(r["n"])
+    for wave, counts in by_wave.items():
+        if sum(counts) == 9 and len(counts) > 1:
+            assert max(counts) < 9
