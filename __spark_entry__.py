@@ -2215,6 +2215,72 @@ def q85_chunk_spans(spark, sf_dir):
     )
 
 
+def q86_funnel_conversion(spark, sf_dir):
+    """Ordered event funnel (view -> click -> purchase): users reached
+    per step, where each step's event must be STRICTLY LATER than the
+    previous step's earliest qualifying event — three min-aggregates
+    chained through broadcast joins on the small user dim; the
+    sequential dependency is data (a min), never iteration."""
+    e = _load(spark, sf_dir, "events")
+    v = e.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    steps = (
+        v.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit("1_view").alias("step"), "n_users"
+        )
+        .unionByName(
+            c.agg(F.count("*").cast("long").alias("n_users")).select(
+                F.lit("2_click").alias("step"), "n_users"
+            )
+        )
+        .unionByName(
+            p.agg(F.count("*").cast("long").alias("n_users")).select(
+                F.lit("3_purchase").alias("step"), "n_users"
+            )
+        )
+    )
+    return steps.orderBy("step")
+
+
+def q87_retention_cohorts(spark, sf_dir):
+    """Retention triangle: users grouped by first-activity day
+    (cohort), counted distinct per day offset — the engagement report
+    every event pipeline ships; two aggregates and one broadcast join
+    on the user dim, day arithmetic engine-exact."""
+    e = _load(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_day")
+    )
+    return (
+        e.join(F.broadcast(first), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).cast("long").alias(
+                "day_offset"
+            ),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2302,6 +2368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_indegree_bins": q83_indegree_bins,
         "q84_sitemap_roundtrip": q84_sitemap_roundtrip,
         "q85_chunk_spans": q85_chunk_spans,
+        "q86_funnel_conversion": q86_funnel_conversion,
+        "q87_retention_cohorts": q87_retention_cohorts,
     }
 
 
@@ -3883,6 +3951,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster, n_vecs, n_dropped,
                    (n_vecs - n_dropped)::BIGINT AS n_kept
             FROM per ORDER BY cluster
+        """,
+        # q86: the same chained strictly-later min-aggregates.
+        "q86_funnel_conversion": r"""
+            WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                       WHERE event_type = 'view' GROUP BY 1),
+            c AS (SELECT e.user_id, min(e.ts) AS t2
+                  FROM events e JOIN v USING (user_id)
+                  WHERE e.event_type = 'click' AND e.ts > v.t1
+                  GROUP BY 1),
+            p AS (SELECT e.user_id, min(e.ts) AS t3
+                  FROM events e JOIN c USING (user_id)
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                  GROUP BY 1)
+            SELECT '1_view' AS step, count(*)::BIGINT AS n_users FROM v
+            UNION ALL
+            SELECT '2_click', count(*)::BIGINT FROM c
+            UNION ALL
+            SELECT '3_purchase', count(*)::BIGINT FROM p
+            ORDER BY step
+        """,
+        # q87: first-day cohort x day-offset distinct users.
+        "q87_retention_cohorts": r"""
+            WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+                       FROM events GROUP BY 1)
+            SELECT f.cohort_day,
+                   date_diff('day', f.cohort_day,
+                             CAST(e.ts AS DATE))::BIGINT AS day_offset,
+                   count(DISTINCT e.user_id)::BIGINT AS n_users
+            FROM events e JOIN f USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # q84: string_agg ORDER BY == Spark's array_sort'd struct list;
         # the same (?s) non-greedy grammar re-parses the bodies.
