@@ -295,3 +295,19 @@ def read_sketch_state(spark: SparkSession, state_dir: str) -> DataFrame:
     if path is None:
         raise FileNotFoundError(f"no sketch state under {state_dir}")
     return spark.read.parquet(path)
+
+
+def canonical_dedup_stream(pages: DataFrame) -> DataFrame:
+    """Alias-collapsing streaming seen-set: canonicalize_url
+    (functions/urls.py — tracking-param strip, param byte-sort,
+    fragment drop) runs BEFORE the exact dropDuplicates, so every alias
+    spelling of one page consumes ONE state-store row and one
+    downstream slot — the streaming twin of the batch frontier's
+    canonicalize-then-probe order.  Same no-watermark contract as
+    extract_stream (the seen-set is exact; archive timestamps make
+    event-time eviction wrong)."""
+    from fscrawler_spark.functions.urls import canonicalize_url
+
+    return pages.withColumn(
+        "canonical_url", canonicalize_url(F.col("url"))
+    ).dropDuplicates(["canonical_url"])

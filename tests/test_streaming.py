@@ -298,3 +298,57 @@ def test_streaming_sketch_restart_exactly_once(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_canonical_dedup_collapses_aliases(spark, tmp_path):
+    """canonical_dedup_stream: alias spellings (tracking params, param
+    order, fragments) of one page are ONE output row even when the
+    aliases arrive in later files; genuinely distinct params survive."""
+    import os as _os
+
+    from fscrawler_spark.functions.urls import canonicalize_url_py
+    from fscrawler_spark.streaming.pipeline import (
+        canonical_dedup_stream,
+        read_pages_stream,
+        run_to_memory,
+    )
+
+    d = str(tmp_path / "pages")
+
+    def _write(name, urls):
+        rows = [
+            {"url": u, "warc_ts": None, "html": b"<html></html>",
+             "text": "", "lang": "en"}
+            for u in urls
+        ]
+        spark.createDataFrame(
+            [tuple(r.get(f.name) for f in schemas.PAGES.fields) for r in rows],
+            schemas.PAGES,
+        ).write.mode("overwrite").parquet(_os.path.join(d, name))
+
+    batch0 = [
+        "http://a.example/p?b=2&a=1",
+        "http://a.example/q",
+    ]
+    batch1 = [  # all aliases of batch0 rows -> zero new output
+        "http://a.example/p?a=1&b=2&utm_source=x",
+        "http://a.example/p?a=1&b=2#frag",
+        "http://a.example/q?gclid=z",
+    ]
+    batch2 = [  # a genuinely different param set -> one new row
+        "http://a.example/p?a=1&b=2&c=3",
+    ]
+    _write("b0", batch0)
+    _write("b1", batch1)
+    _write("b2", batch2)
+
+    stream = read_pages_stream(spark, f"{d}/*", max_files_per_trigger=1)
+    q = run_to_memory(canonical_dedup_stream(stream), "canon_stream")
+    out = spark.sql("SELECT canonical_url FROM canon_stream").collect()
+    q.stop()
+    got = sorted(r["canonical_url"] for r in out)
+    want = sorted(
+        {canonicalize_url_py(u) for u in batch0 + batch1 + batch2}
+    )
+    assert got == want
+    assert len(got) == 3
