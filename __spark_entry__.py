@@ -2281,6 +2281,20 @@ def q87_retention_cohorts(spark, sf_dir):
     )
 
 
+def q88_segment_dedup(spark, sf_dir):
+    """CCNet-style segment-level boilerplate removal with document
+    reconstruction (operators/prep.segment_dedup): 3-token segments in
+    more than 5 distinct docs dropped, survivors stitched back in
+    segment order — the REBUILT text's md5 is oracle-hash-checked, not
+    just the counts."""
+    from fscrawler_spark.operators.prep import segment_dedup
+
+    d = _load(spark, sf_dir, "documents")
+    return segment_dedup(d, "doc_id", "text", seg_len=3, max_df=5).orderBy(
+        "doc_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2370,6 +2384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_chunk_spans": q85_chunk_spans,
         "q86_funnel_conversion": q86_funnel_conversion,
         "q87_retention_cohorts": q87_retention_cohorts,
+        "q88_segment_dedup": q88_segment_dedup,
     }
 
 
@@ -3951,6 +3966,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster, n_vecs, n_dropped,
                    (n_vecs - n_dropped)::BIGINT AS n_kept
             FROM per ORDER BY cluster
+        """,
+        # q88: segment explode via generate_series, doc-frequency drop,
+        # reconstruction via string_agg ORDER BY segment index — the
+        # rebuilt text md5 itself hash-matches.
+        "q88_segment_dedup": r"""
+            WITH t AS (SELECT doc_id,
+                              regexp_split_to_array(trim(text), '\s+')
+                                AS toks
+                       FROM documents
+                       WHERE trim(coalesce(text, '')) <> ''),
+            c AS (SELECT doc_id, toks,
+                         (len(toks) + 2) // 3 AS nc FROM t),
+            s AS (SELECT doc_id, k,
+                         array_to_string(toks[k*3+1 : k*3+3], ' ') AS seg
+                  FROM c, (SELECT unnest(generate_series(0, 4095)) AS k) ks
+                  WHERE k < nc),
+            f AS (SELECT seg, count(DISTINCT doc_id)::BIGINT AS df
+                  FROM s GROUP BY 1),
+            j AS (SELECT s.doc_id, s.k, s.seg, f.df
+                  FROM s JOIN f USING (seg)),
+            reb AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+                           string_agg(seg, ' ' ORDER BY k) AS txt
+                    FROM j WHERE df <= 5 GROUP BY 1),
+            per AS (SELECT doc_id, count(*)::BIGINT AS n_segs
+                    FROM s GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(per.n_segs, 0)::BIGINT AS n_segs,
+                   (coalesce(per.n_segs, 0)
+                    - coalesce(reb.n_kept, 0))::BIGINT AS n_dropped,
+                   md5(coalesce(reb.txt, '')) AS rebuilt_md5
+            FROM documents d
+            LEFT JOIN per USING (doc_id)
+            LEFT JOIN reb USING (doc_id)
+            ORDER BY d.doc_id
         """,
         # q86: the same chained strictly-later min-aggregates.
         "q86_funnel_conversion": r"""

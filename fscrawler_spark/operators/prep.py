@@ -242,3 +242,85 @@ def chunk_spans(
         end.alias("end_tok"),
         (end - start).alias("chunk_len"),
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_len: int = 3,
+    max_df: int = 5,
+) -> DataFrame:
+    """Segment-level boilerplate removal WITH document reconstruction —
+    the CCNet line-dedup stage (Wenzek et al. 2020 dedup lines/
+    paragraphs across shards before LM filtering): drop every
+    ``seg_len``-token segment appearing in more than ``max_df``
+    DISTINCT documents, stitch the survivors back in order, and report
+    per doc (n_segs, n_dropped, rebuilt_md5).
+
+    The md5 of the REBUILT text is the contract: reconstruction order
+    is the segment index (a total order per doc), so the output text —
+    not just the counts — is engine-exact (q88's oracle rebuilds with
+    string_agg ORDER BY and hash-matches).  Documents with no segment
+    dropped rebuild to their exact normalized token stream.
+
+    Scale shape: segments collapse to a (seg, distinct-doc-count)
+    table before any join (map-side-combined, the boilerplate head is
+    bounded by vocabulary not corpus size); the doc-frequency verdict
+    joins back on the segment key; reconstruction is one groupBy(id)
+    with an in-aggregate sort of that doc's own segments.  Empty docs
+    bypass the pipeline and rebuild to md5('') — the report stays
+    total over documents.
+    """
+    from fscrawler_spark.functions.textstats import tokens
+
+    base = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
+    ).where(F.size("_toks") > 0)
+    nc = F.expr(f"(size(_toks) + {seg_len} - 1) DIV {seg_len}")
+    segs = base.select(
+        "_id",
+        "_toks",
+        F.explode(F.sequence(F.lit(0).cast("long"), nc - 1)).alias("k"),
+    ).select(
+        "_id",
+        "k",
+        F.array_join(
+            F.slice("_toks", F.col("k") * seg_len + 1, F.lit(seg_len)), " "
+        ).alias("seg"),
+    )
+    freq = segs.groupBy("seg").agg(
+        F.countDistinct("_id").alias("_df")
+    )
+    j = segs.join(freq, "seg")
+    reb = (
+        j.where(F.col("_df") <= max_df)
+        .groupBy("_id")
+        .agg(
+            F.count("*").cast("long").alias("_n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "seg"))),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("_txt"),
+        )
+    )
+    per = segs.groupBy("_id").agg(F.count("*").cast("long").alias("_n_segs"))
+    ids = df.select(F.col(id_col))
+    return (
+        ids.join(per, ids[id_col] == per["_id"], "left")
+        .drop("_id")
+        .join(reb, ids[id_col] == reb["_id"], "left")
+        .drop("_id")
+        .select(
+            id_col,
+            F.coalesce("_n_segs", F.lit(0)).cast("long").alias("n_segs"),
+            (
+                F.coalesce("_n_segs", F.lit(0))
+                - F.coalesce("_n_kept", F.lit(0))
+            ).cast("long").alias("n_dropped"),
+            F.md5(F.coalesce("_txt", F.lit(""))).alias("rebuilt_md5"),
+        )
+    )

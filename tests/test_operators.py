@@ -537,3 +537,26 @@ def test_chunk_spans_reference_and_coverage(spark):
     assert len(by_doc[4]) == 1 and by_doc[4][0]["chunk_len"] == 0  # empty doc kept
     with _pt.raises(ValueError):
         chunk_spans(df, "doc_id", "text", size=0)
+
+
+def test_segment_dedup_drops_boilerplate_and_rebuilds(spark):
+    from hashlib import md5 as _md5
+
+    from fscrawler_spark.operators.prep import segment_dedup
+
+    boiler = "subscribe to our newsletter"  # appears in all docs
+    docs = [(i, f"{boiler} unique{i} text{i} here{i} more{i}") for i in range(5)]
+    docs.append((5, ""))  # empty doc stays in the report
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # seg_len=4: segment 0 is exactly the boilerplate (4 tokens),
+    # shared by 5 docs > max_df=3 -> dropped everywhere
+    got = {
+        r["doc_id"]: (r["n_segs"], r["n_dropped"], r["rebuilt_md5"])
+        for r in segment_dedup(df, "doc_id", "text", seg_len=4, max_df=3).collect()
+    }
+    for i in range(5):
+        n_segs, n_dropped, h = got[i]
+        assert (n_segs, n_dropped) == (2, 1)
+        rebuilt = f"unique{i} text{i} here{i} more{i}"
+        assert h == _md5(rebuilt.encode()).hexdigest()
+    assert got[5] == (0, 0, _md5(b"").hexdigest())
