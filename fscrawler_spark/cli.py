@@ -272,6 +272,16 @@ def cmd_text(args: argparse.Namespace) -> None:
         out = yield_funnel(
             df, args.id_col, args.text_col, min_tokens=args.min_tokens
         )
+    elif args.op == "segdedup":
+        from fscrawler_spark.operators.prep import segment_dedup
+
+        out = segment_dedup(df, args.id_col, args.text_col)
+    elif args.op == "chunks":
+        from fscrawler_spark.operators.prep import chunk_spans
+
+        out = chunk_spans(
+            df, args.id_col, args.text_col, size=args.cap, stride=args.stride
+        )
     else:
         sys.exit(f"unknown text op: {args.op}")
     if args.out:
@@ -439,7 +449,8 @@ def main(argv: list[str] | None = None) -> None:
     t.add_argument("--input", required=True)
     t.add_argument("--op", default="prep",
                    choices=["winnow", "classify", "collocations", "prep",
-                            "lmscore", "pack", "mixture", "funnel"])
+                            "lmscore", "pack", "mixture", "funnel",
+                            "segdedup", "chunks"])
     t.add_argument("--id-col", default="doc_id")
     t.add_argument("--text-col", default="text")
     t.add_argument("--topk", type=int, default=50)
@@ -455,6 +466,8 @@ def main(argv: list[str] | None = None) -> None:
                    help="mixture: target shares in 1e-4, e.g. en=4000,de=6000")
     t.add_argument("--min-tokens", type=int, default=10,
                    help="funnel: min-length stage threshold")
+    t.add_argument("--stride", type=int, default=48,
+                   help="chunks: window stride (overlap = cap - stride)")
     t.add_argument("--out")
     t.set_defaults(fn=cmd_text)
 

@@ -236,6 +236,14 @@ def test_cli_session8_ops(tmp_path):
              "--out", str(tmp_path / "funnel")])
     assert p["rows"] == 3
 
+    p = run(["text", "--input", docs, "--op", "segdedup",
+             "--out", str(tmp_path / "segd")])
+    assert p["rows"] == 500  # report total over documents
+
+    p = run(["text", "--input", docs, "--op", "chunks", "--cap", "16",
+             "--stride", "12", "--out", str(tmp_path / "chunks")])
+    assert p["rows"] >= 500
+
     p = run(["dedup", "--input", docs, "--method", "containment",
              "--threshold", "0.8", "--max-df", "100",
              "--out", str(tmp_path / "contain")])
