@@ -344,6 +344,12 @@ def cmd_frontier(args: argparse.Namespace) -> None:
         from fscrawler_spark.operators.graph import resolve_redirect_chains
 
         out = resolve_redirect_chains(df, args.src_col, args.dst_col)
+    elif args.op == "canonicalize":
+        from fscrawler_spark.functions.urls import canonicalize_url
+
+        out = df.withColumn(
+            "canonical_url", canonicalize_url(F.col(args.url_col))
+        )
     else:
         sys.exit(f"unknown frontier op: {args.op}")
     if args.out:
@@ -493,7 +499,8 @@ def main(argv: list[str] | None = None) -> None:
     )
     fr.add_argument("--input", required=True)
     fr.add_argument("--op", default="waterfill",
-                    choices=["waterfill", "redirects"])
+                    choices=["waterfill", "redirects", "canonicalize"])
+    fr.add_argument("--url-col", default="url")
     fr.add_argument("--group-col", default="host")
     fr.add_argument("--budget", type=int, default=1000)
     fr.add_argument("--src-col", default="src")
