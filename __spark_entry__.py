@@ -2295,6 +2295,28 @@ def q88_segment_dedup(spark, sf_dir):
     )
 
 
+def q89_cdc_dup_chunks(spark, sf_dir):
+    """Content-defined chunking dedup (operators/prep.cdc_chunks,
+    FastCDC family): rolling-hash token chunks, then the cross-doc
+    duplicate-chunk table — boundaries move with content, so edited
+    near-copies still share their unedited chunks (fixed segments
+    cannot)."""
+    from fscrawler_spark.operators.prep import cdc_chunks
+
+    d = _load(spark, sf_dir, "documents")
+    c = cdc_chunks(d, "doc_id", "text", window=3, divisor=4)
+    return (
+        c.groupBy("chunk_md5")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.max("n_toks").cast("long").alias("n_toks"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy("chunk_md5")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2385,6 +2407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_funnel_conversion": q86_funnel_conversion,
         "q87_retention_cohorts": q87_retention_cohorts,
         "q88_segment_dedup": q88_segment_dedup,
+        "q89_cdc_dup_chunks": q89_cdc_dup_chunks,
     }
 
 
@@ -3966,6 +3989,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster, n_vecs, n_dropped,
                    (n_vecs - n_dropped)::BIGINT AS n_kept
             FROM per ORDER BY cluster
+        """,
+        # q89: the same rolling-hash boundary rule (md5 of the last-3-
+        # token window, 0 mod 4), chunk ids via the shifted cumsum,
+        # chunk text via string_agg ORDER BY.
+        "q89_cdc_dup_chunks": r"""
+            WITH t AS (SELECT doc_id,
+                              regexp_split_to_array(trim(text), '\s+')
+                                AS toks
+                       FROM documents
+                       WHERE trim(coalesce(text, '')) <> ''),
+            p AS (SELECT doc_id, toks,
+                         unnest(generate_series(1, len(toks))) AS i
+                  FROM t),
+            b AS (SELECT doc_id, i, toks[i] AS tok,
+                         CASE WHEN i >= 3 AND
+                              CAST(concat('0x',
+                                substr(md5(array_to_string(
+                                  toks[greatest(1, i-2) : i], ' ')), 1, 8))
+                                AS BIGINT) % 4 = 0
+                              THEN 1 ELSE 0 END AS bd
+                  FROM p),
+            a AS (SELECT doc_id, i, tok,
+                         coalesce(sum(bd) OVER (PARTITION BY doc_id
+                           ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS chunk_id
+                  FROM b),
+            c AS (SELECT doc_id, chunk_id, count(*)::BIGINT AS n_toks,
+                         md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_md5
+                  FROM a GROUP BY 1, 2)
+            SELECT chunk_md5, count(DISTINCT doc_id)::BIGINT AS n_docs,
+                   count(*)::BIGINT AS n_occurrences,
+                   max(n_toks)::BIGINT AS n_toks
+            FROM c GROUP BY 1
+            HAVING count(DISTINCT doc_id) >= 2 ORDER BY 1
         """,
         # q88: segment explode via generate_series, doc-frequency drop,
         # reconstruction via string_agg ORDER BY segment index — the

@@ -324,3 +324,86 @@ def segment_dedup(
             F.md5(F.coalesce("_txt", F.lit(""))).alias("rebuilt_md5"),
         )
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 3,
+    divisor: int = 4,
+) -> DataFrame:
+    """Content-defined chunking (the FastCDC/Gear family, token-level):
+    chunk boundaries fall AFTER every position whose ``window``-token
+    rolling hash is ``0 mod divisor`` — so boundaries move WITH the
+    content, and an insertion near the front of a document re-chunks
+    only its neighborhood instead of shifting every downstream segment
+    (the failure mode of fixed-length segmentation like segment_dedup:
+    one added word breaks every later segment's hash).  Storage-dedup
+    literature's core trick, now standard in training-data pipelines
+    for chunk-level dedup of edited/near-identical pages.
+
+    Pure content determinism, no min/max chunk clamps (those add a
+    sequential dependency; the unclamped rule is positionally
+    decidable, hence relational and engine-exact — q89's oracle).
+    Returns one row per chunk: (id, chunk_id, start_tok, end_tok,
+    n_toks, chunk_md5) where chunk_md5 hashes the space-joined tokens.
+
+    Plan: posexplode -> per-position window hash (md5 of the last
+    ``window`` tokens, engine-shared) -> one doc-keyed window cumsum
+    assigns chunk ids -> one (doc, chunk) rollup whose in-aggregate
+    sort rebuilds the chunk text.  ONE shuffle on the doc key; chunks
+    never cross documents, so 10^10 docs parallelize on the id hash.
+    """
+    from fscrawler_spark.functions.textstats import tokens
+
+    base = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
+    ).where(F.size("_toks") > 0)
+    pos = base.select("_id", "_toks", F.posexplode("_toks").alias("_i0", "tok"))
+    # boundary AFTER 1-based position i, defined for i >= window
+    i = F.col("_i0") + 1
+    win = F.array_join(
+        F.slice("_toks", F.greatest(F.lit(1), i - window + 1), F.lit(window)),
+        " ",
+    )
+    h = F.conv(F.substring(F.md5(win), 1, 8), 16, 10).cast("long")
+    pos = pos.select(
+        "_id",
+        i.alias("i"),
+        F.col("tok"),
+        ((i >= window) & (h % divisor == 0)).cast("long").alias("_b"),
+    )
+    wc = (
+        Window.partitionBy("_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = pos.withColumn(
+        "chunk_id", F.coalesce(F.sum("_b").over(wc), F.lit(0)).cast("long")
+    )
+    return (
+        assigned.groupBy("_id", "chunk_id")
+        .agg(
+            F.min("i").cast("long").alias("start_tok"),
+            F.max("i").cast("long").alias("end_tok"),
+            F.count("*").cast("long").alias("n_toks"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_md5"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "chunk_id",
+            "start_tok",
+            "end_tok",
+            "n_toks",
+            "chunk_md5",
+        )
+    )

@@ -560,3 +560,35 @@ def test_segment_dedup_drops_boilerplate_and_rebuilds(spark):
         rebuilt = f"unique{i} text{i} here{i} more{i}"
         assert h == _md5(rebuilt.encode()).hexdigest()
     assert got[5] == (0, 0, _md5(b"").hexdigest())
+
+
+def test_cdc_chunks_insertion_robustness(spark):
+    """The CDC property fixed segmentation lacks: inserting one token at
+    the front re-chunks only the neighborhood — every chunk after the
+    first boundary is md5-identical between original and edited doc."""
+    from fscrawler_spark.operators.prep import cdc_chunks
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    docs = [(0, base), (1, "INSERTED " + base)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = cdc_chunks(df, "doc_id", "text", window=3, divisor=4).collect()
+    chunks = {0: [], 1: []}
+    for r in rows:
+        chunks[r["doc_id"]].append((r["chunk_id"], r["start_tok"],
+                                    r["end_tok"], r["n_toks"], r["chunk_md5"]))
+    for v in chunks.values():
+        v.sort()
+    # coverage + contiguity within each doc
+    for i, t in docs:
+        n = len(t.split())
+        spans = chunks[i]
+        assert spans[0][1] == 1 and spans[-1][2] == n
+        for (a, b) in zip(spans, spans[1:]):
+            assert b[1] == a[2] + 1
+    # tail chunks identical: all but the first chunk of doc0 appear in doc1
+    md5s0 = [c[4] for c in chunks[0]]
+    md5s1 = set(c[4] for c in chunks[1])
+    assert len(md5s0) >= 3
+    shared = [m for m in md5s0[1:] if m in md5s1]
+    assert len(shared) == len(md5s0) - 1, "CDC chunks after the first boundary must survive the insertion"
