@@ -2317,6 +2317,43 @@ def q89_cdc_dup_chunks(spark, sf_dir):
     )
 
 
+def q90_weighted_sample(spark, sf_dir):
+    """Quality-weighted subsampling (operators/sampling.
+    score_weighted_sample): each doc's keep probability IS its q17
+    quality score (e4 grid) — per language: raw count, kept count, and
+    the raw/kept mean quality (kept mean must sit above raw — the
+    reweighting visibly shifts the distribution)."""
+    from fscrawler_spark.functions.textstats import quality_e4
+    from fscrawler_spark.operators.sampling import score_weighted_sample
+
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", quality_e4(F.col("text")).alias("q_e4")
+    )
+    kept = score_weighted_sample(d, "doc_id", "q_e4", salt="qs1")
+    raw_agg = d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_raw"),
+        F.sum("q_e4").cast("long").alias("q_sum_raw"),
+    )
+    kept_agg = kept.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("q_e4").cast("long").alias("q_sum_kept"),
+    )
+    return (
+        raw_agg.join(kept_agg, "lang", "left")
+        .select(
+            "lang",
+            "n_raw",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.expr("q_sum_raw DIV n_raw").alias("mean_q_raw"),
+            F.expr(
+                "CASE WHEN coalesce(n_kept, 0) > 0"
+                " THEN q_sum_kept DIV n_kept ELSE 0 END"
+            ).cast("long").alias("mean_q_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2408,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_retention_cohorts": q87_retention_cohorts,
         "q88_segment_dedup": q88_segment_dedup,
         "q89_cdc_dup_chunks": q89_cdc_dup_chunks,
+        "q90_weighted_sample": q90_weighted_sample,
     }
 
 
@@ -3990,6 +4028,30 @@ def oracle_sql() -> dict[str, str]:
                    (n_vecs - n_dropped)::BIGINT AS n_kept
             FROM per ORDER BY cluster
         """,
+        # q90: same u32*1e4 < w_e4*2^32 integer compare over the shared
+        # quality grid; per-lang raw/kept means via integer DIV.
+        "q90_weighted_sample": r"""
+            WITH d AS (
+              SELECT doc_id, lang, {QUALITY} AS q_e4 FROM documents),
+            k AS (
+              SELECT * FROM d
+              WHERE CAST(concat('0x',
+                      substr(md5('qs1' || doc_id::VARCHAR), 1, 8))
+                    AS BIGINT) * 10000 < q_e4 * 4294967296),
+            ra AS (SELECT lang, count(*)::BIGINT AS n_raw,
+                          sum(q_e4)::BIGINT AS q_sum_raw
+                   FROM d GROUP BY 1),
+            ka AS (SELECT lang, count(*)::BIGINT AS n_kept,
+                          sum(q_e4)::BIGINT AS q_sum_kept
+                   FROM k GROUP BY 1)
+            SELECT ra.lang, ra.n_raw,
+                   coalesce(ka.n_kept, 0)::BIGINT AS n_kept,
+                   (ra.q_sum_raw // ra.n_raw)::BIGINT AS mean_q_raw,
+                   (CASE WHEN coalesce(ka.n_kept, 0) > 0
+                         THEN ka.q_sum_kept // ka.n_kept
+                         ELSE 0 END)::BIGINT AS mean_q_kept
+            FROM ra LEFT JOIN ka USING (lang) ORDER BY ra.lang
+        """.replace("{QUALITY}", _QUALITY_E4_SQL),
         # q89: the same rolling-hash boundary rule (md5 of the last-3-
         # token window, 0 mod 4), chunk ids via the shifted cumsum,
         # chunk text via string_agg ORDER BY.

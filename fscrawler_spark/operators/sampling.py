@@ -99,3 +99,25 @@ def hash_split(
     for n, lo, hi in reversed(bounds):
         expr = F.when((b >= F.lit(lo)) & (b < F.lit(hi)), F.lit(n)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def score_weighted_sample(
+    df: DataFrame, key_col: str, weight_e4_col: str, salt: str = ""
+) -> DataFrame:
+    """Per-row weighted Bernoulli sample, deterministic: keep a row iff
+    ``md5_u32(salt || key) * 10^4 < weight_e4 * 2^32`` — the keep
+    probability IS the row's own ``weight_e4``/10^4 (0..10^4), so a
+    quality score becomes a sampling rate directly (the
+    quality-weighted subsampling stage of published corpus pipelines —
+    keep high-quality pages at ~1.0, tail pages at their score).
+
+    Same contract as hash_sample: reproducible on any run/partitioning/
+    engine (pure integer compare, q90's oracle runs the identical
+    arithmetic), no shuffle, scan-pushable; disjoint salts decorrelate
+    from any other hash_sample/split drawn on the same keys.  int64
+    headroom: u32 * 10^4 < 2^46.
+    """
+    u32 = F.conv(_bucket(F.col(key_col), salt), 16, 10).cast("long")
+    return df.where(
+        u32 * F.lit(10_000) < F.col(weight_e4_col).cast("long") * F.lit(2**32)
+    )
