@@ -2321,8 +2321,9 @@ def q90_weighted_sample(spark, sf_dir):
     """Quality-weighted subsampling (operators/sampling.
     score_weighted_sample): each doc's keep probability IS its q17
     quality score (e4 grid) — per language: raw count, kept count, and
-    the raw/kept mean quality (kept mean must sit above raw — the
-    reweighting visibly shifts the distribution)."""
+    the raw/kept mean quality (on a wide score distribution the kept
+    mean sits above raw; this fixture's scores cluster near 0.66, so
+    the keep RATE ~ the score is the visible effect here)."""
     from fscrawler_spark.functions.textstats import quality_e4
     from fscrawler_spark.operators.sampling import score_weighted_sample
 
