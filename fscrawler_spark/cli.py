@@ -87,6 +87,7 @@ def cmd_crawl(args: argparse.Namespace) -> None:
         global_wave_budget=_flag_over_config(
             cfg, "global_wave_budget", args.global_budget, None
         ),
+        global_budget_carryover=cfg.get("global_budget_carryover", False),
         skip_filters=tuple(build_filters(cfg.get("skip_filters", []))),
         notify_filters=tuple(build_filters(cfg.get("notify_filters", []))),
         invert=cfg.get("invert", False),

@@ -42,6 +42,15 @@ class CrawlJob:
     # water level preserves small hosts' service when one mega-host
     # dominates the frontier.  None = off.
     global_wave_budget: int | None = None
+    # With carryover on, a wave's unspent global budget (sub-level
+    # waterfill remainder + under-demand slack) rolls into the next
+    # wave's capacity, token-bucket style with burst capped at one
+    # extra wave's budget (eff <= 2*global_wave_budget) — so a quiet
+    # frontier banks at most one wave of credit.  Off (default) keeps
+    # each wave's capacity exact.  The carry counter is driver state,
+    # reset on resume (documented; the budget is a rate control, not
+    # an exactness invariant).
+    global_budget_carryover: bool = False
     skip_filters: tuple[FilterSpec, ...] = field(default_factory=tuple)
     notify_filters: tuple[FilterSpec, ...] = field(default_factory=tuple)
     invert: bool = False

@@ -88,6 +88,7 @@ def simulate_crawl(
         if u not in frontier or key < frontier[u]:
             frontier[u] = key
 
+    gwb_carry = 0
     for wave in range(job.max_waves):
         if not frontier:
             break
@@ -136,13 +137,19 @@ def simulate_crawl(
         for r in authorized:
             by_host.setdefault(r["host"], []).append(r)
         # optional global-budget tier: max-min fair water level over
-        # demand capped at each host's own budget (wave_loop.py twin)
+        # demand capped at each host's own budget (wave_loop.py twin);
+        # with carryover, unspent capacity rolls forward token-bucket
+        # style, burst capped at one extra wave's budget
         alloc: dict[str, int] | None = None
+        gwb_eff = None
         if job.global_wave_budget is not None:
             dem = {
                 h: min(len(rows), budget(h)) for h, rows in by_host.items()
             }
-            b = job.global_wave_budget
+            gwb_eff = job.global_wave_budget + (
+                gwb_carry if job.global_budget_carryover else 0
+            )
+            b = gwb_eff
             if sum(dem.values()) <= b:
                 alloc = dict(dem)
             else:
@@ -160,6 +167,10 @@ def simulate_crawl(
             scheduled.sort(key=lambda r: (r["priority"], r["host"], r["url"]))
             deferred.extend(scheduled[job.wave_cap:])
             scheduled = scheduled[: job.wave_cap]
+        if gwb_eff is not None and job.global_budget_carryover:
+            gwb_carry = min(
+                job.global_wave_budget, max(0, gwb_eff - len(scheduled))
+            )
 
         # wave rank: (priority, host, url) lexicographic
         scheduled.sort(key=lambda r: (r["priority"], r["host"], r["url"]))

@@ -376,6 +376,7 @@ def run_crawl(
     all_timings: list[dict] = []
     import time as _wtime
 
+    gwb_carry = 0  # carryover credit (driver state; reset on resume)
     for wave in range(start_wave, job.max_waves):
         if frontier_n == 0:
             break
@@ -556,9 +557,13 @@ def run_crawl(
         # frame (one cached-scan + map-side count per wave); the level
         # search itself runs on distinct demand values only.
         hb_wave = host_budgets
+        gwb_eff = None
         if job.global_wave_budget is not None:
             from fscrawler_spark.operators.politeness import waterfill_budget
 
+            gwb_eff = job.global_wave_budget + (
+                gwb_carry if job.global_budget_carryover else 0
+            )
             dem = authorized.groupBy("host").agg(
                 F.count("*").cast("long").alias("_n")
             )
@@ -575,7 +580,7 @@ def run_crawl(
                 cap = F.lit(job.politeness_budget).cast("long")
             dem = dem.select("host", F.least(F.col("_n"), cap).alias("demand"))
             hb_wave = waterfill_budget(
-                dem, ["host"], "demand", job.global_wave_budget
+                dem, ["host"], "demand", gwb_eff
             ).select("host", F.col("alloc").cast("int").alias("tokens"))
         ranked = politeness_take(
             authorized,
@@ -754,6 +759,13 @@ def run_crawl(
         wave_timings["collect_metrics"] = t_collect
         wave_timings["wave"] = wave
         stats = {r["s"]: {"n": r["n"], "bytes": r["bytes"] or 0} for r in status_counts}
+        if gwb_eff is not None and job.global_budget_carryover:
+            # token-bucket credit: unspent capacity rolls forward, burst
+            # capped at one extra wave's budget
+            _sched_n = stats.get("scheduled", {}).get("n", 0)
+            gwb_carry = min(
+                job.global_wave_budget, max(0, gwb_eff - int(_sched_n))
+            )
         metrics_rows = [
             (wave, f"{k}_{m}", int(v[m])) for k, v in stats.items() for m in ("n", "bytes")
         ] or [(wave, "empty", 0)]

@@ -182,3 +182,32 @@ def test_global_wave_budget_engine_matches_simulator(
     for wave, counts in by_wave.items():
         if sum(counts) == 9 and len(counts) > 1:
             assert max(counts) < 9
+
+
+def test_global_budget_carryover_engine_matches_simulator(
+    spark, pages_df, robots_df, tiny, tmp_path_factory
+):
+    """Carryover mode: under-demand waves bank unspent capacity
+    (token-bucket, burst <= 2x), so a later wave may schedule beyond
+    the base budget — engine == simulator on ordering and seen set,
+    and at least one wave provably spends banked credit."""
+    job = CrawlJob(
+        politeness_budget=20, max_waves=4,
+        global_wave_budget=30, global_budget_carryover=True,
+    )
+    sim = simulate_crawl(tiny["pages"], tiny["seeds"], job, tiny["robots"])
+    res = run_crawl(
+        spark, pages_df, tiny["seeds"], job, robots=robots_df,
+        checkpoint_dir=str(tmp_path_factory.mktemp("gwbc")),
+    )
+    assert _order(spark, res) == sim.order
+    assert {r["url"] for r in res.seen(spark).collect()} == sim.seen
+    per_wave = {
+        r["wave"]: r["n"]
+        for r in res.results(spark).where("stage='EXTRACTED'")
+        .groupBy("wave").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(n <= 60 for n in per_wave.values())  # burst cap 2x
+    # the seed wave is far under 30, so a later wave must exceed the
+    # base budget using the banked credit
+    assert any(n > 30 for n in per_wave.values()), per_wave
