@@ -151,3 +151,26 @@ def test_parse_sitemaps_and_index(spark):
         ("http://a.example/s1.xml", "2026-05-06"),
         ("http://a.example/s2.xml", None),
     ]
+
+
+def test_parse_sitemaps_garbage_is_contained(spark):
+    """Malformed/garbage bodies never crash the parser — they just
+    yield zero (or only well-formed) rows; nulls pass through."""
+    import random
+
+    from fscrawler_spark.sources.sitemap import parse_sitemaps
+
+    rng = random.Random(5)
+    junk = [
+        "",
+        None,
+        "<url><loc></loc></url>",            # empty loc -> dropped
+        "<urlset><url><loc>ok</loc>",        # unclosed url block -> no match
+        "<url>" + "x" * 5000,                # unterminated
+        "".join(chr(rng.randrange(32, 127)) for _ in range(2000)),
+        "<url><url><loc>nested</loc></url></url>",
+    ]
+    df = spark.createDataFrame([(b,) for b in junk], "body string")
+    rows = parse_sitemaps(df, "body").collect()
+    assert all(r["loc"] for r in rows)
+    assert {r["loc"] for r in rows} <= {"nested"}
