@@ -361,6 +361,27 @@ def cmd_frontier(args: argparse.Namespace) -> None:
         print(json.dumps({"op": args.op, "rows": out.count()}))
 
 
+def cmd_process(args: argparse.Namespace) -> None:
+    """Staged post-processing over a pages parquet — the CLI face of
+    the reference's process_files/index_files entry points
+    (plans/stages.py standard_pipeline: hash -> text -> indexed, error
+    containment by stage tagging, never dropping)."""
+    from fscrawler_spark.plans.stages import standard_pipeline
+
+    spark = get_spark("fscrawler_process", cores=args.cores)
+    pages = spark.read.schema(schemas.PAGES).parquet(args.input)
+    staged = pages.withColumn("stage", F.lit("CRAWLED"))
+    out = standard_pipeline(staged)
+    counts = {
+        r["stage"]: r["n"]
+        for r in out.groupBy("stage").agg(F.count("*").alias("n")).collect()
+    }
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"stages": counts, "rows": sum(counts.values()),
+                      "out": args.out}))
+
+
 def cmd_media(args: argparse.Namespace) -> None:
     """Media processing over a parquet of binary blobs (MEDIA_SCHEMA
     shape) — the CLI face of the reference's preview/metadata
@@ -508,6 +529,14 @@ def main(argv: list[str] | None = None) -> None:
     fr.add_argument("--dst-col", default="dst")
     fr.add_argument("--out")
     fr.set_defaults(fn=cmd_frontier)
+
+    pr = sub.add_parser(
+        "process",
+        help="staged post-processing (hash -> text -> indexed) over a pages parquet",
+    )
+    pr.add_argument("--input", required=True)
+    pr.add_argument("--out")
+    pr.set_defaults(fn=cmd_process)
 
     m = sub.add_parser(
         "media",

@@ -257,3 +257,30 @@ def test_cli_session8_ops(tmp_path):
         f"SELECT sum(alloc) FROM read_parquet('{tmp_path / 'wf'}/*.parquet')"
     ).fetchone()[0]
     assert alloc <= 100
+
+
+def test_cli_process_subcommand(spark, tmp_path):
+    """`process` drives the staged index pipeline end-to-end from a
+    fresh process; every page lands INDEXED (or tagged ERROR, never
+    dropped)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    from fscrawler_spark import schemas
+    from fscrawler_spark.datagen import generate_pages
+
+    pages, _, _ = generate_pages("tiny", seed=42)
+    rows = [tuple(r.get(f.name) for f in schemas.PAGES.fields) for r in pages]
+    inp = str(tmp_path / "pages")
+    spark.createDataFrame(rows, schemas.PAGES).write.parquet(inp)
+    r = subprocess.run(
+        [sys.executable, "-m", "fscrawler_spark.cli", "--cores", "4",
+         "process", "--input", inp, "--out", str(tmp_path / "staged")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert payload["rows"] == len(pages)
+    assert set(payload["stages"]) <= {"INDEXED", "ERROR"}
+    assert payload["stages"].get("INDEXED", 0) >= len(pages) - 10
