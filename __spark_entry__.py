@@ -2355,6 +2355,23 @@ def q90_weighted_sample(spark, sf_dir):
     )
 
 
+def q91_warc_records(spark, sf_dir):
+    """WARC sink record construction (sources/warc.to_warc_records):
+    each page serialized to an ISO 28500 response record in ONE
+    codegen'd binary concat — the oracle rebuilds the exact bytes in
+    SQL and the md5 of every record hash-matches (fixed date; payload
+    = document text)."""
+    from fscrawler_spark.sources.warc import to_warc_records
+
+    u = _doc_urls(spark, sf_dir).select("doc_id", "url", "text")
+    recs = to_warc_records(u, "url", "text", ts_col=None)
+    return recs.select(
+        "doc_id",
+        F.length("record").cast("long").alias("record_len"),
+        F.md5("record").alias("record_md5"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2447,6 +2464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_segment_dedup": q88_segment_dedup,
         "q89_cdc_dup_chunks": q89_cdc_dup_chunks,
         "q90_weighted_sample": q90_weighted_sample,
+        "q91_warc_records": q91_warc_records,
     }
 
 
@@ -4029,6 +4047,31 @@ def oracle_sql() -> dict[str, str]:
                    (n_vecs - n_dropped)::BIGINT AS n_kept
             FROM per ORDER BY cluster
         """,
+        # q91: the record grammar rebuilt as VARCHAR (every part is
+        # UTF-8); strlen = octet count matches Spark's length(binary);
+        # md5(varchar) hashes the UTF-8 bytes == Spark md5(binary).
+        "q91_warc_records": r"""
+            WITH u AS ({_DOC_URL_SQL}),
+            h AS (SELECT doc_id,
+                         'HTTP/1.1 200 OK' || chr(13)||chr(10)
+                         || 'Content-Type: text/html' || chr(13)||chr(10)
+                         || chr(13)||chr(10) || coalesce(text, '') AS http,
+                         url
+                  FROM u),
+            r AS (SELECT doc_id,
+                         'WARC/1.0' || chr(13)||chr(10)
+                         || 'WARC-Type: response' || chr(13)||chr(10)
+                         || 'WARC-Target-URI: ' || url || chr(13)||chr(10)
+                         || 'WARC-Date: 2026-01-01T00:00:00Z'
+                         || chr(13)||chr(10)
+                         || 'Content-Length: ' || strlen(http)::VARCHAR
+                         || chr(13)||chr(10)||chr(13)||chr(10)
+                         || http || chr(13)||chr(10)||chr(13)||chr(10) AS rec
+                  FROM h)
+            SELECT doc_id, strlen(rec)::BIGINT AS record_len,
+                   md5(rec) AS record_md5
+            FROM r ORDER BY doc_id
+        """.format(_DOC_URL_SQL=_DOC_URL_SQL),
         # q90: same u32*1e4 < w_e4*2^32 integer compare over the shared
         # quality grid; per-lang raw/kept means via integer DIV.
         "q90_weighted_sample": r"""

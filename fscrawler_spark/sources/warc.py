@@ -144,3 +144,101 @@ def write_warc_py(rows: list[dict]) -> bytes:
         )
         out.write(hdr + _CRLF2 + http + _CRLF2)
     return out.getvalue()
+
+
+def to_warc_records(
+    df: DataFrame,
+    url_col: str = "url",
+    body_col: str = "html",
+    ts_col: str | None = "warc_ts",
+) -> DataFrame:
+    """Adds a ``record`` binary column: each row serialized as an ISO
+    28500 response record (the writer twin of iter_warc_records — the
+    reader round-trips these byte-identically).
+
+    Record construction is ONE codegen'd binary concat — header
+    literals, UTF-8 url/date casts, the Content-Length octet count from
+    ``length()`` on the assembled HTTP block — no Python per row, so
+    archiving 10^10 fetched pages is a projection, not a UDF pass
+    (write_warc_py above stays the scalar/test twin).  Missing
+    timestamps serialize as the fixed epoch date so output is
+    deterministic (q91's oracle rebuilds the exact bytes in SQL).
+    """
+    from pyspark.sql import functions as F
+
+    body = F.coalesce(F.col(body_col).cast("binary"), F.lit(b""))
+    http = F.concat(
+        F.lit(b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), body
+    )
+    if ts_col is not None:
+        ts_s = F.coalesce(
+            F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+            F.lit("2026-01-01T00:00:00Z"),
+        )
+    else:
+        ts_s = F.lit("2026-01-01T00:00:00Z")
+    rec = F.concat(
+        F.lit(b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        F.col(url_col).cast("binary"),
+        F.lit(b"\r\nWARC-Date: "),
+        ts_s.cast("binary"),
+        F.lit(b"\r\nContent-Length: "),
+        F.length(http).cast("string").cast("binary"),
+        F.lit(_CRLF2),
+        http,
+        F.lit(_CRLF2),
+    )
+    return df.withColumn("record", rec)
+
+
+def write_warc_segments(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    body_col: str = "html",
+    ts_col: str | None = "warc_ts",
+    compress: bool = True,
+) -> DataFrame:
+    """Distributed WARC sink: every partition writes its own
+    ``part-<pid>.warc[.gz]`` segment (per-record gzip members, the
+    Common Crawl layout) and reports (path, n_records, n_bytes) — one
+    segment per task is exactly how CC shards a snapshot, so segment
+    parallelism follows data parallelism.  ``out_dir`` must be a
+    filesystem every executor can reach (local dir in local mode, a
+    DFS/NFS mount on a cluster — parquet-based archival stays the
+    default checkpoint path; this sink is the interchange format).
+    Round-trips through read_warc byte-identically (pytest).
+    """
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    recs = to_warc_records(df, url_col, body_col, ts_col).select("record")
+
+    def write_part(batches):
+        pid = None
+        bufs = []
+        for b in batches:
+            for r in b["record"]:
+                bufs.append(bytes(r))
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        if not bufs:
+            return
+        ext = "warc.gz" if compress else "warc"
+        path = os.path.join(out_dir, f"part-{pid:05d}.{ext}")
+        os.makedirs(out_dir, exist_ok=True)
+        n = 0
+        with open(path, "wb") as fh:
+            for raw in bufs:
+                fh.write(gzip.compress(raw) if compress else raw)
+                n += len(raw)
+        yield pd.DataFrame(
+            {"path": [path], "n_records": [len(bufs)], "n_bytes": [n]}
+        )
+
+    return recs.mapInPandas(
+        write_part, "path string, n_records long, n_bytes long"
+    )

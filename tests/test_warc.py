@@ -174,3 +174,32 @@ def test_parse_sitemaps_garbage_is_contained(spark):
     rows = parse_sitemaps(df, "body").collect()
     assert all(r["loc"] for r in rows)
     assert {r["loc"] for r in rows} <= {"nested"}
+
+
+def test_warc_write_read_roundtrip_distributed(spark, tmp_path):
+    """write_warc_segments -> read_warc round-trips every page
+    byte-identically (url, body bytes, timestamp to the second)."""
+    from datetime import datetime
+
+    from fscrawler_spark import schemas
+    from fscrawler_spark.sources.warc import read_warc, write_warc_segments
+
+    rows = [
+        (f"http://h{i % 3}.example/p{i}",
+         datetime(2026, 2, 1, 12, 0, i % 60),
+         bytes([i % 256]) * (i + 1), "", "en")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, schemas.PAGES).repartition(4)
+    out_dir = str(tmp_path / "segments")
+    report = write_warc_segments(df, out_dir).collect()
+    assert sum(r["n_records"] for r in report) == 40
+    assert 1 <= len(report) <= 4
+
+    back = read_warc(spark, f"{out_dir}/*.warc.gz")
+    got = {r["url"]: (bytes(r["html"]), r["warc_ts"]) for r in back.collect()}
+    assert len(got) == 40
+    for url, ts, html, _, _ in rows:
+        b, t = got[url]
+        assert b == html, url
+        assert t == ts, url
