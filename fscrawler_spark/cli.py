@@ -378,8 +378,17 @@ def cmd_process(args: argparse.Namespace) -> None:
     }
     if args.out:
         out.write.mode("overwrite").parquet(args.out)
+    warc_report = None
+    if args.warc_out:
+        from fscrawler_spark.sources.warc import write_warc_segments
+
+        segs = write_warc_segments(pages, args.warc_out).collect()
+        warc_report = {
+            "segments": len(segs),
+            "records": sum(r["n_records"] for r in segs),
+        }
     print(json.dumps({"stages": counts, "rows": sum(counts.values()),
-                      "out": args.out}))
+                      "out": args.out, "warc": warc_report}))
 
 
 def cmd_media(args: argparse.Namespace) -> None:
@@ -536,6 +545,9 @@ def main(argv: list[str] | None = None) -> None:
     )
     pr.add_argument("--input", required=True)
     pr.add_argument("--out")
+    pr.add_argument("--warc-out",
+                    help="also archive the input pages as per-partition "
+                         ".warc.gz segments under this directory")
     pr.set_defaults(fn=cmd_process)
 
     m = sub.add_parser(
