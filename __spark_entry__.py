@@ -2372,6 +2372,55 @@ def q91_warc_records(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q92_sitemap_discovery(spark, sf_dir):
+    """robots -> sitemap discovery chained into the sitemap source:
+    synthetic per-source robots bodies (comments, mixed case, a UA
+    group the directive must survive) -> extract_sitemap_urls ->
+    synthesize each discovered sitemap's <urlset> -> parse_sitemaps;
+    per host: sitemaps found, URLs listed."""
+    from fscrawler_spark.functions.robots import extract_sitemap_urls
+    from fscrawler_spark.sources.sitemap import parse_sitemaps
+
+    d = _load(spark, sf_dir, "documents")
+    robots = d.groupBy(F.col("source").alias("host")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    ).select(
+        "host",
+        F.concat(
+            F.lit("# robots for "), F.col("host"), F.lit("\n"),
+            F.lit("User-agent: *\nDisallow: /tmp\n"),
+            F.lit("SiteMap: http://"), F.col("host"),
+            F.lit(".example/sitemap.xml   # inline comment\n"),
+            F.when(
+                F.col("n_docs") % 2 == 0,
+                F.concat(
+                    F.lit("sitemap: http://"), F.col("host"),
+                    F.lit(".example/sitemap2.xml\n"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("body"),
+    )
+    disc = extract_sitemap_urls(robots)
+    xml = disc.select(
+        "host",
+        "loc",
+        F.concat(
+            F.lit("<urlset><url><loc>"), F.col("loc"),
+            F.lit("?u=1</loc></url><url><loc>"), F.col("loc"),
+            F.lit("?u=2</loc></url></urlset>"),
+        ).alias("body"),
+    )
+    parsed = parse_sitemaps(xml, "body", keep_cols=["host"])
+    n_maps = disc.groupBy("host").agg(
+        F.countDistinct("loc").cast("long").alias("n_sitemaps")
+    )
+    n_urls = parsed.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.min("loc").alias("first_url"),
+    )
+    return n_maps.join(n_urls, "host").orderBy("host")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2465,6 +2514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_cdc_dup_chunks": q89_cdc_dup_chunks,
         "q90_weighted_sample": q90_weighted_sample,
         "q91_warc_records": q91_warc_records,
+        "q92_sitemap_discovery": q92_sitemap_discovery,
     }
 
 
@@ -4046,6 +4096,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster, n_vecs, n_dropped,
                    (n_vecs - n_dropped)::BIGINT AS n_kept
             FROM per ORDER BY cluster
+        """,
+        # q92: same robots synthesis; directive extraction restated as
+        # per-line comment-strip + case-insensitive regexp; the urlset
+        # synthesis + re-parse mirrors the q84 grammar.
+        "q92_sitemap_discovery": r"""
+            WITH r AS (
+              SELECT source AS host, count(*)::BIGINT AS n_docs
+              FROM documents GROUP BY 1),
+            rb AS (SELECT host,
+                          '# robots for ' || host || chr(10)
+                          || 'User-agent: *' || chr(10)
+                          || 'Disallow: /tmp' || chr(10)
+                          || 'SiteMap: http://' || host
+                          || '.example/sitemap.xml   # inline comment'
+                          || chr(10)
+                          || CASE WHEN n_docs % 2 = 0
+                                  THEN 'sitemap: http://' || host
+                                       || '.example/sitemap2.xml' || chr(10)
+                                  ELSE '' END AS body
+                   FROM r),
+            ln AS (SELECT host, unnest(string_split(body, chr(10))) AS raw
+                   FROM rb),
+            disc AS (SELECT DISTINCT host,
+                            trim(regexp_extract(
+                              trim(regexp_replace(raw, '#.*$', '')),
+                              '(?i)^sitemap\s*:\s*(.*)$', 1)) AS loc
+                     FROM ln
+                     WHERE trim(regexp_extract(
+                             trim(regexp_replace(raw, '#.*$', '')),
+                             '(?i)^sitemap\s*:\s*(.*)$', 1)) <> ''),
+            xml AS (SELECT host, loc,
+                           '<urlset><url><loc>' || loc
+                           || '?u=1</loc></url><url><loc>' || loc
+                           || '?u=2</loc></url></urlset>' AS body
+                    FROM disc),
+            blocks AS (SELECT host,
+                              unnest(regexp_extract_all(body,
+                                '(?s)<url>(.*?)</url>', 1)) AS b
+                       FROM xml),
+            p AS (SELECT host,
+                         nullif(regexp_extract(b,
+                           '(?s)<loc>\s*(.*?)\s*</loc>', 1), '') AS loc
+                  FROM blocks),
+            nm AS (SELECT host, count(DISTINCT loc)::BIGINT AS n_sitemaps
+                   FROM disc GROUP BY 1),
+            nu AS (SELECT host, count(*)::BIGINT AS n_urls,
+                          min(loc) AS first_url
+                   FROM p WHERE loc IS NOT NULL GROUP BY 1)
+            SELECT nm.host, nm.n_sitemaps, nu.n_urls, nu.first_url
+            FROM nm JOIN nu USING (host) ORDER BY nm.host
         """,
         # q91: the record grammar rebuilt as VARCHAR (every part is
         # UTF-8); strlen = octet count matches Spark's length(binary);

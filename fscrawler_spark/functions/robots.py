@@ -100,3 +100,35 @@ def parse_robots(
         )
     )
     return allow_deny.unionByName(delays)
+
+
+def extract_sitemap_urls(robots_txt: DataFrame, body_col: str = "body") -> DataFrame:
+    """(host, loc) per ``Sitemap:`` directive in raw robots bodies —
+    the discovery hop that connects robots fetching to the sitemap
+    source (sources/sitemap.py): robots lists the archives, the
+    sitemaps list the URLs, the frontier seeds from both.
+
+    Per the sitemaps.org protocol the directive is GLOBAL — valid
+    anywhere in the file, outside any User-agent group — so this
+    deliberately skips the section machinery above: comment-strip,
+    case-insensitive match, trim; duplicates dropped.  Pure codegen
+    (split + regexp per line), SQL-mirrorable (q92's oracle).
+    """
+    lines = robots_txt.select(
+        "host",
+        F.explode(F.split(F.coalesce(F.col(body_col), F.lit("")), "\n")).alias(
+            "raw"
+        ),
+    )
+    loc = F.trim(
+        F.regexp_extract(
+            F.trim(F.regexp_replace(F.col("raw"), r"#.*$", "")),
+            r"(?i)^sitemap\s*:\s*(.*)$",
+            1,
+        )
+    )
+    return (
+        lines.select("host", loc.alias("loc"))
+        .where(F.col("loc") != "")
+        .distinct()
+    )

@@ -125,3 +125,27 @@ def test_rep_longest_match_allow_overrides_deny(spark, pages_df, tiny, tmp_path_
         for r in res.results(spark).where("stage = 'EXTRACTED'").collect()
     }
     assert eng_order == sim.order
+
+
+def test_extract_sitemap_urls_protocol_rules(spark):
+    """Sitemap directives are global (inside or outside UA groups),
+    case-insensitive, comment-stripped, deduplicated; absent -> none."""
+    from fscrawler_spark.functions.robots import extract_sitemap_urls
+
+    bodies = [
+        ("h1", "User-agent: x\nDisallow: /\nSitemap: http://h1/s.xml"),
+        ("h2", "SITEMAP:   http://h2/a.xml  # c\n\nsitemap: http://h2/b.xml\n"
+               "Sitemap: http://h2/a.xml"),       # dup collapses
+        ("h3", "User-agent: *\nDisallow:\n"),     # none
+        ("h4", None),
+        ("h5", "NotSitemap: http://h5/x.xml\n# Sitemap: http://h5/c.xml"),
+    ]
+    df = spark.createDataFrame(bodies, "host string, body string")
+    got = sorted(
+        (r["host"], r["loc"]) for r in extract_sitemap_urls(df).collect()
+    )
+    assert got == [
+        ("h1", "http://h1/s.xml"),
+        ("h2", "http://h2/a.xml"),
+        ("h2", "http://h2/b.xml"),
+    ]
