@@ -592,3 +592,39 @@ def test_cdc_chunks_insertion_robustness(spark):
     assert len(md5s0) >= 3
     shared = [m for m in md5s0[1:] if m in md5s1]
     assert len(shared) == len(md5s0) - 1, "CDC chunks after the first boundary must survive the insertion"
+
+
+def test_waterfill_large_cardinality_matches_binary_search(spark):
+    """20k hosts, ~2k distinct demand values through the level search —
+    the scale path (distinct-value table) verified against an
+    independent binary-search water level."""
+    import random
+
+    from fscrawler_spark.operators.politeness import waterfill_budget
+
+    rng = random.Random(31)
+    demands = {f"h{i}": rng.randint(1, 2000) for i in range(20_000)}
+    total = sum(demands.values())
+    budget = total // 3
+
+    def mass(level):
+        return sum(min(d, level) for d in demands.values())
+
+    lo, hi = 0, max(demands.values())
+    while lo < hi:  # largest L with mass(L) <= budget
+        mid = (lo + hi + 1) // 2
+        if mass(mid) <= budget:
+            lo = mid
+        else:
+            hi = mid - 1
+    want = {k: min(d, lo) for k, d in demands.items()}
+
+    df = spark.createDataFrame(
+        list(demands.items()), "host string, demand long"
+    ).repartition(16)
+    got = {
+        r["host"]: r["alloc"]
+        for r in waterfill_budget(df, ["host"], "demand", budget).collect()
+    }
+    assert got == want
+    assert sum(got.values()) <= budget
