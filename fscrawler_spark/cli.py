@@ -351,6 +351,13 @@ def cmd_frontier(args: argparse.Namespace) -> None:
         out = df.withColumn(
             "canonical_url", canonicalize_url(F.col(args.url_col))
         )
+    elif args.op == "domains":
+        from fscrawler_spark.operators.links import registered_domains
+
+        suffixes = [x.strip() for x in (args.suffixes or "").split(",") if x.strip()]
+        if not suffixes:
+            sys.exit("--suffixes required for --op domains (e.g. com,co.uk)")
+        out = registered_domains(df, args.group_col, suffixes)
     else:
         sys.exit(f"unknown frontier op: {args.op}")
     if args.out:
@@ -530,7 +537,10 @@ def main(argv: list[str] | None = None) -> None:
     )
     fr.add_argument("--input", required=True)
     fr.add_argument("--op", default="waterfill",
-                    choices=["waterfill", "redirects", "canonicalize"])
+                    choices=["waterfill", "redirects", "canonicalize",
+                             "domains"])
+    fr.add_argument("--suffixes", default=None,
+                    help="domains: comma-separated public-suffix list")
     fr.add_argument("--url-col", default="url")
     fr.add_argument("--group-col", default="host")
     fr.add_argument("--budget", type=int, default=1000)
