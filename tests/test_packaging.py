@@ -24,3 +24,24 @@ def test_pyfiles_zip_importable(tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert r.stdout.strip() == "ok"
+
+
+def test_end_to_end_example_runs(tmp_path):
+    """examples/end_to_end.py: the switching-user tour (WARC in ->
+    crawl -> curate -> pack -> WARC out) runs green in a fresh
+    process and its stage counts are internally consistent."""
+    import json
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "examples/end_to_end.py", str(tmp_path / "tour")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s["pages_crawled"] > 0
+    assert s["docs_kept_after_dedup"] <= s["pages_crawled"]
+    assert s["funnel"]["0_raw"] == s["pages_crawled"]
+    assert s["training_sequences"] > 0
+    assert s["warc_out_segments"] >= 1
