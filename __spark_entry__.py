@@ -350,7 +350,10 @@ def q16_text_stats(spark, sf_dir):
         TS.token_count(F.col("text")).alias("ntok"),
         TS.bpe_ish_token_count(F.col("text")).alias("npiece"),
         TS.lang_id(F.col("text")).alias("langid"),
-        TS.quality_score(F.col("text")).alias("quality"),
+        # r8 fix of the r01 class: round(double,4) resolved the
+        # 0.65875-boundary docs differently per engine at sf0.1 — emit
+        # the exact-integer e4 grid divided back, bit-identical on both
+        (TS.quality_e4(F.col("text")) / F.lit(10000.0)).alias("quality"),
         TS.fingerprint(F.col("text")).alias("fp"),
     ).orderBy("doc_id")
 
@@ -2533,17 +2536,6 @@ FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
         / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
 ORDER BY id_a, id_b
-"""
-
-_QUALITY_SQL = f"""
-  round(0.5 * (CASE WHEN length(coalesce(text,'')) = 0 THEN 0.0
-               ELSE length(regexp_replace(coalesce(text,''), '[^A-Za-z]', '', 'g'))::DOUBLE
-                    / length(coalesce(text,'')) END)
-      + 0.25 * (CASE WHEN ({_NTOK_SQL}) > 0
-                 AND (length(regexp_replace(trim(coalesce(text,'')), '\\s', '', 'g'))::DOUBLE
-                      / ({_NTOK_SQL})) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END)
-      + 0.25 * (CASE WHEN ({" + ".join(_sw_hits_sql(lang) for lang in sorted(_SW))}) >= 2
-                 THEN 1.0 ELSE 0.0 END), 4)
 """
 
 _FP_SQL = "md5(trim(regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g')))"
@@ -4764,7 +4756,7 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(trim(coalesce(text,'')),
                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::INTEGER AS npiece,
                    {_lang_id_sql()} AS langid,
-                   {_QUALITY_SQL} AS quality,
+                   ({_QUALITY_E4_SQL}) / 10000.0 AS quality,
                    {_FP_SQL} AS fp
             FROM documents ORDER BY doc_id
         """,
