@@ -628,3 +628,43 @@ def test_waterfill_large_cardinality_matches_binary_search(spark):
     }
     assert got == want
     assert sum(got.values()) <= budget
+
+
+def test_pack_sequences_property(spark):
+    """Hypothesis-style randomized property (seeded trials): for random
+    corpora, packing invariants hold — every doc lands in exactly one
+    sequence, per-bucket token mass is conserved, every non-final
+    sequence of a bucket starts within cap of the previous, and the
+    assignment equals the scalar packer."""
+    import random
+
+    from fscrawler_spark.operators.prep import pack_sequences
+
+    rng = random.Random(123)
+    for trial in range(3):
+        n = rng.randint(5, 120)
+        cap = rng.choice([7, 16, 64])
+        nb = rng.choice([2, 4, 8])
+        docs = [(i, "t " * rng.randint(0, 3 * cap)) for i in range(n)]
+        df = spark.createDataFrame(
+            [(i, t.strip()) for i, t in docs], "doc_id long, text string"
+        )
+        got = {
+            (r["bucket"], r["seq_id"]): (r["n_docs"], r["tok_sum"])
+            for r in pack_sequences(
+                df, "doc_id", "text", cap=cap, n_buckets=nb
+            ).collect()
+        }
+        want = {}
+        for b in range(nb):
+            off = 0
+            for i, t in sorted(docs):
+                if i % nb != b:
+                    continue
+                ntok = len(t.split())
+                k = (b, off // cap)
+                nd, ts = want.get(k, (0, 0))
+                want[k] = (nd + 1, ts + ntok)
+                off += ntok
+            assert sum(v[1] for kk, v in want.items() if kk[0] == b) == off
+        assert got == want, (trial, cap, nb)
