@@ -352,3 +352,44 @@ def test_streaming_canonical_dedup_collapses_aliases(spark, tmp_path):
     )
     assert got == want
     assert len(got) == 3
+
+
+def test_streaming_sitemap_ingest_matches_batch(spark, tmp_path):
+    """parse_sitemaps is a stateless projection, so it runs unchanged
+    on a file STREAM of sitemap bodies — discovered URL rows equal the
+    batch parse of the same files (the live-discovery ingest path)."""
+    import os as _os
+
+    from fscrawler_spark.sources.sitemap import parse_sitemaps
+    from fscrawler_spark.streaming.pipeline import run_to_memory
+
+    d = str(tmp_path / "maps")
+    bodies = []
+    for i in range(3):
+        body = "<urlset>" + "".join(
+            f"<url><loc>http://h{i}.example/p{j}</loc>"
+            + (f"<lastmod>2026-0{j+1}-01</lastmod>" if j % 2 == 0 else "")
+            + "</url>"
+            for j in range(4)
+        ) + "</urlset>"
+        bodies.append((f"h{i}", body))
+        spark.createDataFrame([bodies[-1]], "site string, body string") \
+            .write.parquet(_os.path.join(d, f"b{i}"))
+
+    batch = parse_sitemaps(
+        spark.read.parquet(f"{d}/*"), "body", keep_cols=["site"]
+    )
+    want = sorted((r["site"], r["loc"], r["lastmod"]) for r in batch.collect())
+
+    stream = spark.readStream.schema("site string, body string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(f"{d}/*")
+    q = run_to_memory(
+        parse_sitemaps(stream, "body", keep_cols=["site"]), "sitemap_stream"
+    )
+    got = sorted(
+        (r["site"], r["loc"], r["lastmod"])
+        for r in spark.sql("SELECT * FROM sitemap_stream").collect()
+    )
+    q.stop()
+    assert got == want and len(got) == 12
