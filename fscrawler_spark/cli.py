@@ -337,9 +337,14 @@ def cmd_frontier(args: argparse.Namespace) -> None:
     if args.op == "waterfill":
         from fscrawler_spark.operators.politeness import waterfill_budget
 
-        demands = df.groupBy(args.group_col).agg(
-            F.count("*").cast("long").alias("demand")
-        )
+        if args.demand_col:
+            demands = df.select(
+                args.group_col, F.col(args.demand_col).alias("demand")
+            )
+        else:
+            demands = df.groupBy(args.group_col).agg(
+                F.count("*").cast("long").alias("demand")
+            )
         out = waterfill_budget(demands, [args.group_col], "demand", args.budget)
     elif args.op == "redirects":
         from fscrawler_spark.operators.graph import resolve_redirect_chains
@@ -544,6 +549,9 @@ def main(argv: list[str] | None = None) -> None:
     fr.add_argument("--url-col", default="url")
     fr.add_argument("--group-col", default="host")
     fr.add_argument("--budget", type=int, default=1000)
+    fr.add_argument("--demand-col", default=None,
+                    help="waterfill: input is already (group, demand) — "
+                         "use this column instead of counting rows")
     fr.add_argument("--src-col", default="src")
     fr.add_argument("--dst-col", default="dst")
     fr.add_argument("--out")
