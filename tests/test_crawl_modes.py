@@ -211,3 +211,46 @@ def test_global_budget_carryover_engine_matches_simulator(
     # the seed wave is far under 30, so a later wave must exceed the
     # base budget using the banked credit
     assert any(n > 30 for n in per_wave.values()), per_wave
+
+
+def test_global_budget_carryover_parallelism_invariant(tmp_path):
+    """The determinism claim (SURVEY §7.3) extended to the session-8
+    knobs: the SAME carryover-budget crawl at local[4] and local[16]
+    (fresh processes) produces identical (url, wave, rank) outputs."""
+    import json
+    import subprocess
+    import sys
+
+    code = """
+import json, sys, tempfile
+sys.path.insert(0, "/root/repo")
+from fscrawler_spark import schemas
+from fscrawler_spark.datagen import generate_pages
+from fscrawler_spark.plans.job import CrawlJob
+from fscrawler_spark.plans.wave_loop import run_crawl
+from fscrawler_spark.session import get_spark
+cores = sys.argv[1]
+spark = get_spark("par_inv", cores=cores)
+pages, seeds, robots = generate_pages("tiny", seed=42)
+rows = [tuple(r.get(f.name) for f in schemas.PAGES.fields) for r in pages]
+pages_df = spark.createDataFrame(rows, schemas.PAGES)
+robots_df = spark.createDataFrame(
+    [tuple(r.get(f.name) for f in schemas.ROBOTS.fields) for r in robots],
+    schemas.ROBOTS)
+job = CrawlJob(politeness_budget=20, max_waves=4,
+               global_wave_budget=30, global_budget_carryover=True)
+res = run_crawl(spark, pages_df, seeds, job, robots=robots_df,
+                checkpoint_dir=tempfile.mkdtemp())
+out = sorted((r["url"], r["wave"], r["rank_in_wave"])
+             for r in res.results(spark).where("stage='EXTRACTED'").collect())
+print(json.dumps(out))
+"""
+    outs = []
+    for cores in ("4", "16"):
+        r = subprocess.run(
+            [sys.executable, "-c", code, cores],
+            capture_output=True, text=True, cwd="/root/repo", timeout=420,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs.append(json.loads(r.stdout.strip().splitlines()[-1]))
+    assert outs[0] == outs[1] and len(outs[0]) > 50
